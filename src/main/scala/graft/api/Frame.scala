@@ -1,0 +1,298 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Frame — an ordered, labeled 2-D table on top of a Spark [[DataFrame]].
+ *
+ * The reference engine (modin) models a pandas DataFrame as a 2-D grid of
+ * pandas blocks with a row index carried as metadata, and moves labels
+ * into/out of data columns via `from_labels`/`to_labels`
+ * (reference: modin/core/dataframe/pandas/dataframe/dataframe.py:1451,1556).
+ * Spark relations are unordered and unlabeled, so we carry both concepts as
+ * data:
+ *
+ *   - `indexCols`: ordinary columns that play the role of the pandas row
+ *     index (possibly several → MultiIndex).
+ *   - `ordering`: the sort keys that define pandas row order. Kept *lazy* as
+ *     a list of sort expressions (mirroring modin's lazily materialized
+ *     `ModinIndex`, modin/core/dataframe/pandas/metadata/index.py:24); a
+ *     physical `__row_order__` column is only computed when a positional
+ *     operator (iloc/tail/shift without keys) actually needs it — see
+ *     [[graft.ops.RowOrder]] for the scalable two-pass implementation.
+ *
+ * Every operator is a pure function `Frame => Frame` compiling to a single
+ * Catalyst plan; there is no eager materialization except in operators
+ * documented as driver-only (e.g. [[transpose]]).
+ */
+/** A sort key with an explicit direction — Spark 4's `Column` no longer
+  * exposes its expression publicly, so order must be first-class data for
+  * [[Frame.tail]] to be able to flip it. */
+final case class SortKey(c: Column, asc: Boolean = true, nullsFirst: Boolean = false) {
+  def toColumn: Column = (asc, nullsFirst) match {
+    case (true, true)   => c.asc_nulls_first
+    case (true, false)  => c.asc_nulls_last
+    case (false, true)  => c.desc_nulls_first
+    case (false, false) => c.desc_nulls_last
+  }
+  def reversed: SortKey = copy(asc = !asc, nullsFirst = !nullsFirst)
+}
+
+object SortKey {
+  def asc(name: String): SortKey = SortKey(col(name), asc = true)
+  def desc(name: String): SortKey = SortKey(col(name), asc = false)
+}
+
+final case class Frame(
+    df: DataFrame,
+    indexCols: Seq[String] = Nil,
+    ordering: Seq[SortKey] = Nil) {
+
+  import Frame._
+
+  def spark = df.sparkSession
+
+  // ---------------------------------------------------------------------
+  // §2.2 projection / selection / filtering
+  // (reference: modin getitem_column_array, storage_formats/pandas/query_compiler.py:3105)
+  // ---------------------------------------------------------------------
+
+  /** Column projection; index columns are always retained (pandas keeps the
+    * index on `df[cols]`). Catalyst prunes the parquet scan accordingly. */
+  def select(cols: String*): Frame =
+    copy(df = df.select((indexCols ++ cols).distinct.map(col): _*))
+
+  def selectExprs(cols: Column*): Frame = copy(df = df.select(cols: _*))
+
+  /** Boolean-mask filter (reference getitem_array QC:3072 / filter algebra). */
+  def filter(cond: Column): Frame = copy(df = df.filter(cond))
+
+  /** String-predicate filter (reference rowwise_query QC:3585). */
+  def query(predicate: String): Frame = copy(df = df.filter(expr(predicate)))
+
+  def withColumn(name: String, c: Column): Frame = copy(df = df.withColumn(name, c))
+
+  /** Drop columns by label (reference QC:3326 — metadata-only there; a plain
+    * projection here, equally metadata-only for Catalyst). */
+  def drop(cols: String*): Frame = copy(
+    df = df.drop(cols: _*),
+    indexCols = indexCols.filterNot(cols.contains))
+
+  def rename(mapping: (String, String)*): Frame = {
+    val m = mapping.toMap
+    copy(
+      df = df.select(df.columns.map(c => col(c).as(m.getOrElse(c, c))).toIndexedSeq: _*),
+      indexCols = indexCols.map(c => m.getOrElse(c, c)))
+  }
+
+  def addPrefix(p: String): Frame =
+    rename(df.columns.filterNot(indexCols.contains).map(c => c -> s"$p$c").toIndexedSeq: _*)
+
+  def addSuffix(s: String): Frame =
+    rename(df.columns.filterNot(indexCols.contains).map(c => c -> s"$c$s").toIndexedSeq: _*)
+
+  /** Cast columns (reference astype, QC:2335; frame astype dataframe.py:1707). */
+  def astype(casts: (String, String)*): Frame = {
+    val m = casts.toMap
+    copy(df = df.select(df.columns.map { c =>
+      m.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))
+    }.toIndexedSeq: _*))
+  }
+
+  /** pandas clip (reference QC:2438) — `greatest(least(c, hi), lo)`. */
+  def clip(column: String, lo: Double, hi: Double): Frame =
+    withColumn(column, greatest(least(col(column), lit(hi)), lit(lo)))
+
+  /** pandas where: keep values where cond holds, else replacement
+    * (reference QC:626). Note pandas `where` keeps-if-true. */
+  def whereCol(column: String, cond: Column, other: Column): Frame =
+    withColumn(column, when(cond, col(column)).otherwise(other))
+
+  /** pandas mask: replace values where cond holds (reference base QC:2069). */
+  def maskCol(column: String, cond: Column, other: Column): Frame =
+    withColumn(column, when(cond, other).otherwise(col(column)))
+
+  /** Membership test (reference isin QC:2009 — values broadcast). */
+  def isin(column: String, values: Seq[Any]): Frame =
+    withColumn(s"${column}_isin", col(column).isin(values: _*))
+
+  // ---------------------------------------------------------------------
+  // §2.11 missing data
+  // ---------------------------------------------------------------------
+
+  /** reference dropna QC:3249 → Spark na.drop. */
+  def dropna(how: String = "any", subset: Seq[String] = Nil, thresh: Option[Int] = None): Frame = {
+    val cols = if (subset.isEmpty) df.columns.toIndexedSeq else subset
+    val d = thresh match {
+      case Some(t) => df.na.drop(t, cols)
+      case None    => df.na.drop(how, cols)
+    }
+    copy(df = d)
+  }
+
+  /** reference fillna QC:2710 (scalar / per-column dict). */
+  def fillna(value: Any, subset: Seq[String] = Nil): Frame = {
+    val cols = if (subset.isEmpty) df.columns.toIndexedSeq else subset
+    val d = value match {
+      case v: Double => df.na.fill(v, cols)
+      case v: Long   => df.na.fill(v, cols)
+      case v: Int    => df.na.fill(v.toLong, cols)
+      case v: String => df.na.fill(v, cols)
+      case v: Boolean => df.na.fill(v, cols)
+      case other => sys.error(s"fillna: unsupported $other")
+    }
+    copy(df = d)
+  }
+
+  def fillnaMap(values: Map[String, Any]): Frame = copy(df = df.na.fill(values))
+
+  /** Forward-fill within key groups ordered by `order` (reference fillna
+    * method='ffill', QC:2710-2812 — a Fold across partitions there; a
+    * last-ignoreNulls running window here, which Spark evaluates with a
+    * single shuffle on the partition keys — scalable, no global order). */
+  def ffill(column: String, partitionBy: Seq[String], order: Seq[SortKey]): Frame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionBy.map(col): _*)
+      .orderBy(order.map(_.toColumn): _*)
+      .rowsBetween(Long.MinValue, 0)
+    withColumn(column, last(col(column), ignoreNulls = true).over(w))
+  }
+
+  def bfill(column: String, partitionBy: Seq[String], order: Seq[SortKey]): Frame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionBy.map(col): _*)
+      .orderBy(order.map(_.toColumn): _*)
+      .rowsBetween(0, Long.MaxValue)
+    withColumn(column, first(col(column), ignoreNulls = true).over(w))
+  }
+
+  /** Value replacement (reference replace QC:2107, dict mode). */
+  def replaceValues(column: String, mapping: Map[Any, Any]): Frame = {
+    val c = mapping.foldLeft(col(column)) { case (acc, (from, to)) =>
+      when(col(column) === lit(from), lit(to)).otherwise(acc)
+    }
+    withColumn(column, c)
+  }
+
+  // ---------------------------------------------------------------------
+  // §2.7 sorts / limits / top-k
+  // ---------------------------------------------------------------------
+
+  /** Global sort (reference sort_rows_by_column_values QC:4773 — a
+    * sample→pivot→range-shuffle TeraSort; Spark's orderBy is the identical
+    * algorithm via RangePartitioner, so we just declare it). */
+  def sortValues(by: Seq[SortKey]): Frame =
+    copy(df = df.orderBy(by.map(_.toColumn): _*), ordering = by)
+
+  def sortValues(c: String, ascending: Boolean = true): Frame =
+    sortValues(Seq(SortKey(col(c), ascending)))
+
+  /** head(n): when an ordering is declared this is a TakeOrdered physical
+    * plan (per-partition top-n + driver merge — no global shuffle). */
+  def head(n: Int): Frame = copy(df = df.limit(n))
+
+  /** tail(n) without collecting: reverse the declared ordering, take n,
+    * restore order. Two TakeOrdered passes, still no global shuffle. */
+  def tail(n: Int): Frame = {
+    require(ordering.nonEmpty, "tail requires a declared ordering")
+    copy(df = df
+      .orderBy(ordering.map(_.reversed.toColumn): _*)
+      .limit(n)
+      .orderBy(ordering.map(_.toColumn): _*))
+  }
+
+  /** Top-k by one column (reference nlargest QC:2653) — TakeOrdered. */
+  def nlargest(n: Int, c: String): Frame =
+    sortValues(Seq(SortKey(col(c), asc = false))).head(n)
+
+  def nsmallest(n: Int, c: String): Frame =
+    sortValues(Seq(SortKey(col(c), asc = true))).head(n)
+
+  // ---------------------------------------------------------------------
+  // §2.3 joins   (details in graft.ops.Joins)
+  // ---------------------------------------------------------------------
+
+  /** pandas merge on columns (reference storage_formats/pandas/merge.py:104-252
+    * broadcast path, :39-101 range-partitioning path). Spark's planner (plus
+    * AQE at runtime) chooses broadcast vs sort-merge from statistics, which
+    * subsumes both reference strategies; `broadcastRight` forces the hint for
+    * dimension tables known small. */
+  def merge(
+      right: Frame,
+      on: Seq[String],
+      how: String = "inner",
+      broadcastRight: Boolean = false): Frame = {
+    val r = if (broadcastRight) broadcast(right.df) else right.df
+    copy(df = df.join(r, on, how))
+  }
+
+  def semiJoin(right: Frame, on: Seq[String]): Frame =
+    copy(df = df.join(right.df, on, "left_semi"))
+
+  def antiJoin(right: Frame, on: Seq[String]): Frame =
+    copy(df = df.join(right.df, on, "left_anti"))
+
+  /** §2.8/§2.3 concat axis=0 (reference concat QC:482 — stacks partition
+    * grids; unionByName here, a zero-shuffle plan node). */
+  def concat(other: Frame): Frame =
+    copy(df = df.unionByName(other.df, allowMissingColumns = true))
+
+  // ---------------------------------------------------------------------
+  // §2.4 duplicates
+  // ---------------------------------------------------------------------
+
+  /** drop_duplicates keep='first' under a deterministic order (reference
+    * QC:2231 — range-partition shuffle keep-first; here one hash shuffle on
+    * the subset keys + per-group min — same physics, AQE-skew-aware). */
+  def dropDuplicates(subset: Seq[String], firstBy: Seq[SortKey]): Frame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(subset.map(col): _*)
+      .orderBy(firstBy.map(_.toColumn): _*)
+    copy(df = df
+      .withColumn(RowNum, row_number().over(w))
+      .filter(col(RowNum) === 1)
+      .drop(RowNum))
+  }
+
+  /** duplicated flag (reference QC:3346). */
+  def duplicated(subset: Seq[String], firstBy: Seq[SortKey]): Frame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(subset.map(col): _*)
+      .orderBy(firstBy.map(_.toColumn): _*)
+    copy(df = df.withColumn("duplicated", row_number().over(w) > 1))
+  }
+
+  /** value_counts (reference modin/pandas/general.py:398 — groupby size +
+    * sort). Deterministic tie-break on the value itself. */
+  def valueCounts(c: String): Frame = Frame(
+    df.groupBy(c).agg(count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col(c).asc))
+
+  // ---------------------------------------------------------------------
+  // groupby entry point (§2.5) — see graft.api.GroupBy
+  // ---------------------------------------------------------------------
+
+  def groupby(keys: String*): GroupBy = new GroupBy(this, keys.toIndexedSeq)
+
+  // ---------------------------------------------------------------------
+  // driver-only ops (declared, size-guarded — reference default_to_pandas
+  // valve, base QC:290; SURVEY §7.4.4)
+  // ---------------------------------------------------------------------
+
+  /** Transpose is fundamentally anti-Spark (reference does a cheap 2-D grid
+    * flip, dataframe.py:4747; we cannot). Driver-only with a hard size guard;
+    * documented deviation. */
+  def transpose(maxCells: Long = 1000000L): Seq[Seq[Any]] = {
+    val n = df.count()
+    require(n * df.columns.length <= maxCells, s"transpose limited to $maxCells cells")
+    val rows = df.collect()
+    df.columns.indices.map(i => rows.toIndexedSeq.map(_.get(i)))
+  }
+}
+
+object Frame {
+  /** Name of the materialized positional-order column (see ops.RowOrder). */
+  val RowOrder = "__row_order__"
+  private[api] val RowNum = "__rn__"
+}

@@ -1,0 +1,179 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import graft.functions.Stats
+
+/**
+ * GroupBy — the reference's largest operator family (~45 methods;
+ * modin/core/storage_formats/base/query_compiler.py:3500-4580).
+ *
+ * The reference picks one of three strategies at runtime (TreeReduce /
+ * range-partitioning shuffle / full-axis broadcast —
+ * modin/core/storage_formats/pandas/query_compiler.py:4236-4287). On Spark a
+ * single declarative `groupBy().agg()` already compiles to the TreeReduce
+ * physics (partial HashAggregate → hash exchange → final HashAggregate), and
+ * order-dependent per-group ops (cumsum/shift/rank/first/…) become window
+ * functions over `Window.partitionBy(keys)` — one shuffle on the keys, no
+ * global ordering, so the plan scales with the number of groups, not rows.
+ */
+final class GroupBy(frame: Frame, val keys: Seq[String]) {
+
+  private def df = frame.df
+  private def kcols = keys.map(col)
+
+  /** Named aggregation — reference groupby_agg dict mode (QC:4236).
+    * Output column names are caller-chosen (pandas named-agg style). */
+  def agg(exprs: (String, Column)*): Frame = Frame(
+    df.groupBy(kcols: _*).agg(exprs.head._2.as(exprs.head._1),
+      exprs.tail.map { case (n, c) => c.as(n) }: _*),
+    indexCols = keys)
+
+  /** reference groupby_size (base QC:3692). */
+  def size(name: String = "size"): Frame =
+    agg(name -> count(lit(1)))
+
+  /** Convenience single-function agg over several columns:
+    * reference groupby_sum/min/max/mean/… (base QC:3500-3869). */
+  def aggAll(fn: String, cols: Seq[String]): Frame = {
+    val exprs = cols.map { c =>
+      val e = fn match {
+        case "sum"    => sum(col(c))
+        case "min"    => min(col(c))
+        case "max"    => max(col(c))
+        case "mean"   => avg(col(c))
+        case "count"  => count(col(c))
+        case "std"    => stddev_samp(col(c))
+        case "var"    => var_samp(col(c))
+        case "median" => percentile_approx(col(c), lit(0.5), lit(100000))
+        case "nunique" => countDistinct(col(c))
+        case other    => sys.error(s"aggAll: $other")
+      }
+      s"${c}_$fn" -> e
+    }
+    agg(exprs: _*)
+  }
+
+  // -------------------------------------------------------------------
+  // window-based per-group ops: one shuffle on keys, order within group
+  // -------------------------------------------------------------------
+
+  private def w(order: Seq[SortKey]): WindowSpec =
+    Window.partitionBy(kcols: _*).orderBy(order.map(_.toColumn): _*)
+
+  private def running(order: Seq[SortKey]): WindowSpec =
+    w(order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** reference groupby_cumsum (base QC:3930). */
+  def cumsum(c: String, as: String, order: Seq[SortKey]): Frame =
+    frame.withColumn(as, sum(col(c)).over(running(order)))
+
+  /** reference groupby_cummax/cummin (base QC:3954,3978). */
+  def cummax(c: String, as: String, order: Seq[SortKey]): Frame =
+    frame.withColumn(as, max(col(c)).over(running(order)))
+
+  def cummin(c: String, as: String, order: Seq[SortKey]): Frame =
+    frame.withColumn(as, min(col(c)).over(running(order)))
+
+  /** reference groupby_cumcount (base QC:3906) — 0-based like pandas. */
+  def cumcount(as: String, order: Seq[SortKey]): Frame =
+    frame.withColumn(as, row_number().over(w(order)) - 1)
+
+  /** reference groupby_shift (base QC:4324). */
+  def shift(c: String, as: String, periods: Int, order: Seq[SortKey]): Frame =
+    frame.withColumn(as,
+      if (periods >= 0) lag(col(c), periods).over(w(order))
+      else lead(col(c), -periods).over(w(order)))
+
+  /** reference groupby_diff (base QC:4247). */
+  def diff(c: String, as: String, order: Seq[SortKey]): Frame =
+    frame.withColumn(as, col(c) - lag(col(c), 1).over(w(order)))
+
+  /** reference groupby_pct_change (base QC:4260). */
+  def pctChange(c: String, as: String, order: Seq[SortKey]): Frame =
+    frame.withColumn(as, (col(c) - lag(col(c), 1).over(w(order))) / lag(col(c), 1).over(w(order)))
+
+  /** reference groupby_rank (base QC:4068); pandas method='min'|'dense'|'first'. */
+  def rank(c: String, as: String, method: String = "min", ascending: Boolean = true): Frame = {
+    val key = if (ascending) col(c).asc else col(c).desc
+    val spec = Window.partitionBy(kcols: _*).orderBy(key)
+    val r = method match {
+      case "min"   => org.apache.spark.sql.functions.rank().over(spec)
+      case "dense" => dense_rank().over(spec)
+      case "first" => row_number().over(spec)
+      case other   => sys.error(s"rank method $other")
+    }
+    frame.withColumn(as, r)
+  }
+
+  /** reference groupby_head (base QC:4396) — first n rows per group. */
+  def headPerGroup(n: Int, order: Seq[SortKey]): Frame = {
+    val d = df.withColumn(Frame.RowNum, row_number().over(w(order)))
+      .filter(col(Frame.RowNum) <= n).drop(Frame.RowNum)
+    frame.copy(df = d)
+  }
+
+  /** reference groupby_tail (base QC:4420). */
+  def tailPerGroup(n: Int, order: Seq[SortKey]): Frame = {
+    val d = df.withColumn(Frame.RowNum, row_number().over(w(order.map(_.reversed))))
+      .filter(col(Frame.RowNum) <= n).drop(Frame.RowNum)
+    frame.copy(df = d)
+  }
+
+  /** reference groupby_nth (base QC:4444) — 0-based. */
+  def nth(n: Int, order: Seq[SortKey]): Frame = {
+    val d = df.withColumn(Frame.RowNum, row_number().over(w(order)))
+      .filter(col(Frame.RowNum) === n + 1).drop(Frame.RowNum)
+    frame.copy(df = d)
+  }
+
+  /** reference groupby_first/groupby_last (base QC:4348,4372) as aggregates
+    * under a deterministic order: min_by / max_by on the order key. */
+  def firstLast(valueCol: String, orderKey: String): Frame = agg(
+    s"${valueCol}_first" -> min_by(col(valueCol), col(orderKey)),
+    s"${valueCol}_last" -> max_by(col(valueCol), col(orderKey)))
+
+  /** reference groupby_idxmin/idxmax (base QC:3548,3566): index label of the
+    * extremum (deterministic tie-break on the label itself via struct order). */
+  def idxminmax(valueCol: String, idxCol: String): Frame = agg(
+    "idxmin" -> min_by(col(idxCol), struct(col(valueCol), col(idxCol))),
+    "idxmax" -> max_by(col(idxCol), struct(col(valueCol), col(idxCol) * -1)))
+
+  /** reference groupby_ohlc (base QC:4562) under a declared order. */
+  def ohlc(valueCol: String, orderKey: String): Frame = agg(
+    "open"  -> min_by(col(valueCol), col(orderKey)),
+    "high"  -> max(col(valueCol)),
+    "low"   -> min(col(valueCol)),
+    "close" -> max_by(col(valueCol), col(orderKey)))
+
+  /** reference groupby_nlargest (base QC:4492): top-n per group by value —
+    * rank-filter, one shuffle, no global sort. */
+  def nlargestPerGroup(n: Int, valueCol: String, tieBreak: Seq[SortKey]): Frame = {
+    val spec = Window.partitionBy(kcols: _*)
+      .orderBy(col(valueCol).desc +: tieBreak.map(_.toColumn): _*)
+    val d = df.withColumn(Frame.RowNum, row_number().over(spec))
+      .filter(col(Frame.RowNum) <= n).drop(Frame.RowNum)
+    frame.copy(df = d)
+  }
+
+  /** reference groupby_skew (base QC:3869): pandas adjusted (sample) skew,
+    * composed from Spark's population moments — see [[Stats.sampleSkew]]. */
+  def skew(c: String, as: String): Frame = agg(as -> Stats.sampleSkew(col(c)))
+
+  /** reference groupby_sem (base QC:4046): stddev / sqrt(count). */
+  def sem(c: String, as: String): Frame = agg(as -> Stats.sem(col(c)))
+
+  /** reference groupby_corr / groupby_cov (base QC:4112,4134). */
+  def corrCov(c1: String, c2: String): Frame = agg(
+    "corr" -> corr(col(c1), col(c2)),
+    "cov" -> covar_samp(col(c1), col(c2)))
+
+  /** reference groupby_unique (base QC:4542) — sorted for determinism. */
+  def uniquePerGroup(c: String, as: String): Frame =
+    agg(as -> array_sort(collect_set(col(c))))
+
+  /** reference groupby_get_group (base QC:4300). */
+  def getGroup(values: Seq[Any]): Frame = frame.copy(
+    df = keys.zip(values).foldLeft(df) { case (d, (k, v)) => d.filter(col(k) === lit(v)) })
+}

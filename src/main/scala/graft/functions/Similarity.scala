@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding similarity search over `Array[Float]` columns.
+ *
+ * Everything here is pure Catalyst expressions (`zip_with` / `aggregate`) —
+ * codegen'd, no UDFs — so similarity scans parallelize as maps and the only
+ * shuffles are the explicitly chosen ones (bucket join for LSH, top-k
+ * aggregation).
+ */
+object Similarity {
+
+  /** Dot product of two array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Brute-force cosine top-k against a (small) query set: broadcast the
+   * queries, score every corpus row, keep k per query with a rank-filter
+   * window — per-query partial top-k, no global sort. The 100 TB baseline:
+   * one scan of the corpus, zero corpus shuffles before the final
+   * (tiny, k-per-query) rank filter.
+   */
+  def topKBruteForce(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("cosine", cosine(col(corpusVec), col(queryVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId).asc)
+    scored.withColumn("__rk__", row_number().over(w))
+      .filter(col("__rk__") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("__rk__").as("rank"))
+  }
+
+  /**
+   * Deterministic pseudo-random hyperplane component for plane `p`,
+   * dimension `d`: xxhash64 folded into [-1, 1]. Seeds are structural, so
+   * every executor materializes identical planes with no broadcast state.
+   */
+  private def planeComponent(p: Int, d: Column): Column =
+    (pmod(xxhash64(lit(p), d), lit(2000001L)).cast("double") - lit(1000000.0)) / lit(1000000.0)
+
+  /** Sign-of-projection bits for `nPlanes` random hyperplanes, packed into a
+    * long bucket id — the random-hyperplane LSH for cosine similarity. */
+  def lshBucket(vec: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0L), size(vec).cast("long") - 1L),
+          (x, d) => x.cast("double") * planeComponent(p, d)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /**
+   * LSH-bucketed ANN: corpus and queries bucketed by [[lshBucket]], joined
+   * on the bucket id (an equi-join Spark executes hash-partitioned; at
+   * corpus scale this is the path that avoids the full cross product), then
+   * exact cosine + per-query top-k. Approximate: recall < 1 by design.
+   */
+  def topKLsh(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nPlanes: Int = 12): DataFrame = {
+    val c = corpus.withColumn("__bucket__", lshBucket(col(corpusVec), nPlanes))
+    val q = queries.withColumn("__bucket__", lshBucket(col(queryVec), nPlanes))
+    val joined = c.join(broadcast(q), Seq("__bucket__"))
+      .withColumn("cosine", cosine(col(corpusVec), col(queryVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId).asc)
+    joined.withColumn("__rk__", row_number().over(w))
+      .filter(col("__rk__") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("__rk__").as("rank"))
+  }
+
+  /** IVF-style coarse quantization: assign each vector to the nearest of a
+    * broadcast centroid table (id, vec); probing = equi-join on the
+    * centroid id. Centroids come from any upstream sampling step. */
+  def assignCentroid(df: DataFrame, vecCol: String, centroids: DataFrame,
+      centIdCol: String, centVecCol: String): DataFrame = {
+    val scored = df.crossJoin(broadcast(centroids))
+      .withColumn("__sim__", cosine(col(vecCol), col(centVecCol)))
+    val keys = df.columns.map(col).toIndexedSeq
+    val w = Window.partitionBy(keys: _*).orderBy(col("__sim__").desc, col(centIdCol).asc)
+    scored.withColumn("__rk__", row_number().over(w)).filter(col("__rk__") === 1)
+      .select((keys :+ col(centIdCol).as("centroid_id")): _*)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Statistical aggregates composed to match *pandas* semantics (the reference
+ * engine's oracle — modin runs the pandas kernel per partition).
+ *
+ * Spark's `skewness`/`kurtosis` are the population moments g1 / g2; pandas
+ * (and DuckDB) report the bias-corrected sample statistics G1 / G2
+ * (reference: modin's groupby_skew is the pandas sample skew,
+ * modin/core/storage_formats/pandas/query_compiler.py:116-183 builds it from
+ * per-partition moment sums). We compose the correction from Spark's
+ * codegen'd built-ins instead of a UDAF, so the whole thing stays inside
+ * whole-stage codegen and keeps partial aggregation.
+ */
+object Stats {
+
+  /** Adjusted Fisher–Pearson sample skewness
+    * G1 = g1 * sqrt(n(n-1))/(n-2), where g1 = m3/m2^1.5 (Spark `skewness`). */
+  def sampleSkew(c: Column): Column = {
+    val n = count(c).cast("double")
+    skewness(c) * sqrt(n * (n - lit(1.0))) / (n - lit(2.0))
+  }
+
+  /** Bias-corrected excess kurtosis
+    * G2 = ((n-1)/((n-2)(n-3))) * ((n+1)*g2 + 6), g2 = Spark `kurtosis`. */
+  def sampleKurt(c: Column): Column = {
+    val n = count(c).cast("double")
+    (n - lit(1.0)) / ((n - lit(2.0)) * (n - lit(3.0))) *
+      ((n + lit(1.0)) * kurtosis(c) + lit(6.0))
+  }
+
+  /** Standard error of the mean (reference groupby_sem, base QC:4046). */
+  def sem(c: Column): Column = stddev_samp(c) / sqrt(count(c).cast("double"))
+
+  /** Exact median via Spark's exact `percentile` (reference QC:1107 computes
+    * it single-task per column; Spark's percentile is a distributed
+    * partial/final aggregate). */
+  def median(c: Column): Column = percentile(c, lit(0.5))
+
+  /** Exact quantile with linear interpolation (pandas default). */
+  def quantile(c: Column, q: Double): Column = percentile(c, lit(q))
+}

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis column functions for large-scale training-data pipelines.
+ *
+ * All of these are pure Catalyst column expressions (no UDFs): they stay
+ * inside whole-stage codegen and scale as embarrassingly-parallel maps over
+ * a 100 TB `documents` table. (The reference has no text pipeline; this is
+ * the capability-surplus layer specified alongside SURVEY §2.)
+ */
+object Text {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** Word-regex token count (a BPE-ish `\w+` pre-tokenizer count). */
+  def tokenCountWords(text: Column): Column = size(regexp_extract_all(text, lit("\\w+"), lit(0)))
+
+  /** Distinct word tokens. */
+  def wordTokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Average token length. */
+  def avgTokenLen(text: Column): Column =
+    (length(regexp_replace(text, "\\s+", "")).cast("double") / tokenCountWs(text))
+
+  /** Punctuation ratio — explicit char class (identical regex meaning in
+    * Java regex and RE2, so the DuckDB oracle computes the same thing). */
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0))).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+
+  /** Stopword-hit count for a language's stopword set (word-boundary regex). */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    size(regexp_extract_all(lower(text), lit("\\b(" + stopwords.mkString("|") + ")\\b"), lit(0)))
+
+  /** Tiny per-language stopword sets for the n-gram/stopword language-ID
+    * heuristic. Deterministic, dependency-free. */
+  val stopwordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est", "pas", "pour"))
+
+  /** Language-ID: argmax over stopword-hit scores, 'und' when all zero.
+    * Deterministic tie-break = first language in [[stopwordSets]] order. */
+  def languageId(text: Column): Column = {
+    val scores = stopwordSets.map { case (lang, words) => lang -> stopwordHits(text, words) }
+    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          when(score > bestScore, score).otherwise(bestScore))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1]: length band + stopword presence −
+    * punctuation excess. A deterministic stand-in for a model-based filter. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val stopScore = least(stopwordHits(text, stopwordSets.flatMap(_._2)).cast("double") / lit(10.0), lit(1.0))
+    round((lenScore * 0.5 + stopScore * 0.3 + (lit(1.0) - punctRatio(text)) * 0.2), 6)
+  }
+
+  /** Canonicalizing document fingerprint: lower-case, collapse non-word
+    * runs, md5. Identical duplicates after formatting noise collapse to one
+    * fingerprint — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\W+", " ")))
+
+  /** Word n-gram shingles (arrays of n consecutive tokens joined by a
+    * space). Pure expression: transform over an index sequence. */
+  def shingles(text: Column, n: Int): Column = {
+    val w = wordTokens(text)
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n), i =>
+        concat_ws(" ", (0 until n).map(j => get(w, i + lit(j))): _*)))
+      .otherwise(array(concat_ws(" ", w)))
+  }
+
+  /** MinHash signature over a shingle array: `numHashes` independent hash
+    * functions (xxhash64 salted by the hash index), each contributing its
+    * minimum — all inside codegen, no UDF. */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { k =>
+      array_min(transform(array_distinct(shingleArr), s => xxhash64(s, lit(k))))
+    }: _*)
+
+  /** 64-bit SimHash from a token array: per-bit vote of each token's
+    * xxhash64, sign-summed, packed back into a long. Pure expressions. */
+  def simhash(tokens: Column): Column = {
+    def shr(x: Column, bits: Column): Column = call_function("shiftright", x, bits)
+    def shl(x: Column, bits: Column): Column = call_function("shiftleft", x, bits)
+    val votes = aggregate(
+      tokens,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        transform(acc, (v, b) =>
+          v + when(shr(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)), (v, b) =>
+        when(v > 0, shl(lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two simhashes (near-dup distance). */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

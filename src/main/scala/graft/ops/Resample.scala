@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Time-series resample (reference base query_compiler.py:5879-6233,
+ * ~29 `resample_*` methods; implemented there as a full-axis pandas
+ * `resample` per column block or a range-partitioning shuffle by time bins,
+ * modin/core/dataframe/pandas/utils.py:509 `ShuffleResample`).
+ *
+ * On Spark a downsample is just `groupBy(time_bucket)` — one partial/final
+ * aggregate; an upsample (`asfreq`) is a generated time spine joined against
+ * the data. Neither needs a global sort.
+ */
+object Resample {
+
+  /** Truncate to a tumbling bucket. `unit` ∈ second/minute/hour/day/week/
+    * month/quarter/year (date_trunc semantics — identical in DuckDB). */
+  def bucket(ts: Column, unit: String): Column = date_trunc(unit, ts)
+
+  /** Downsample: tumbling-window aggregate (resample_sum/mean/…,
+    * base QC:5879+). */
+  def downsample(df: DataFrame, tsCol: String, unit: String, aggs: (String, Column)*): DataFrame =
+    df.groupBy(bucket(col(tsCol), unit).as("bucket"))
+      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
+
+  /** Upsample / asfreq (reference resample_asfreq base QC:5879): build a
+    * dense time spine with `sequence` + `explode` (computed inside the plan
+    * from a 1-row min/max aggregate — no driver round-trip), left-join the
+    * bucketed data, then optionally forward-fill. */
+  def asfreq(
+      df: DataFrame,
+      tsCol: String,
+      unit: String,
+      step: Column,
+      aggs: Seq[(String, Column)],
+      fillZero: Boolean): DataFrame = {
+    val bucketed = downsample(df, tsCol, unit, aggs: _*)
+    val bounds = df.agg(
+      date_trunc(unit, min(col(tsCol))).as("lo"),
+      date_trunc(unit, max(col(tsCol))).as("hi"))
+    val spine = bounds.select(explode(sequence(col("lo"), col("hi"), step)).as("bucket"))
+    val joined = spine.join(bucketed, Seq("bucket"), "left")
+    if (fillZero) aggs.foldLeft(joined) { case (d, (n, _)) => d.na.fill(0.0, Seq(n)) }
+    else joined
+  }
+
+  /** Forward-fill the resampled series (resample_ffill): last-ignoreNulls
+    * running window over the spine. Keyless here (the spine is one series);
+    * for per-key resample partition by the keys — no global-order hazard. */
+  def ffill(df: DataFrame, orderCol: String, valueCols: Seq[String], keys: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
+  /** Gap-based sessionization over an event stream: a session break is a
+    * gap > `gapSeconds` since the previous event of the same user; session
+    * ids are the running count of breaks. One shuffle on the key, two
+    * stacked windows — the standard scalable formulation. */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val prev = lag(col(tsCol), 1).over(byUser)
+    val isBreak = when(prev.isNull ||
+      unix_timestamp(col(tsCol)) - unix_timestamp(prev) > gapSeconds, 1).otherwise(0)
+    df.withColumn("__brk__", isBreak)
+      .withColumn("session_id",
+        sum(col("__brk__")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__brk__")
+  }
+}

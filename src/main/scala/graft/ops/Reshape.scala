@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Reshape operators (reference §2.10: pivot_table QC:4559, melt QC:2918,
+ * get_dummies QC:4643, explode QC:3461, cut/qcut base QC:4739).
+ */
+object Reshape {
+
+  /** pivot_table (reference QC:4559 + PivotTableImpl,
+    * storage_formats/pandas/groupby.py:251-506 — groupby + unstack there).
+    * Spark's `groupBy().pivot(values).agg()` is a single partial/final
+    * aggregate when the pivot values are supplied explicitly (no extra
+    * distinct-scan job), which is how a 100 TB pivot should run. */
+  def pivotTable(
+      df: DataFrame,
+      index: Seq[String],
+      pivotCol: String,
+      pivotValues: Seq[String],
+      agg: Column): DataFrame =
+    df.groupBy(index.map(col): _*).pivot(pivotCol, pivotValues).agg(agg)
+
+  /** melt / unpivot (reference QC:2918; Spark 3.4+ has a native unpivot
+    * logical plan — zero shuffle, row-expanding map). */
+  def melt(df: DataFrame, ids: Seq[String], values: Seq[String],
+      varName: String = "variable", valueName: String = "value"): DataFrame =
+    df.unpivot(ids.map(col).toArray, values.map(col).toArray, varName, valueName)
+
+  /** get_dummies / one-hot (reference QC:4643) — pure column expressions,
+    * no shuffle. */
+  def getDummies(df: DataFrame, c: String, values: Seq[String]): DataFrame =
+    values.foldLeft(df) { (d, v) =>
+      d.withColumn(s"${c}_$v", when(col(c) === v, 1).otherwise(0))
+    }
+
+  /** pandas cut with explicit bins (reference base QC:4739; bins are
+    * computed driver-side in the reference too). Right-closed like pandas:
+    * (lo, hi]. Emits the pandas-style interval label. */
+  def cut(c: Column, bins: Seq[Double]): Column = {
+    val labeled = bins.sliding(2).zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (Seq(lo, hi), i)) =>
+        val cond = if (i == 0) c >= lo && c <= hi else c > lo && c <= hi
+        when(cond, lit(s"($lo, $hi]")).otherwise(acc)
+    }
+    labeled
+  }
+
+  /** qcut: quantile bin edges via one exact-percentile aggregate (a handful
+    * of doubles to the driver — same contract as the reference, which
+    * computes bins driver-side), then a cut. */
+  def qcut(df: DataFrame, c: String, q: Int): (DataFrame, Seq[Double]) = {
+    val probs = (0 to q).map(_.toDouble / q)
+    val edges = df.select(percentile(col(c), lit(probs.toArray)).as("e"))
+      .head().getSeq[Double](0)
+    (df.withColumn(s"${c}_bin", cut(col(c), edges)), edges)
+  }
+
+  /** crosstab-style frequency table (reference general.py:713) — a pivoted
+    * count. */
+  def crosstab(df: DataFrame, rowCol: String, colCol: String, colValues: Seq[String]): DataFrame =
+    pivotTable(df, Seq(rowCol), colCol, colValues, count(lit(1)))
+}

@@ -1,0 +1,154 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage:
+  python3 tools/check.py [--sf /root/testdata/sf0.01] [--out /tmp/graft_verify] [--skip-run] [names...]
+
+1. runs `sbt "runMain graft.Verify <sf> <out>"` (unless --skip-run)
+2. loads every parquet table from <sf> into DuckDB views
+3. runs each oracle SQL from <out>/oracle_sql.json
+4. compares to the Spark result parquet at <out>/<name>/ and prints a verdict
+"""
+import argparse
+import json
+import math
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def load_spark_result(outdir: Path, name: str) -> pd.DataFrame:
+    d = outdir / name
+    files = sorted(d.glob("*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"no parquet under {d}")
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif isinstance(df[c].dtype, pd.ArrowDtype) or str(df[c].dtype) == "object":
+            pass
+    return df
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+        if (pd.isna(a)) != (pd.isna(b)):
+            return False
+    except (TypeError, ValueError):
+        pass
+    if isinstance(a, (list, np.ndarray)) or isinstance(b, (list, np.ndarray)):
+        a, b = list(a), list(b)
+        return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def compare(name: str, spark: pd.DataFrame, oracle: pd.DataFrame) -> list[str]:
+    problems = []
+    s, o = canon(spark), canon(oracle)
+    if list(s.columns) != list(o.columns):
+        problems.append(f"columns differ: spark={list(s.columns)} oracle={list(o.columns)}")
+        return problems
+    if len(s) != len(o):
+        problems.append(f"row count differs: spark={len(s)} oracle={len(o)}")
+        return problems
+    # order-sensitive compare first; fall back to sorted compare info
+    mismatch_cells = []
+    for c in s.columns:
+        sv, ov = s[c].to_numpy(), o[c].to_numpy()
+        for i in range(len(sv)):
+            if not values_equal(sv[i], ov[i]):
+                mismatch_cells.append((i, c, sv[i], ov[i]))
+                if len(mismatch_cells) > 5:
+                    break
+        if len(mismatch_cells) > 5:
+            break
+    if mismatch_cells:
+        for i, c, a, b in mismatch_cells[:5]:
+            problems.append(f"row {i} col {c}: spark={a!r} oracle={b!r}")
+    # dtype report (informational)
+    for c in s.columns:
+        if str(s[c].dtype) != str(o[c].dtype):
+            problems.append(f"dtype note {c}: spark={s[c].dtype} oracle={o[c].dtype}")
+    return problems
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default="/tmp/graft_verify")
+    ap.add_argument("--skip-run", action="store_true")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    outdir = Path(args.out)
+    if not args.skip_run:
+        r = subprocess.run(
+            ["sbt", f'runMain graft.Verify {args.sf} {args.out}'],
+            cwd="/root/repo", capture_output=True, text=True)
+        tail = "\n".join((r.stdout + r.stderr).splitlines()[-30:])
+        if r.returncode != 0:
+            print(tail)
+            sys.exit(1)
+        for line in (r.stdout + r.stderr).splitlines():
+            if "[verify]" in line:
+                print(line)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')")
+
+    oracle_sql = json.loads((outdir / "oracle_sql.json").read_text())
+    names = args.names or sorted(oracle_sql)
+    ok = fail = 0
+    for name in names:
+        if name not in oracle_sql:
+            print(f"-- {name}: no oracle SQL (rows-only op)")
+            continue
+        try:
+            odf = con.execute(oracle_sql[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            fail += 1
+            continue
+        try:
+            sdf = load_spark_result(outdir, name)
+        except Exception as e:
+            print(f"FAIL {name}: spark result missing: {e}")
+            fail += 1
+            continue
+        problems = compare(name, sdf, odf)
+        hard = [p for p in problems if not p.startswith("dtype note")]
+        if hard:
+            print(f"FAIL {name} ({len(sdf)} rows):")
+            for p in problems[:8]:
+                print(f"   {p}")
+            fail += 1
+        else:
+            notes = "; ".join(p for p in problems if p.startswith("dtype note"))
+            print(f"ok   {name} ({len(sdf)} rows)" + (f"  [{notes}]" if notes else ""))
+            ok += 1
+    print(f"\n{ok} ok, {fail} fail, {len(names)} checked")
+    sys.exit(1 if fail else 0)
+
+
+if __name__ == "__main__":
+    main()
