@@ -50,7 +50,8 @@ object AggQueries {
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
-        ORDER BY l_returnflag, l_linestatus""")),
+        ORDER BY l_returnflag, l_linestatus"""),
+      headline = true),
 
     // Global reductions: count/sum/mean/min/max/std/var/median/nunique
     // (reference QC:976-1159). One Reduce row.
@@ -66,7 +67,9 @@ object AggQueries {
         round(var_samp(col("l_quantity")), 4).as("var_qty"),
         round(Stats.median(col("l_extendedprice")), 4).as("median_price"),
         countDistinct(col("l_partkey")).as("nunique_part"),
-        unix_millis(min(col("l_shipdate"))).as("min_ship_ms")),
+        // parquet timestamp[ms] loads as TIMESTAMP_NTZ; session TZ is UTC
+        // so the cast is the identity mapping DuckDB's epoch_ms applies.
+        unix_millis(min(col("l_shipdate")).cast("timestamp")).as("min_ship_ms")),
       Some("""
         SELECT count(*) AS n,
                count(l_quantity) AS n_qty,
@@ -93,7 +96,8 @@ object AggQueries {
       Some("""
         SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty,
                count(*) AS n_lines, max(l_extendedprice) AS max_price
-        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
+        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""),
+      headline = true),
 
     // value_counts (reference modin/pandas/general.py:398).
     Q("q04_value_counts",

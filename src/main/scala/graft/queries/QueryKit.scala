@@ -9,7 +9,8 @@ import graft.api.Frame
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    sql: Option[String] = None)
+    sql: Option[String] = None,
+    headline: Boolean = false)
 
 object QueryKit {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
