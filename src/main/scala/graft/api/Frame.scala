@@ -227,6 +227,22 @@ final case class Frame(
     copy(df = df.join(r, on, how))
   }
 
+  /** pandas merge(left_on=, right_on=) — differently-named keys; also
+    * accepts a join-strategy hint ("broadcast" | "merge" | "shuffle_hash")
+    * to pin the physical join when statistics would mislead. */
+  def mergeOn(
+      right: Frame,
+      leftOn: Seq[String],
+      rightOn: Seq[String],
+      how: String = "inner",
+      hint: Option[String] = None): Frame = {
+    val r = hint.map(right.df.hint(_)).getOrElse(right.df)
+    val cond = leftOn.zip(rightOn)
+      .map { case (l, rc) => df(l) === r(rc) }
+      .reduce(_ && _)
+    copy(df = df.join(r, cond, how))
+  }
+
   def semiJoin(right: Frame, on: Seq[String]): Frame =
     copy(df = df.join(right.df, on, "left_semi"))
 

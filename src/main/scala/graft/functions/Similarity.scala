@@ -39,7 +39,7 @@ object Similarity {
     val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId).asc)
     scored.withColumn("__rk__", row_number().over(w))
       .filter(col("__rk__") <= k)
-      .select(col(queryId), col(corpusId), col("cosine"), col("__rk__").as("rank"))
+      .select(col(queryId), col(corpusId), col("cosine"), col("__rk__").cast("long").as("rank"))
   }
 
   /**
@@ -80,7 +80,7 @@ object Similarity {
     val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId).asc)
     joined.withColumn("__rk__", row_number().over(w))
       .filter(col("__rk__") <= k)
-      .select(col(queryId), col(corpusId), col("cosine"), col("__rk__").as("rank"))
+      .select(col(queryId), col(corpusId), col("cosine"), col("__rk__").cast("long").as("rank"))
   }
 
   /** IVF-style coarse quantization: assign each vector to the nearest of a
@@ -88,10 +88,15 @@ object Similarity {
     * centroid id. Centroids come from any upstream sampling step. */
   def assignCentroid(df: DataFrame, vecCol: String, centroids: DataFrame,
       centIdCol: String, centVecCol: String): DataFrame = {
-    val scored = df.crossJoin(broadcast(centroids))
+    // Attach a surrogate row id BEFORE the cross join and take the top-1
+    // per row id: partitioning the window by the corpus columns would
+    // silently collapse exact-duplicate input rows into one output row.
+    val rid = "__rid__"
+    val withId = df.withColumn(rid, monotonically_increasing_id())
+    val scored = withId.crossJoin(broadcast(centroids))
       .withColumn("__sim__", cosine(col(vecCol), col(centVecCol)))
     val keys = df.columns.map(col).toIndexedSeq
-    val w = Window.partitionBy(keys: _*).orderBy(col("__sim__").desc, col(centIdCol).asc)
+    val w = Window.partitionBy(col(rid)).orderBy(col("__sim__").desc, col(centIdCol).asc)
     scored.withColumn("__rk__", row_number().over(w)).filter(col("__rk__") === 1)
       .select((keys :+ col(centIdCol).as("centroid_id")): _*)
   }

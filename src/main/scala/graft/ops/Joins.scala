@@ -50,9 +50,20 @@ object Joins {
     val pStruct = struct(payload.map(col): _*)
     val pType = right.select(pStruct).schema.head.dataType
 
+    // Numeric asof keys (supported by pandas merge_asof) must NOT be cast
+    // to timestamp — that would reinterpret ints as epoch seconds. Only
+    // normalize date/string/ntz keys; numeric keys order on the raw type.
+    import org.apache.spark.sql.types._
+    val onKey: Column => Column = left.schema(leftOn).dataType match {
+      case _: DateType | _: StringType | _: TimestampType | _: TimestampNTZType =>
+        c => c.cast("timestamp")
+      case _: NumericType => identity
+      case other => sys.error(s"asof: unsupported on-key type $other")
+    }
+
     val r = right.select(
       col(rightBy).as(leftBy),
-      col(rightOn).cast("timestamp").as(T),
+      onKey(col(rightOn)).as(T),
       lit(0).as(Tag),
       pStruct.as(Payload),
       tieBreak.cast("long").as(Tie))
@@ -60,7 +71,7 @@ object Joins {
     val leftCols = left.columns.toIndexedSeq
     val l = left.select(
       (leftCols.map(col) :+
-        col(leftOn).cast("timestamp").as(T) :+
+        onKey(col(leftOn)).as(T) :+
         lit(1).as(Tag) :+
         lit(null).cast(pType).as(Payload) :+
         lit(Long.MaxValue).as(Tie)): _*)

@@ -65,8 +65,11 @@ object Resample {
   def sessionize(df: DataFrame, userCol: String, tsCol: String, gapSeconds: Long): DataFrame = {
     val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
     val prev = lag(col(tsCol), 1).over(byUser)
+    // Microsecond precision: unix_timestamp would truncate to whole
+    // seconds and misclassify gaps within 1s of the threshold.
+    def us(c: Column): Column = unix_micros(c.cast("timestamp"))
     val isBreak = when(prev.isNull ||
-      unix_timestamp(col(tsCol)) - unix_timestamp(prev) > gapSeconds, 1).otherwise(0)
+      us(col(tsCol)) - us(prev) > gapSeconds * 1000000L, 1).otherwise(0)
     df.withColumn("__brk__", isBreak)
       .withColumn("session_id",
         sum(col("__brk__")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -36,16 +36,19 @@ object Reshape {
     }
 
   /** pandas cut with explicit bins (reference base QC:4739; bins are
-    * computed driver-side in the reference too). Right-closed like pandas:
-    * (lo, hi]. Emits the pandas-style interval label. */
-  def cut(c: Column, bins: Seq[Double]): Column = {
-    val labeled = bins.sliding(2).zipWithIndex.foldLeft(lit(null).cast("string")) {
+    * computed driver-side in the reference too). Right-closed like pandas
+    * default: every bin is (lo, hi], and a value equal to the lowest edge
+    * falls in NO bin (NULL) — pandas include_lowest=False. Pass
+    * `includeLowest = true` for pandas' include_lowest=True, which widens
+    * the first bin to [lo, hi] and labels it accordingly. */
+  def cut(c: Column, bins: Seq[Double], includeLowest: Boolean = false): Column =
+    bins.sliding(2).zipWithIndex.foldLeft(lit(null).cast("string")) {
       case (acc, (Seq(lo, hi), i)) =>
-        val cond = if (i == 0) c >= lo && c <= hi else c > lo && c <= hi
-        when(cond, lit(s"($lo, $hi]")).otherwise(acc)
+        val first = i == 0 && includeLowest
+        val cond = if (first) c >= lo && c <= hi else c > lo && c <= hi
+        val label = if (first) s"[$lo, $hi]" else s"($lo, $hi]"
+        when(cond, lit(label)).otherwise(acc)
     }
-    labeled
-  }
 
   /** qcut: quantile bin edges via one exact-percentile aggregate (a handful
     * of doubles to the driver — same contract as the reference, which
@@ -54,7 +57,8 @@ object Reshape {
     val probs = (0 to q).map(_.toDouble / q)
     val edges = df.select(percentile(col(c), lit(probs.toArray)).as("e"))
       .head().getSeq[Double](0)
-    (df.withColumn(s"${c}_bin", cut(col(c), edges)), edges)
+    // pandas qcut always includes the minimum in the first bin.
+    (df.withColumn(s"${c}_bin", cut(col(c), edges, includeLowest = true)), edges)
   }
 
   /** crosstab-style frequency table (reference general.py:713) — a pivoted

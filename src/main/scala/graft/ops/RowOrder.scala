@@ -31,20 +31,30 @@ object RowOrder {
     val n = numPartitions.getOrElse(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val sorted = df.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
 
+    // The cache freezes the sampled range partitioning so job 1's offsets
+    // line up with job 2's partitions (re-executing repartitionByRange can
+    // resample different bounds). It is released before returning: the
+    // result is eagerly localCheckpoint-ed (lineage truncated), so the
+    // cached parent is no longer referenced and no per-call cache leaks
+    // accumulate over a session. (localCheckpoint trades fault-tolerance
+    // for speed — on executor loss the op re-runs — the standard Spark
+    // trade for ephemeral positional ids.)
     val rdd = sorted.rdd
     rdd.cache()
-    // Job 1: per-partition row counts (a Long per partition).
-    val counts = rdd.mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
+    try {
+      // Job 1: per-partition row counts (a Long per partition).
+      val counts = rdd.mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(0L)(_ + _)
 
-    // Job 2: attach offset + local index.
-    val withId = rdd.mapPartitionsWithIndex { case (i, it) =>
-      var k = offsets(i)
-      it.map { r => val out = Row.fromSeq(r.toSeq :+ k); k += 1; out }
-    }
-    val schema = StructType(sorted.schema.fields :+ StructField(Frame.RowOrder, LongType, nullable = false))
-    sorted.sparkSession.createDataFrame(withId, schema)
+      // Job 2: attach offset + local index.
+      val withId = rdd.mapPartitionsWithIndex { case (i, it) =>
+        var k = offsets(i)
+        it.map { r => val out = Row.fromSeq(r.toSeq :+ k); k += 1; out }
+      }
+      val schema = StructType(sorted.schema.fields :+ StructField(Frame.RowOrder, LongType, nullable = false))
+      sorted.sparkSession.createDataFrame(withId, schema).localCheckpoint(eager = true)
+    } finally rdd.unpersist(blocking = false)
   }
 
   /** iloc positional slice [start, end) under the declared order

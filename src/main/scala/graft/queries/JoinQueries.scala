@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.api.{Frame, SortKey}
+import graft.ops.Joins
+import QueryKit._
+
+/**
+ * §2.3 joins (reference: modin/core/storage_formats/pandas/merge.py —
+ * broadcast path :104-252, range-partitioning SMJ path :39-101;
+ * merge_asof base query_compiler.py:1713).
+ *
+ * Scale notes: the dimension-side joins broadcast explicitly (part is a
+ * classic small dim at any SF); the fact⋈fact join pins sort-merge via a
+ * hint so the plan at sf0.01 is the plan that runs at 100 TB. Semi/anti
+ * joins never materialize right-side payload columns.
+ */
+object JoinQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // merge broadcast path (reference merge.py:104-252). BASELINE shape 4a.
+    Q("q30_join_broadcast",
+      (s, dir) => f(s, dir, "lineitem")
+        .mergeOn(f(s, dir, "part"), Seq("l_partkey"), Seq("p_partkey"),
+          hint = Some("broadcast"))
+        .groupby("p_brand")
+        .agg(
+          "revenue" -> round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2),
+          "n" -> count(lit(1)))
+        .sortValues(Seq(SortKey.asc("p_brand"))).df,
+      Some("""
+        SELECT p_brand,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand"""),
+      headline = true),
+
+    // merge sort-merge path (reference merge.py:39-101 range-partitioning;
+    // pinned with a merge hint so statistics can't flip it to broadcast at
+    // toy scale). BASELINE shape 4b.
+    Q("q31_join_smj",
+      (s, dir) => f(s, dir, "lineitem")
+        .mergeOn(f(s, dir, "orders"), Seq("l_orderkey"), Seq("o_orderkey"),
+          hint = Some("merge"))
+        .groupby("o_orderpriority")
+        .agg(
+          "n_lines" -> count(lit(1)),
+          "sum_qty" -> round(sum(col("l_quantity")), 2),
+          "max_total" -> round(max(col("o_totalprice")), 2))
+        .sortValues(Seq(SortKey.asc("o_orderpriority"))).df,
+      Some("""
+        SELECT o_orderpriority, count(*) AS n_lines,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(max(o_totalprice), 2) AS max_total
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      headline = true),
+
+    // merge how='left' with misses → nulls (reference merge.py suffix/key
+    // handling; left join keeps every left row).
+    Q("q32_join_left",
+      (s, dir) => f(s, dir, "orders")
+        .mergeOn(
+          f(s, dir, "customer").filter(col("c_acctbal") > 5000).select("c_custkey", "c_mktsegment"),
+          Seq("o_custkey"), Seq("c_custkey"), how = "left", hint = Some("broadcast"))
+        .selectExprs(col("o_orderkey"),
+          coalesce(col("c_mktsegment"), lit("NONE")).as("segment"))
+        .sortValues(Seq(SortKey.asc("o_orderkey"))).df,
+      Some("""
+        SELECT o_orderkey, coalesce(c_mktsegment, 'NONE') AS segment
+        FROM orders LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
+                               WHERE c_acctbal > 5000) c
+          ON o_custkey = c_custkey
+        ORDER BY o_orderkey""")),
+
+    // full-outer join / pandas join(how='outer') + align (reference base
+    // QC:1067): daily order counts vs daily event counts on the date key.
+    Q("q33_join_outer",
+      (s, dir) => {
+        val od = f(s, dir, "orders")
+          .selectExprs(to_date(col("o_orderdate")).as("d"))
+          .groupby("d").size("n_orders").df
+        val ev = f(s, dir, "events")
+          .selectExprs(to_date(col("ts")).as("d"))
+          .groupby("d").size("n_events").df
+        Frame(Joins.align(od, ev, Seq("d")))
+          .selectExprs(col("d").cast("timestamp_ntz").as("d"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"))
+          .sortValues(Seq(SortKey.asc("d"))).df
+      },
+      Some("""
+        SELECT CAST(d AS TIMESTAMP) AS d,
+               coalesce(n_orders, 0) AS n_orders,
+               coalesce(n_events, 0) AS n_events
+        FROM (SELECT CAST(o_orderdate AS DATE) d, count(*) n_orders FROM orders GROUP BY 1) o
+        FULL JOIN (SELECT CAST(ts AS DATE) d, count(*) n_events FROM events GROUP BY 1) e
+          USING (d)
+        ORDER BY d""")),
+
+    // semi / anti joins (reference isin-style merges; left_semi/left_anti
+    // never shuffle right-side payload columns).
+    Q("q34_semi_anti",
+      (s, dir) => {
+        val li = f(s, dir, "lineitem")
+        val bigParts = f(s, dir, "part").filter(col("p_size") > 40).select("p_partkey")
+          .rename("p_partkey" -> "l_partkey")
+        val semi = li.semiJoin(bigParts, Seq("l_partkey")).df
+          .agg(count(lit(1)).as("n_semi"))
+        val anti = li.antiJoin(bigParts, Seq("l_partkey")).df
+          .agg(count(lit(1)).as("n_anti"))
+        semi.crossJoin(anti)
+      },
+      Some("""
+        SELECT (SELECT count(*) FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)) AS n_semi,
+               (SELECT count(*) FROM lineitem
+                WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size > 40)) AS n_anti""")),
+
+    // merge_asof backward, by-key (reference base QC:1713 — driver-side
+    // pandas there; a distributed union+running-window plan here, one
+    // shuffle on the by-key — see graft.ops.Joins.asof). Oracle: DuckDB's
+    // native ASOF JOIN.
+    Q("q35_merge_asof",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("value").as("purchase_value"), col("event_id").as("p_id"))
+        val joined = Joins.asof(
+          clicks, purchases,
+          leftOn = "ts", rightOn = "p_ts",
+          leftBy = "user_id", rightBy = "p_user",
+          payload = Seq("purchase_value"),
+          tieBreak = col("p_id"))
+        Frame(joined)
+          .selectExprs(col("event_id"),
+            round(col("purchase_value"), 4).as("purchase_value"))
+          .sortValues(Seq(SortKey.asc("event_id"))).df
+      },
+      Some("""
+        SELECT c.event_id, round(p.value, 4) AS purchase_value
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+        ORDER BY c.event_id""")),
+
+    // combine_first (reference QC:538): patch missing acctbals from a
+    // fallback table after aligning on the key.
+    Q("q36_combine_first",
+      (s, dir) => {
+        val a = t(s, dir, "customer").select(
+          col("c_custkey"),
+          when(col("c_acctbal") < 0, lit(null).cast("double"))
+            .otherwise(col("c_acctbal")).as("bal"))
+        val b = t(s, dir, "customer").select(
+          col("c_custkey"), lit(0.0).as("bal_fallback"))
+        Frame(Joins.combineFirst(a, b, Seq("c_custkey"),
+          Seq(("bal", "bal_fallback", "bal_patched"))))
+          .selectExprs(col("c_custkey"), round(col("bal_patched"), 2).as("bal_patched"))
+          .sortValues(Seq(SortKey.asc("c_custkey"))).df
+      },
+      Some("""
+        SELECT c_custkey,
+               round(coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0), 2) AS bal_patched
+        FROM customer ORDER BY c_custkey""")),
+
+    // merge_ordered (reference base QC:1682): ordered full-outer on the
+    // month key across two aggregated series.
+    Q("q37_merge_ordered",
+      (s, dir) => {
+        val a = f(s, dir, "orders")
+          .selectExprs(date_trunc("month", col("o_orderdate")).as("m"), col("o_totalprice"))
+          .groupby("m").agg("total" -> round(sum(col("o_totalprice")), 2)).df
+        val b = f(s, dir, "orders")
+          .selectExprs(date_trunc("month", col("o_orderdate")).as("m"), col("o_orderkey"))
+          .groupby("m").agg("n" -> count(lit(1))).df
+        Frame(Joins.mergeOrdered(a, b, Seq("m")))
+          .sortValues(Seq(SortKey.asc("m"))).df
+      },
+      Some("""
+        SELECT coalesce(a.m, b.m) AS m, total, n
+        FROM (SELECT date_trunc('month', o_orderdate) m, round(sum(o_totalprice), 2) total
+              FROM orders GROUP BY 1) a
+        FULL JOIN (SELECT date_trunc('month', o_orderdate) m, count(*) n
+                   FROM orders GROUP BY 1) b USING (m)
+        ORDER BY m""")))
+}

@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.api.{Frame, SortKey}
+import graft.functions.{Similarity, Text}
+import graft.ops.Dedup
+import QueryKit._
+
+/**
+ * Training-data pipeline operators over `documents` / `embeddings`:
+ * deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), text
+ * analysis (token counts, quality, language-ID, fingerprints) and
+ * embedding similarity search (brute-force + LSH ANN).
+ *
+ * Everything is shuffle-on-bucket or map-shaped — no driver
+ * materialization, no all-pairs cross product — so each plan holds at
+ * 100 TB. Hash-based ops (xxhash64 minhash/simhash) have no DuckDB
+ * equivalent and register without an oracle: the driver records the
+ * weaker rows-only check and the ScalaTest suite pins their semantics.
+ */
+object PipelineQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup — audit view: fingerprint groups with doc counts
+    // (one hash shuffle on the canonicalized content hash).
+    Q("q100_dedup_exact_groups",
+      (s, dir) => Frame(Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text"))
+        .sortValues(Seq(SortKey.asc("fingerprint"))).df,
+      Some("""
+        SELECT md5(trim(regexp_replace(lower(text), '\W+', ' ', 'g'))) AS fingerprint,
+               count(*) AS n_docs, min(doc_id) AS keep_id
+        FROM documents GROUP BY 1 ORDER BY 1"""),
+      headline = true),
+
+    // Exact dedup — kept rows (keep-first by doc_id per fingerprint).
+    Q("q101_dedup_exact",
+      (s, dir) => Frame(Dedup.exact(t(s, dir, "documents"), "doc_id", "text"))
+        .select("doc_id", "lang", "source")
+        .sortValues(Seq(SortKey.asc("doc_id"))).df,
+      Some("""
+        SELECT doc_id, lang, source FROM (
+          SELECT doc_id, lang, source,
+                 row_number() OVER (
+                   PARTITION BY md5(trim(regexp_replace(lower(text), '\W+', ' ', 'g')))
+                   ORDER BY doc_id) AS rn
+          FROM documents) WHERE rn = 1 ORDER BY doc_id""")),
+
+    // Text analysis: token counts, avg token length, punctuation ratio,
+    // quality score — pure codegen'd expressions over every document.
+    Q("q102_text_stats",
+      (s, dir) => Frame(t(s, dir, "documents").select(
+        col("doc_id"),
+        Text.tokenCountWs(col("text")).as("n_tok_ws"),
+        Text.tokenCountWords(col("text")).as("n_tok_word"),
+        round(Text.avgTokenLen(col("text")), 4).as("avg_tok_len"),
+        round(Text.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(Text.qualityScore(col("text")), 6).as("quality")))
+        .sortValues(Seq(SortKey.asc("doc_id"))).df,
+      Some("""
+        SELECT doc_id,
+               len(regexp_extract_all(trim(text), '\S+')) AS n_tok_ws,
+               len(regexp_extract_all(text, '\w+')) AS n_tok_word,
+               round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                     / len(regexp_extract_all(trim(text), '\S+')), 4) AS avg_tok_len,
+               round(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+                     / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio,
+               round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+                     + least(CAST(len(regexp_extract_all(lower(text),
+                         '\b(the|and|of|to|in|is|that|for|el|la|de|que|y|en|los|por|der|die|und|das|ist|nicht|ein|mit|le|les|est|pas|pour)\b')) AS DOUBLE) / 10.0, 1.0) * 0.3
+                     + (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+                            / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.2, 6) AS quality
+        FROM documents ORDER BY doc_id""")),
+
+    // Language-ID heuristic (stopword-hit argmax, first-wins ties) +
+    // mean quality per detected language.
+    Q("q103_lang_id",
+      (s, dir) => f(s, dir, "documents")
+        .withColumn("lang_pred", Text.languageId(col("text")))
+        .groupby("lang_pred").agg(
+          "n" -> count(lit(1)),
+          "avg_quality" -> round(avg(Text.qualityScore(col("text"))), 6))
+        .sortValues(Seq(SortKey.asc("lang_pred"))).df,
+      Some("""
+        WITH scored AS (
+          SELECT text,
+                 len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for)\b')) AS s_en,
+                 len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|por)\b')) AS s_es,
+                 len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ein|mit)\b')) AS s_de,
+                 len(regexp_extract_all(lower(text), '\b(le|la|les|de|et|est|pas|pour)\b')) AS s_fr,
+                 round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+                     + least(CAST(len(regexp_extract_all(lower(text),
+                         '\b(the|and|of|to|in|is|that|for|el|la|de|que|y|en|los|por|der|die|und|das|ist|nicht|ein|mit|le|les|est|pas|pour)\b')) AS DOUBLE) / 10.0, 1.0) * 0.3
+                     + (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+                            / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.2, 6) AS q
+          FROM documents)
+        SELECT CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                    WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                    WHEN s_de >= s_fr THEN 'de'
+                    ELSE 'fr' END AS lang_pred,
+               count(*) AS n, round(avg(q), 6) AS avg_quality
+        FROM scored GROUP BY 1 ORDER BY 1""")),
+
+    // MinHash-LSH near-dup candidate pairs (shingle → 16-hash signature →
+    // 4 bands → bucket self-join → exact Jaccard verify). xxhash64-based:
+    // no SQL oracle; semantics pinned in DedupSpec.
+    Q("q104_minhash_pairs",
+      (s, dir) => Frame(Dedup.minhashLshPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")))
+        .sortValues(Seq(SortKey.asc("id_a"), SortKey.asc("id_b"))).df,
+      None),
+
+    // SimHash near-dup pairs (Hamming ≤ 3 over 64-bit simhash, banded).
+    Q("q105_simhash_pairs",
+      (s, dir) => Frame(Dedup.simhashPairs(
+        t(s, dir, "documents"), "doc_id", "text", maxBits = 16))
+        .sortValues(Seq(SortKey.asc("id_a"), SortKey.asc("id_b"))).df,
+      None),
+
+    // n-gram Jaccard near-dup with a length-band bucket. DuckDB expresses
+    // the 2-gram shingle set with a list comprehension, so this one IS
+    // oracle-checked end to end.
+    Q("q106_jaccard_pairs",
+      (s, dir) => Frame(Dedup.jaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", shingleN = 2, threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")))
+        .sortValues(Seq(SortKey.asc("id_a"), SortKey.asc("id_b"))).df,
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS sh,
+                 len(w) // 10 AS bucket
+          FROM (SELECT doc_id, regexp_extract_all(trim(lower(text)), '\S+') AS w
+                FROM documents))
+        SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+          FROM t a JOIN t b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        WHERE j >= 0.3 ORDER BY id_a, id_b""")),
+
+    // Brute-force cosine top-k ANN baseline: broadcast 3 query vectors,
+    // one corpus scan, per-query top-5 via rank filter.
+    Q("q107_ann_brute",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        Frame(Similarity.topKBruteForce(
+          emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 5)
+          .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
+            col("rank")))
+          .sortValues(Seq(SortKey.asc("query_id"), SortKey.asc("rank"))).df
+      },
+      Some("""
+        SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                            c.vec_id) AS rank
+          FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 3) q)
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // LSH-bucketed ANN (random-hyperplane buckets, equi-join on bucket id):
+    // approximate by design → no oracle; recall pinned in SimilaritySpec.
+    Q("q108_ann_lsh",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        Frame(Similarity.topKLsh(
+          emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 5, nPlanes = 8)
+          .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
+            col("rank")))
+          .sortValues(Seq(SortKey.asc("query_id"), SortKey.asc("rank"))).df
+      },
+      None),
+
+    // IVF-style centroid assignment: nearest of 8 broadcast centroids per
+    // vector; output = cluster sizes.
+    Q("q109_centroid_assign",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val centroids = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+        Frame(Similarity.assignCentroid(
+          emb.select(col("vec_id"), col("embedding")), "embedding",
+          centroids, "centroid_id", "cvec"))
+          .groupby("centroid_id").size("n")
+          .sortValues(Seq(SortKey.asc("centroid_id"))).df
+      },
+      Some("""
+        SELECT centroid_id, count(*) AS n FROM (
+          SELECT vec_id, centroid_id FROM (
+            SELECT c.vec_id, ct.vec_id AS centroid_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                     ORDER BY list_cosine_similarity(c.embedding, ct.embedding) DESC,
+                              ct.vec_id) AS rk
+            FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) ct)
+          WHERE rk = 1)
+        GROUP BY centroid_id ORDER BY centroid_id""")))
+}

@@ -1,11 +1,13 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.api.Frame
 
 /** One registered operator query: the Spark plan and (when the operator is
   * SQL-expressible) the equivalent DuckDB oracle SQL. Column names/aliases
-  * must match exactly — the driver sorts columns by name before hashing. */
+  * must match exactly — the driver sorts columns by name before hashing.
+  * `headline = true` marks the BASELINE.md bench shapes run by graft.Bench. */
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
@@ -14,7 +16,15 @@ final case class Q(
 
 object QueryKit {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects outright. Read the raw nanos as long (legacy knob)
+      // and convert to a microsecond TIMESTAMP_NTZ with integer division
+      // (ns since epoch overflow double precision, so no `/ 1000.0`).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+    } else s.read.parquet(s"$dir/$name.parquet")
 
   def f(s: SparkSession, dir: String, name: String): Frame = Frame(t(s, dir, name))
 }

@@ -6,7 +6,15 @@ package graft.queries
   * fast in `sbt test`, not silently in the driver). */
 object Registry {
   def families: Seq[Seq[Q]] = Seq(
-    AggQueries.all
+    AggQueries.all,
+    JoinQueries.all,
+    SortQueries.all,
+    WindowQueries.all,
+    SelectQueries.all,
+    StringDateQueries.all,
+    ReshapeQueries.all,
+    ResampleQueries.all,
+    PipelineQueries.all
   )
 
   lazy val all: Seq[Q] = {

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.api.{Frame, SortKey}
+import graft.ops.Reshape
+import QueryKit._
+
+/**
+ * §2.10 reshape operators (reference: pivot_table QC:4559 +
+ * PivotTableImpl groupby.py:251-506; melt QC:2918; get_dummies QC:4643;
+ * explode QC:3461; cut base QC:4739; crosstab general.py:713).
+ */
+object ReshapeQueries {
+
+  private val priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  val all: Seq[Q] = Seq(
+
+    // pivot_table with explicit pivot values: one partial/final aggregate,
+    // no extra distinct-scan job — the 100 TB pivot plan.
+    Q("q80_pivot_table",
+      (s, dir) => Frame(Reshape.pivotTable(
+        t(s, dir, "orders"),
+        index = Seq("o_orderstatus"),
+        pivotCol = "o_orderpriority",
+        pivotValues = priorities,
+        agg = round(sum(col("o_totalprice")), 2)))
+        .sortValues(Seq(SortKey.asc("o_orderstatus"))).df,
+      Some("""
+        SELECT o_orderstatus,
+               round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2) AS "1-URGENT",
+               round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '2-HIGH'), 2) AS "2-HIGH",
+               round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '3-MEDIUM'), 2) AS "3-MEDIUM",
+               round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED'), 2) AS "4-NOT SPECIFIED",
+               round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW'), 2) AS "5-LOW"
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // melt / unpivot (Spark's native Unpivot node — row-expanding map,
+    // zero shuffle before the final sort).
+    Q("q81_melt",
+      (s, dir) => Frame(Reshape.melt(
+        t(s, dir, "lineitem"),
+        ids = Seq("l_orderkey", "l_linenumber"),
+        values = Seq("l_quantity", "l_discount", "l_tax")))
+        .selectExprs(col("l_orderkey"), col("l_linenumber"),
+          col("variable"), round(col("value"), 4).as("value"))
+        .sortValues(Seq(SortKey.asc("l_orderkey"), SortKey.asc("l_linenumber"),
+          SortKey.asc("variable"))).df,
+      Some("""
+        SELECT l_orderkey, l_linenumber, variable, round(value, 4) AS value
+        FROM (
+          SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, l_quantity AS value FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        ORDER BY l_orderkey, l_linenumber, variable""")),
+
+    // get_dummies / one-hot (pure column expressions, no shuffle),
+    // summed per status so every row is exercised.
+    Q("q82_get_dummies",
+      (s, dir) => {
+        val dummied = Reshape.getDummies(t(s, dir, "orders"), "o_orderpriority", priorities)
+        Frame(dummied.groupBy(col("o_orderstatus"))
+          .agg(sum(col("o_orderpriority_1-URGENT")).as("n_urgent"),
+            sum(col("o_orderpriority_5-LOW")).as("n_low"),
+            count(lit(1)).as("n")))
+          .sortValues(Seq(SortKey.asc("o_orderstatus"))).df
+      },
+      Some("""
+        SELECT o_orderstatus,
+               CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+               CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // cut with explicit bins — pandas right-closed (lo, hi], lowest edge
+    // excluded (include_lowest=False).
+    Q("q83_cut",
+      (s, dir) => Frame(t(s, dir, "lineitem")
+        .withColumn("qty_bin", Reshape.cut(col("l_quantity"), Seq(0.0, 10.0, 25.0, 50.0)))
+        .groupBy(col("qty_bin")).agg(count(lit(1)).as("n")))
+        .sortValues(Seq(SortKey(col("qty_bin"), asc = true, nullsFirst = true))).df,
+      Some("""
+        SELECT CASE WHEN l_quantity > 0.0 AND l_quantity <= 10.0 THEN '(0.0, 10.0]'
+                    WHEN l_quantity > 10.0 AND l_quantity <= 25.0 THEN '(10.0, 25.0]'
+                    WHEN l_quantity > 25.0 AND l_quantity <= 50.0 THEN '(25.0, 50.0]'
+               END AS qty_bin, count(*) AS n
+        FROM lineitem GROUP BY 1 ORDER BY 1 NULLS FIRST""")),
+
+    // explode (reference QC:3461): word frequencies over documents.
+    Q("q84_explode",
+      (s, dir) => Frame(t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n")))
+        .sortValues(Seq(SortKey.desc("n"), SortKey.asc("word")))
+        .head(20).df,
+      Some("""
+        SELECT word, count(*) AS n FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        GROUP BY word ORDER BY n DESC, word LIMIT 20""")),
+
+    // crosstab (reference general.py:713) — pivoted counts.
+    Q("q85_crosstab",
+      (s, dir) => Frame(Reshape.crosstab(
+        t(s, dir, "orders"), "o_orderstatus", "o_orderpriority", priorities))
+        .sortValues(Seq(SortKey.asc("o_orderstatus"))).df,
+      Some("""
+        SELECT o_orderstatus,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+               count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+               count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+               count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+               count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+  )
+}

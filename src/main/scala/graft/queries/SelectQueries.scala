@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.api.{Frame, SortKey}
+import QueryKit._
+
+/**
+ * §2.2 projection / selection / filtering + §2.11 missing data
+ * (reference: getitem_column_array QC:3105, getitem_array QC:3072,
+ * rowwise_query QC:3585, dropna QC:3249, fillna QC:2710, replace QC:2107,
+ * astype QC:2335, isin QC:2009, clip QC:2438, where/mask QC:626/base:2069,
+ * case_when QC:2155).
+ *
+ * Map-shaped ops are verified through compact aggregate checksums where a
+ * full-row dump would add nothing: the derived columns still run over
+ * every row, the output stays one row per group.
+ */
+object SelectQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // scan → filter → project (BASELINE shape 1): predicate + column
+    // pruning must reach the parquet scan (PushedFilters in .explain).
+    Q("q60_scan_filter_project",
+      (s, dir) => f(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1997-04-01") &&
+          col("l_discount") > 0.05)
+        // No row-level rounding: both engines compute the identical IEEE
+        // product, while round() at a .xx5 boundary diverges between
+        // Spark's HALF_UP-on-BigDecimal and DuckDB's scaled-double path.
+        .selectExprs(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .sortValues(Seq(SortKey.asc("l_orderkey"), SortKey.asc("l_linenumber"))).df,
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01' AND l_discount > 0.05
+        ORDER BY l_orderkey, l_linenumber"""),
+      headline = true),
+
+    // string-expression filter (reference rowwise_query/eval QC:3585).
+    Q("q61_query_expr",
+      (s, dir) => f(s, dir, "orders")
+        .query("o_totalprice > 200000 and o_orderstatus = 'F'")
+        .select("o_orderkey", "o_totalprice")
+        .sortValues(Seq(SortKey.asc("o_orderkey"))).df,
+      Some("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > 200000 AND o_orderstatus = 'F'
+        ORDER BY o_orderkey""")),
+
+    // isin / clip / where / mask / case_when over every row, checked via
+    // per-group aggregates.
+    Q("q62_isin_clip_where",
+      (s, dir) => {
+        val base = f(s, dir, "lineitem")
+          .isin("l_returnflag", Seq("A", "R"))
+          .clip("l_quantity", 10.0, 40.0)
+          .whereCol("l_discount", col("l_discount") >= 0.02, lit(0.0))
+          .maskCol("l_tax", col("l_tax") > 0.07, lit(0.07))
+          .withColumn("tier",
+            when(col("l_extendedprice") > 50000, "high")
+              .when(col("l_extendedprice") > 20000, "mid")
+              .otherwise("low"))
+        base.groupby("tier").agg(
+          "n" -> count(lit(1)),
+          "n_ar" -> sum(col("l_returnflag_isin").cast("long")),
+          "sum_qty_clipped" -> round(sum(col("l_quantity")), 2),
+          "sum_disc_kept" -> round(sum(col("l_discount")), 4),
+          "sum_tax_capped" -> round(sum(col("l_tax")), 4))
+          .sortValues(Seq(SortKey.asc("tier"))).df
+      },
+      Some("""
+        SELECT CASE WHEN l_extendedprice > 50000 THEN 'high'
+                    WHEN l_extendedprice > 20000 THEN 'mid' ELSE 'low' END AS tier,
+               count(*) AS n,
+               CAST(sum(CASE WHEN l_returnflag IN ('A','R') THEN 1 ELSE 0 END) AS BIGINT) AS n_ar,
+               round(sum(greatest(least(l_quantity, 40.0), 10.0)), 2) AS sum_qty_clipped,
+               round(sum(CASE WHEN l_discount >= 0.02 THEN l_discount ELSE 0.0 END), 4) AS sum_disc_kept,
+               round(sum(CASE WHEN l_tax > 0.07 THEN 0.07 ELSE l_tax END), 4) AS sum_tax_capped
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // astype / rename / add_prefix (reference QC:2335, rename family).
+    // Double→int casts truncate toward zero in both engines when spelled
+    // with trunc (bare CAST rounds in DuckDB — a real semantic difference).
+    Q("q63_astype_rename",
+      (s, dir) => f(s, dir, "lineitem")
+        .astype("l_quantity" -> "bigint")
+        .rename("l_quantity" -> "qty_int")
+        .groupby("qty_int").size("n")
+        .sortValues(Seq(SortKey.asc("qty_int"))).df,
+      Some("""
+        SELECT CAST(trunc(l_quantity) AS BIGINT) AS qty_int, count(*) AS n
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // dropna / fillna over injected nulls (reference QC:3249, 2710).
+    Q("q64_dropna_fillna",
+      (s, dir) => {
+        val withNulls = f(s, dir, "events")
+          .withColumn("v", when(col("value") < 0.2, lit(null).cast("double"))
+            .otherwise(col("value")))
+        val dropped = withNulls.dropna(subset = Seq("v")).df
+          .agg(count(lit(1)).as("n_after_dropna"))
+        val filled = withNulls.fillna(-1.0, Seq("v")).df
+          .agg(round(sum(col("v")), 4).as("sum_filled"))
+        dropped.crossJoin(filled)
+      },
+      Some("""
+        SELECT (SELECT count(*) FROM events WHERE value >= 0.2) AS n_after_dropna,
+               (SELECT round(sum(CASE WHEN value < 0.2 THEN -1.0 ELSE value END), 4)
+                FROM events) AS sum_filled""")),
+
+    // replace dict-mode + abs/round/sign/floor/ceil map family
+    // (reference replace QC:2107; numpy map surface QC:2036-2113).
+    Q("q65_replace_math",
+      (s, dir) => {
+        val base = f(s, dir, "orders")
+          .replaceValues("o_orderstatus",
+            Map("O" -> "OPEN", "F" -> "FINISHED", "P" -> "PENDING"))
+          .withColumn("bal_shift", col("o_totalprice") - lit(150000.0))
+        base.groupby("o_orderstatus").agg(
+          "n" -> count(lit(1)),
+          "sum_abs" -> round(sum(abs(col("bal_shift"))), 2),
+          "sum_sign" -> sum(signum(col("bal_shift")).cast("long")),
+          "sum_floor" -> sum(floor(col("o_totalprice"))),
+          "sum_ceil" -> sum(ceil(col("o_totalprice"))),
+          "sum_round0" -> sum(round(col("o_totalprice"), 0)))
+          .sortValues(Seq(SortKey.asc("o_orderstatus"))).df
+      },
+      Some("""
+        SELECT CASE o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FINISHED'
+                    WHEN 'P' THEN 'PENDING' ELSE o_orderstatus END AS o_orderstatus,
+               count(*) AS n,
+               round(sum(abs(o_totalprice - 150000.0)), 2) AS sum_abs,
+               CAST(sum(CAST(sign(o_totalprice - 150000.0) AS BIGINT)) AS BIGINT) AS sum_sign,
+               CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_floor,
+               CAST(sum(CAST(ceil(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_ceil,
+               sum(round(o_totalprice, 0)) AS sum_round0
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // ffill within groups (reference fillna method='ffill' QC:2710-2812 —
+    // one shuffle on the key, running last-ignoreNulls window).
+    Q("q66_ffill",
+      (s, dir) => f(s, dir, "events")
+        .withColumn("v", when(col("value") < 0.3, lit(null).cast("double"))
+          .otherwise(col("value")))
+        .ffill("v", Seq("user_id"), Seq(SortKey.asc("ts"), SortKey.asc("event_id")))
+        .groupby("user_id").agg(
+          "n_null" -> sum(col("v").isNull.cast("long")),
+          "sum_v" -> round(sum(col("v")), 4))
+        .sortValues(Seq(SortKey.asc("user_id"))).df,
+      Some("""
+        SELECT user_id,
+               sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null,
+               round(sum(v), 4) AS sum_v
+        FROM (
+          SELECT user_id,
+                 last_value(CASE WHEN value < 0.3 THEN NULL ELSE value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+          FROM events)
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // unary math + logical surface (sqrt/exp/ln/log10/pow, and/or/not,
+    // isna/notna — reference QC:2036-2113 Map registrations) as one
+    // whole-table checksum row.
+    Q("q67_math_logical",
+      (s, dir) => t(s, dir, "lineitem").agg(
+        round(sum(sqrt(col("l_quantity"))), 4).as("sum_sqrt"),
+        round(sum(exp(col("l_discount"))), 4).as("sum_exp"),
+        round(sum(log(col("l_extendedprice"))), 4).as("sum_ln"),
+        round(sum(log10(col("l_extendedprice"))), 4).as("sum_log10"),
+        round(sum(pow(col("l_tax"), 2)), 6).as("sum_pow2"),
+        sum((col("l_discount") > 0.05 && col("l_tax") < 0.04).cast("long")).as("n_and"),
+        sum((col("l_returnflag") === "A" || col("l_linestatus") === "O").cast("long")).as("n_or"),
+        sum((!(col("l_discount") > 0.05)).cast("long")).as("n_not"),
+        sum(col("l_quantity").isNull.cast("long")).as("n_isna"),
+        sum(col("l_quantity").isNotNull.cast("long")).as("n_notna")),
+      Some("""
+        SELECT round(sum(sqrt(l_quantity)), 4) AS sum_sqrt,
+               round(sum(exp(l_discount)), 4) AS sum_exp,
+               round(sum(ln(l_extendedprice)), 4) AS sum_ln,
+               round(sum(log10(l_extendedprice)), 4) AS sum_log10,
+               round(sum(pow(l_tax, 2)), 6) AS sum_pow2,
+               CAST(sum(CASE WHEN l_discount > 0.05 AND l_tax < 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_and,
+               CAST(sum(CASE WHEN l_returnflag = 'A' OR l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_or,
+               CAST(sum(CASE WHEN NOT (l_discount > 0.05) THEN 1 ELSE 0 END) AS BIGINT) AS n_not,
+               CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_isna,
+               CAST(sum(CASE WHEN l_quantity IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_notna
+        FROM lineitem""")))
+}

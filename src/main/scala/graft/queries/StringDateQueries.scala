@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.api.{Frame, SortKey}
+import QueryKit._
+
+/**
+ * §2.9 string / date scalar functions (reference: str_* map registrations
+ * QC:2129-2236 ~50 ops; dt_* QC:2240-2331 ~60 ops). All 1:1 Spark
+ * built-ins — codegen'd column expressions, zero shuffle, verified over
+ * every row via full-row dumps or group checksums.
+ */
+object StringDateQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // str case/length/trim/substr/concat/reverse/pad over part names
+    // (reference str_upper/lower/len/strip/slice/cat QC:2129+).
+    Q("q70_string_funcs",
+      (s, dir) => Frame(t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("u"),
+        lower(col("p_type")).as("lo"),
+        length(col("p_name")).cast("long").as("len"),
+        trim(col("p_name")).as("trimmed"),
+        substring(col("p_name"), 1, 5).as("pre5"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("cat"),
+        reverse(col("p_name")).as("rev"),
+        lpad(col("p_brand"), 10, "_").as("padded"),
+        repeat(col("p_brand"), 2).as("rep")))
+        .sortValues(Seq(SortKey.asc("p_partkey"))).df,
+      Some("""
+        SELECT p_partkey, upper(p_name) AS u, lower(p_type) AS lo,
+               length(p_name) AS len, trim(p_name) AS trimmed,
+               substr(p_name, 1, 5) AS pre5,
+               concat_ws('|', p_brand, p_type) AS cat,
+               reverse(p_name) AS rev,
+               lpad(p_brand, 10, '_') AS padded,
+               repeat(p_brand, 2) AS rep
+        FROM part ORDER BY p_partkey"""),
+      headline = true),
+
+    // str contains/startswith/endswith/match/extract/replace/split
+    // (reference str_contains/startswith/extract/replace/split QC:2150+).
+    Q("q71_string_match",
+      (s, dir) => t(s, dir, "part").agg(
+        sum(col("p_name").contains("red").cast("long")).as("n_contains"),
+        sum(col("p_name").startsWith("small").cast("long")).as("n_starts"),
+        sum(col("p_name").endsWith("bolt").cast("long")).as("n_ends"),
+        sum(col("p_name").rlike("^(red|blue)\\s").cast("long")).as("n_match"),
+        sum((regexp_extract(col("p_name"), "^(\\w+)", 1) === "green").cast("long")).as("n_first_green"),
+        sum(length(regexp_replace(col("p_name"), "[aeiou]", "")).cast("long")).as("len_novowels"),
+        sum(size(split(col("p_name"), " ")).cast("long")).as("n_words_total")),
+      Some("""
+        SELECT CAST(sum(CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END) AS BIGINT) AS n_contains,
+               CAST(sum(CASE WHEN p_name LIKE 'small%' THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+               CAST(sum(CASE WHEN p_name LIKE '%bolt' THEN 1 ELSE 0 END) AS BIGINT) AS n_ends,
+               CAST(sum(CASE WHEN regexp_matches(p_name, '^(red|blue)\s') THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+               CAST(sum(CASE WHEN regexp_extract(p_name, '^(\w+)', 1) = 'green' THEN 1 ELSE 0 END) AS BIGINT) AS n_first_green,
+               CAST(sum(length(regexp_replace(p_name, '[aeiou]', '', 'g'))) AS BIGINT) AS len_novowels,
+               CAST(sum(len(string_split(p_name, ' '))) AS BIGINT) AS n_words_total
+        FROM part""")),
+
+    // JSON accessor over the events props column (reference list/struct
+    // accessors §2.9: struct_field / get_json_object-style access).
+    Q("q72_json_accessor",
+      (s, dir) => f(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupby("event_type").agg(
+          "n" -> count(lit(1)),
+          "sum_k" -> sum(col("k")),
+          "max_k" -> max(col("k")))
+        .sortValues(Seq(SortKey.asc("event_type"))).df,
+      Some("""
+        SELECT event_type, count(*) AS n,
+               sum(CAST(props->>'k' AS INTEGER)) AS sum_k,
+               max(CAST(props->>'k' AS INTEGER)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // dt parts: year…second, dayofweek/dayofyear/week/quarter (reference
+    // dt_year…dt_second QC:2240+; Spark dayofweek is 1=Sunday, DuckDB dow
+    // is 0=Sunday — the +1 is the documented mapping).
+    Q("q73_date_parts",
+      (s, dir) => f(s, dir, "events")
+        .selectExprs(
+          year(col("ts")).as("y"),
+          month(col("ts")).cast("long").as("mo"),
+          dayofmonth(col("ts")).cast("long").as("d"),
+          hour(col("ts")).as("h"),
+          minute(col("ts")).as("mi"),
+          second(col("ts")).as("sec"),
+          dayofweek(col("ts")).cast("long").as("dow"),
+          dayofyear(col("ts")).cast("long").as("doy"),
+          weekofyear(col("ts")).cast("long").as("wk"),
+          quarter(col("ts")).cast("long").as("q"))
+        .groupby("mo", "d", "dow", "doy", "wk", "q")
+        .agg("n" -> count(lit(1)), "sum_h" -> sum(col("h")),
+          "sum_mi" -> sum(col("mi")), "sum_sec" -> sum(col("sec")),
+          "sum_y" -> sum(col("y")))
+        .sortValues(Seq(SortKey.asc("mo"), SortKey.asc("d"))).df,
+      Some("""
+        SELECT month(ts) AS mo, day(ts) AS d, dayofweek(ts) + 1 AS dow,
+               dayofyear(ts) AS doy, weekofyear(ts) AS wk, quarter(ts) AS q,
+               count(*) AS n,
+               CAST(sum(hour(ts)) AS BIGINT) AS sum_h,
+               CAST(sum(minute(ts)) AS BIGINT) AS sum_mi,
+               CAST(sum(CAST(second(ts) AS BIGINT)) AS BIGINT) AS sum_sec,
+               CAST(sum(year(ts)) AS BIGINT) AS sum_y
+        FROM events GROUP BY 1,2,3,4,5,6 ORDER BY mo, d""")),
+
+    // dt arithmetic: date_add / add_months / datediff / trunc / last_day /
+    // is_month_start/end (reference dt_round/floor/normalize QC:2270+).
+    Q("q74_date_arith",
+      // All date-typed outputs are normalized to TIMESTAMP_NTZ: parquet
+      // date32 round-trips as python `date` objects while DuckDB emits
+      // datetime64 — same values, incomparable dtypes in the hash gate.
+      (s, dir) => Frame(t(s, dir, "orders").select(
+        col("o_orderkey"),
+        date_add(to_date(col("o_orderdate")), 30).cast("timestamp_ntz").as("d30"),
+        add_months(to_date(col("o_orderdate")), 2).cast("timestamp_ntz").as("m2"),
+        datediff(lit("1998-12-31").cast("date"), to_date(col("o_orderdate"))).cast("long").as("days_to_end"),
+        date_trunc("month", col("o_orderdate")).as("mstart"),
+        last_day(to_date(col("o_orderdate"))).cast("timestamp_ntz").as("mend"),
+        (dayofmonth(col("o_orderdate")) === 1).as("is_month_start"),
+        (to_date(col("o_orderdate")) === last_day(to_date(col("o_orderdate")))).as("is_month_end")))
+        .sortValues(Seq(SortKey.asc("o_orderkey"))).df,
+      Some("""
+        SELECT o_orderkey,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS d30,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS TIMESTAMP) AS m2,
+               datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_end,
+               date_trunc('month', o_orderdate) AS mstart,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS mend,
+               day(o_orderdate) = 1 AS is_month_start,
+               CAST(o_orderdate AS DATE) = last_day(CAST(o_orderdate AS DATE)) AS is_month_end
+        FROM orders ORDER BY o_orderkey""")),
+
+    // strftime / date_format (reference dt_strftime QC:2301).
+    Q("q75_strftime",
+      (s, dir) => f(s, dir, "orders")
+        .selectExprs(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .groupby("ym").size("n")
+        .sortValues(Seq(SortKey.asc("ym"))).df,
+      Some("""
+        SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // timedelta components: per-user inter-event gap seconds (reference
+    // dt_total_seconds / timedelta accessors QC:2320+).
+    Q("q76_timedelta",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        Frame(t(s, dir, "events")
+          .withColumn("gap_s",
+            (unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(lag(col("ts"), 1).over(w).cast("timestamp"))).cast("double") / 1e6)
+          .groupBy(col("user_id"))
+          .agg(round(avg(col("gap_s")), 3).as("avg_gap_s"),
+            round(max(col("gap_s")), 3).as("max_gap_s")))
+          .sortValues(Seq(SortKey.asc("user_id"))).df
+      },
+      Some("""
+        SELECT user_id,
+               round(avg(gap_s), 3) AS avg_gap_s,
+               round(max(gap_s), 3) AS max_gap_s
+        FROM (
+          SELECT user_id,
+                 CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                      AS DOUBLE) / 1e6 AS gap_s
+          FROM events)
+        GROUP BY user_id ORDER BY user_id""")))
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Shared test base: one local SparkSession per suite + parity helpers
+  * (mirrors the reference's eval_general harness,
+  * modin/tests/pandas/utils.py:974, which compares a modin result against
+  * the pandas ground truth — here the ground truth is a hand-rolled Spark
+  * SQL / literal expected value).
+  */
+abstract class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSuite.session
+  def sfDir = "/root/testdata/sf0.001"
+
+  def table(name: String): DataFrame = queries.QueryKit.t(spark, sfDir, name)
+
+  /** Order-insensitive frame equality: sorts columns by name and rows by
+    * every column's string form, compares with a double tolerance. */
+  def assertParity(got: DataFrame, expected: DataFrame, tol: Double = 1e-6): Unit = {
+    val gc = got.columns.sorted.toIndexedSeq
+    val ec = expected.columns.sorted.toIndexedSeq
+    assert(gc == ec, s"schema mismatch: got $gc expected $ec")
+    val g = canon(got.select(gc.map(org.apache.spark.sql.functions.col): _*))
+    val e = canon(expected.select(ec.map(org.apache.spark.sql.functions.col): _*))
+    assert(g.length == e.length, s"row count: got ${g.length} expected ${e.length}")
+    g.zip(e).zipWithIndex.foreach { case ((gr, er), i) =>
+      gr.toSeq.zip(er.toSeq).zipWithIndex.foreach { case ((gv, ev), j) =>
+        val ok = (gv, ev) match {
+          case (a: Double, b: Double) =>
+            (a.isNaN && b.isNaN) || math.abs(a - b) <= tol * math.max(1.0, math.abs(b))
+          case (a: Float, b: Float) =>
+            (a.isNaN && b.isNaN) || math.abs(a - b) <= tol * math.max(1.0, math.abs(b.toDouble))
+          case (a, b) => a == b || String.valueOf(a) == String.valueOf(b)
+        }
+        assert(ok, s"row $i col ${gc(j)}: got $gv expected $ev")
+      }
+    }
+  }
+
+  /** Compare a Frame-built DataFrame against a Spark SQL ground truth run
+    * on registered temp views of the test tables. */
+  def assertMatchesSql(got: DataFrame, sql: String, tables: Seq[String], tol: Double = 1e-6): Unit = {
+    tables.foreach(t => table(t).createOrReplaceTempView(t))
+    assertParity(got, spark.sql(sql), tol)
+  }
+
+  private def canon(df: DataFrame): Array[Row] =
+    df.collect().sortBy(_.toSeq.map(String.valueOf).mkString(""))
+}
+
+object SparkSuite {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
