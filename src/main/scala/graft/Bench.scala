@@ -18,6 +18,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: pay session init + first-scan codegen once, so the
+    // per-query numbers measure the operators, not JVM startup.
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .queryExecution.toRdd.foreach(_ => ())
     val headline = Registry.all.filter(_.headline)
     val results = headline.map { q =>
       val t0 = System.nanoTime()

@@ -173,6 +173,29 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
   def uniquePerGroup(c: String, as: String): Frame =
     agg(as -> array_sort(collect_set(col(c))))
 
+  /** reference groupby_ngroup (base QC:4468): group id 0..G-1 in sorted
+    * key order. Ranks only the DISTINCT key set (G rows — group-count
+    * sized, not data-sized, so the single-task window is safe by
+    * construction) and broadcast-joins the ids back. */
+  def ngroup(as: String): Frame = {
+    val ids = df.select(kcols: _*).distinct()
+      .withColumn(as,
+        row_number().over(Window.orderBy(kcols.map(_.asc): _*)) - 1)
+    frame.copy(df = df.join(broadcast(ids), keys))
+  }
+
+  /** reference groupby_cumprod (base QC:4002) over an integral column:
+    * exact long fold over the running prefix (a windowed collect_list —
+    * bounded-group op; for unbounded groups use exp∘cumsum∘log). */
+  def cumprodLong(c: String, as: String, order: Seq[SortKey]): Frame =
+    frame.withColumn(as,
+      aggregate(collect_list(col(c)).over(running(order)), lit(1L), (acc, x) => acc * x))
+
+  /** reference groupby_fillna method='ffill' (base QC:4228): per-group
+    * forward fill = last non-null over the running window. */
+  def ffillPerGroup(c: String, as: String, order: Seq[SortKey]): Frame =
+    frame.withColumn(as, last(col(c), ignoreNulls = true).over(running(order)))
+
   /** reference groupby_get_group (base QC:4300). */
   def getGroup(values: Seq[Any]): Frame = frame.copy(
     df = keys.zip(values).foldLeft(df) { case (d, (k, v)) => d.filter(col(k) === lit(v)) })

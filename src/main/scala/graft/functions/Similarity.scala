@@ -50,13 +50,14 @@ object Similarity {
   private def planeComponent(p: Int, d: Column): Column =
     (pmod(xxhash64(lit(p), d), lit(2000001L)).cast("double") - lit(1000000.0)) / lit(1000000.0)
 
-  /** Sign-of-projection bits for `nPlanes` random hyperplanes, packed into a
+  /** Sign-of-projection bits for `nPlanes` random hyperplanes (seeded by
+    * `table` so each hash table draws independent planes), packed into a
     * long bucket id — the random-hyperplane LSH for cosine similarity. */
-  def lshBucket(vec: Column, nPlanes: Int): Column = {
+  def lshBucket(vec: Column, nPlanes: Int, table: Int = 0): Column = {
     val bits = (0 until nPlanes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0L), size(vec).cast("long") - 1L),
-          (x, d) => x.cast("double") * planeComponent(p, d)),
+          (x, d) => x.cast("double") * planeComponent(table * nPlanes + p, d)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -64,21 +65,32 @@ object Similarity {
   }
 
   /**
-   * LSH-bucketed ANN: corpus and queries bucketed by [[lshBucket]], joined
-   * on the bucket id (an equi-join Spark executes hash-partitioned; at
-   * corpus scale this is the path that avoids the full cross product), then
-   * exact cosine + per-query top-k. Approximate: recall < 1 by design.
+   * Multi-table LSH ANN: `nTables` independent hyperplane tables; corpus
+   * and queries explode into one (table, bucket) key per table and join
+   * on it (an equi-join Spark executes hash-partitioned — at corpus
+   * scale this is the path that avoids the full cross product).
+   * Candidates found by several tables dedupe before scoring; then exact
+   * cosine + per-query top-k. Recall ≈ 1-(1-p^nPlanes)^nTables — tune
+   * nPlanes down / nTables up for recall, the reverse for cost.
    */
   def topKLsh(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, nPlanes: Int = 12): DataFrame = {
-    val c = corpus.withColumn("__bucket__", lshBucket(col(corpusVec), nPlanes))
-    val q = queries.withColumn("__bucket__", lshBucket(col(queryVec), nPlanes))
-    val joined = c.join(broadcast(q), Seq("__bucket__"))
+      k: Int, nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    def banded(df: DataFrame, vecCol: String) = df.select(
+      col("*"),
+      posexplode(array((0 until nTables).map(t =>
+        lshBucket(col(vecCol), nPlanes, t)): _*)))
+      .withColumnRenamed("pos", "__table__")
+      .withColumnRenamed("col", "__bucket__")
+    val c = banded(corpus, corpusVec)
+    val q = banded(queries, queryVec)
+    val candidates = c.join(broadcast(q), Seq("__table__", "__bucket__"))
+      .select(col(queryId), col(corpusId), col(corpusVec), col(queryVec))
+      .distinct() // a pair found by multiple tables scores once
       .withColumn("cosine", cosine(col(corpusVec), col(queryVec)))
     val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId).asc)
-    joined.withColumn("__rk__", row_number().over(w))
+    candidates.withColumn("__rk__", row_number().over(w))
       .filter(col("__rk__") <= k)
       .select(col(queryId), col(corpusId), col("cosine"), col("__rk__").cast("long").as("rank"))
   }

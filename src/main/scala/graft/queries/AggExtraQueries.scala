@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.api.{Frame, SortKey}
+import QueryKit._
+
+/**
+ * §2.4 remainder: prod / any / all, quantile lists, corrwith,
+ * searchsorted (reference: query_compiler.py:976-1159 Reduce family;
+ * QC:2815 quantile_for_list_of_values; base QC:1326 corrwith; QC:2272
+ * searchsorted).
+ */
+object AggExtraQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // prod / any / all per group. Product is computed over exact integer
+    // factors in [1,9] (long fold over collect_list) — a double product's
+    // rounding depends on multiplication order, which differs between
+    // engines; with ≤13 single-digit factors per group the int64 product
+    // stays < 2^53, exact in both engines' arithmetic. floor() before the
+    // int cast because DuckDB's double→int cast rounds while Spark's
+    // truncates.
+    Q("q14_prod_anyall",
+      (s, dir) => f(s, dir, "lineitem")
+        .filter(col("l_linenumber") <= 4)
+        .groupby("l_orderkey")
+        .agg(
+          "prod_qty_digit" -> aggregate(
+            collect_list(lit(1L) + pmod(floor(col("l_quantity")).cast("long"), lit(9L))),
+            lit(1L), (acc, x) => acc * x),
+          "any_big" -> bool_or(col("l_quantity") > 45),
+          "all_pos" -> bool_and(col("l_quantity") > 0))
+        .sortValues(Seq(SortKey.asc("l_orderkey"))).df,
+      Some("""
+        SELECT l_orderkey,
+               CAST(product(1 + CAST(floor(l_quantity) AS BIGINT) % 9) AS BIGINT)
+                 AS prod_qty_digit,
+               bool_or(l_quantity > 45) AS any_big,
+               bool_and(l_quantity > 0) AS all_pos
+        FROM lineitem WHERE l_linenumber <= 4
+        GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // quantile(list) — one exact-percentile aggregate returning the whole
+    // list (reference QC:2815) — plus corrwith as pairwise corr of one
+    // anchor column against the rest (base QC:1326).
+    Q("q15_quantile_list_corrwith",
+      (s, dir) => t(s, dir, "lineitem").agg(
+        transform(
+          percentile(col("l_extendedprice"), array(lit(0.1), lit(0.5), lit(0.9))),
+          v => round(v, 4)).as("price_quantiles"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corrwith_price"),
+        round(corr(col("l_quantity"), col("l_discount")), 6).as("corrwith_disc"),
+        round(corr(col("l_quantity"), col("l_tax")), 6).as("corrwith_tax")),
+      Some("""
+        SELECT [round(q, 4) FOR q IN quantile_cont(l_extendedprice, [0.1, 0.5, 0.9])]
+                 AS price_quantiles,
+               round(corr(l_quantity, l_extendedprice), 6) AS corrwith_price,
+               round(corr(l_quantity, l_discount), 6) AS corrwith_disc,
+               round(corr(l_quantity, l_tax), 6) AS corrwith_tax
+        FROM lineitem""")),
+
+    // searchsorted (reference QC:2272): insertion index of each probe
+    // value into the sorted l_quantity column = count of rows strictly
+    // below the probe — one distributed aggregate, no materialized sort.
+    Q("q16_searchsorted",
+      (s, dir) => {
+        val probes = Seq(1.0, 10.0, 25.0, 40.0, 50.0)
+        t(s, dir, "lineitem").agg(
+          count(when(col("l_quantity") < probes.head, 1)).as("pos_1"),
+          probes.tail.map(p =>
+            count(when(col("l_quantity") < p, 1))
+              .as(s"pos_${p.toInt}")): _*)
+      },
+      Some("""
+        SELECT count(*) FILTER (WHERE l_quantity < 1) AS pos_1,
+               count(*) FILTER (WHERE l_quantity < 10) AS pos_10,
+               count(*) FILTER (WHERE l_quantity < 25) AS pos_25,
+               count(*) FILTER (WHERE l_quantity < 40) AS pos_40,
+               count(*) FILTER (WHERE l_quantity < 50) AS pos_50
+        FROM lineitem""")))
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api.{Frame, SortKey}
+import QueryKit._
+
+/**
+ * §2.1 scans / sources / sinks
+ * (reference: modin/core/io/text/text_file_dispatcher.py:988 read_csv
+ * byte-range splitting; column_stores/parquet_dispatcher.py:94-258
+ * row-group partitioning; io.py:677-792 sinks).
+ *
+ * The reference parallelizes file IO by splitting byte ranges /
+ * row-groups across workers; Spark's readers do the identical split
+ * natively (csv newline-aligned splits, parquet row-group splits, json
+ * line splits), so each query here is a write → read-back → aggregate
+ * round-trip, oracle-checked against the original parquet table. Sinks
+ * write one file per partition in parallel — the same physics as the
+ * reference's per-partition Ray writes.
+ */
+object IoQueries {
+
+  private def tmp(s: SparkSession, name: String): String = {
+    val dir = s"/tmp/graft_io/$name"
+    dir
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // to_csv + read_csv round-trip (header, explicit schema on read —
+    // the reference's metadata-row-once trick is Spark's schema option).
+    Q("q10_csv_roundtrip",
+      (s, dir) => {
+        val src = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderpriority"))
+        val path = tmp(s, "orders_csv")
+        src.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+        val back = s.read
+          .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderpriority STRING")
+          .option("header", "true").csv(path)
+        Frame(back.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total")))
+          .sortValues(Seq(SortKey.asc("o_orderstatus"))).df
+      },
+      Some("""
+        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // to_json(lines) + read_json round-trip (reference json_dispatcher
+    // byte-range split == Spark's per-line json source).
+    Q("q11_json_roundtrip",
+      (s, dir) => {
+        val src = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        val path = tmp(s, "lineitem_json")
+        src.write.mode(SaveMode.Overwrite).json(path)
+        val back = s.read
+          .schema("l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag STRING")
+          .json(path)
+        Frame(back.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty")))
+          .sortValues(Seq(SortKey.asc("l_returnflag"))).df
+      },
+      Some("""
+        SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // to_orc + read_orc round-trip (reference read_orc is a
+    // default_to_pandas thin path; native columnar source in Spark).
+    Q("q12_orc_roundtrip",
+      (s, dir) => {
+        val src = t(s, dir, "customer")
+        val path = tmp(s, "customer_orc")
+        src.write.mode(SaveMode.Overwrite).orc(path)
+        val back = s.read.orc(path)
+        Frame(back.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), round(avg(col("c_acctbal")), 4).as("avg_bal")))
+          .sortValues(Seq(SortKey.asc("c_mktsegment"))).df
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // to_parquet + read_parquet round-trip with a partitioned sink
+    // (BASELINE bench shape 10). partitionBy gives the hive-style layout
+    // the reference's glob readers consume; reading back prunes by the
+    // partition column before any row is touched.
+    Q("q13_parquet_roundtrip",
+      (s, dir) => {
+        val src = t(s, dir, "part")
+        val path = tmp(s, "part_parquet")
+        src.write.mode(SaveMode.Overwrite).partitionBy("p_brand").parquet(path)
+        val back = s.read.parquet(path).filter(col("p_brand") === "Brand#11")
+        Frame(back.groupBy(col("p_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("p_retailprice")), 2).as("total")))
+          .sortValues(Seq(SortKey.asc("p_type"))).df
+      },
+      Some("""
+        SELECT p_type, count(*) AS n, round(sum(p_retailprice), 2) AS total
+        FROM part WHERE p_brand = 'Brand#11'
+        GROUP BY p_type ORDER BY p_type"""),
+      headline = true))
+}

@@ -7,13 +7,21 @@ package graft.queries
 object Registry {
   def families: Seq[Seq[Q]] = Seq(
     AggQueries.all,
+    AggExtraQueries.all,
+    IoQueries.all,
     JoinQueries.all,
     SortQueries.all,
     WindowQueries.all,
+    WindowExtraQueries.all,
     SelectQueries.all,
     StringDateQueries.all,
     ReshapeQueries.all,
+    ReshapeExtraQueries.all,
     ResampleQueries.all,
+    ResampleExtraQueries.all,
+    GroupByExtraQueries.all,
+    MissingQueries.all,
+    UdfQueries.all,
     PipelineQueries.all
   )
 

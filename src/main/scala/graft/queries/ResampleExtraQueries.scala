@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.api.{Frame, SortKey}
+import QueryKit._
+
+/**
+ * §2.12 remainder: resample ohlc / nunique / first / last, and an
+ * upsampled asfreq + ffill (reference base query_compiler.py:5879-6233;
+ * ohlc base QC:6044; ffill-after-asfreq base QC:5935).
+ */
+object ResampleExtraQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // resample('1d').ohlc() + nunique + first/last: one tumbling-bucket
+    // aggregate; open/close = min_by/max_by on the (time, id) struct —
+    // no window, one shuffle.
+    Q("q130_resample_ohlc",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("bucket", date_trunc("day", col("ts")))
+          .withColumn("ord", struct(col("ts"), col("event_id")))
+        Frame(ev.groupBy(col("bucket"))
+          .agg(
+            round(min_by(col("value"), col("ord")), 2).as("open"),
+            round(max(col("value")), 2).as("high"),
+            round(min(col("value")), 2).as("low"),
+            round(max_by(col("value"), col("ord")), 2).as("close"),
+            countDistinct(col("event_type")).as("n_types")))
+          .sortValues(Seq(SortKey.asc("bucket"))).df
+      },
+      Some("""
+        WITH e AS (
+          SELECT date_trunc('day', ts) AS bucket, value, event_type,
+                 row_number() OVER (PARTITION BY date_trunc('day', ts)
+                                    ORDER BY ts, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY date_trunc('day', ts)
+                                    ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events)
+        SELECT bucket,
+               round(min(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+               round(max(value), 2) AS high,
+               round(min(value), 2) AS low,
+               round(min(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+               count(DISTINCT event_type) AS n_types
+        FROM e GROUP BY bucket ORDER BY bucket""")),
+
+    // resample('6h').asfreq().ffill(): dense 6-hour spine, buckets with
+    // no events forward-fill the previous bucket's mean. The global
+    // ffill window runs over the SPINE (bucket-count sized — months of
+    // 6h buckets, never data-sized), so the unpartitioned window is safe
+    // by construction.
+    Q("q131_upsample_ffill",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        // 6h-epoch-aligned bucket key, as epoch seconds (exact longs —
+        // the join key and the spine use the identical alignment).
+        // positive epoch seconds: double division + truncation == floor,
+        // and the magnitudes (<2^31) are exact in double.
+        val epochSec = (unix_micros(col("ts").cast("timestamp")) / lit(1000000L)).cast("long")
+        val bucketSec = (epochSec / lit(21600L)).cast("long") * 21600L
+        val bounds = ev.agg(min(bucketSec).as("lo"), max(bucketSec).as("hi")).head()
+        val spine = ev.sparkSession.range(bounds.getLong(0), bounds.getLong(1) + 1, 21600L)
+          .select(col("id").as("bucket_sec"))
+        val agg = ev.groupBy(bucketSec.as("bucket_sec"))
+          .agg(count(lit(1)).as("n_raw"))
+        val w = Window.orderBy(col("bucket_sec"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        Frame(spine.join(agg, Seq("bucket_sec"), "left")
+          .withColumn("n_ffill", last(col("n_raw"), ignoreNulls = true).over(w))
+          .select(timestamp_seconds(col("bucket_sec")).cast("timestamp_ntz").as("bucket"),
+            col("n_ffill")))
+          .sortValues(Seq(SortKey.asc("bucket"))).df
+      },
+      Some("""
+        WITH spine AS (
+          SELECT unnest(range(
+            (SELECT CAST(floor(epoch(min(ts)) / 21600) AS BIGINT) * 21600 FROM events),
+            (SELECT CAST(floor(epoch(max(ts)) / 21600) AS BIGINT) * 21600 + 1 FROM events),
+            21600)) AS bucket_sec),
+        agg AS (
+          SELECT CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 AS bucket_sec,
+                 count(*) AS n_raw
+          FROM events GROUP BY 1)
+        SELECT TIMESTAMP '1970-01-01 00:00:00' + spine.bucket_sec * INTERVAL 1 SECOND
+                 AS bucket,
+               last_value(n_raw IGNORE NULLS) OVER (ORDER BY spine.bucket_sec
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_ffill
+        FROM spine LEFT JOIN agg USING (bucket_sec)
+        ORDER BY bucket""")))
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.api.{Frame, SortKey}
+import QueryKit._
+
+/**
+ * §2.10 remainder: stack / unstack, transpose (driver-only, guarded),
+ * repeat, qcut, wide_to_long (reference: QC:1988 stack, QC:1836 unstack,
+ * frame transpose dataframe.py:4747, base:4720 repeat, general.py:313
+ * qcut, base:4612 wide_to_long).
+ */
+object ReshapeExtraQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // stack (wide→long via the `stack` SQL generator) then unstack back
+    // (groupBy.pivot(first)) — the round-trip proves both directions.
+    Q("q118_stack_unstack",
+      (s, dir) => {
+        val stacked = t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            expr("stack(2, 'price', o_totalprice, 'cust', CAST(o_custkey AS DOUBLE)) AS (metric, value)"))
+        val unstacked = stacked.groupBy(col("o_orderkey"))
+          .pivot("metric", Seq("price", "cust"))
+          .agg(first(col("value")))
+        Frame(unstacked)
+          .sortValues(Seq(SortKey.asc("o_orderkey"))).df
+      },
+      Some("""
+        SELECT o_orderkey, o_totalprice AS price, CAST(o_custkey AS DOUBLE) AS cust
+        FROM orders ORDER BY o_orderkey""")),
+
+    // transpose — declared driver-only with a hard size guard (the
+    // reference flips its 2-D block grid cheaply; Spark cannot, so only
+    // reduction outputs may transpose — SURVEY §7.4.4 deviation).
+    Q("q119_transpose_small",
+      (s, dir) => {
+        val agg = f(s, dir, "lineitem")
+          .groupby("l_returnflag")
+          .agg(
+            "sum_qty" -> round(sum(col("l_quantity")), 2),
+            "avg_price" -> round(avg(col("l_extendedprice")), 4))
+          .sortValues(Seq(SortKey.asc("l_returnflag")))
+        val rows = agg.df.collect() // tiny: one row per flag
+        require(rows.length <= 100, "transpose guard: reduction outputs only")
+        val flags = rows.map(_.getString(0))
+        val metrics = Seq("sum_qty" -> 1, "avg_price" -> 2)
+        val spark = s
+        import spark.implicits._
+        metrics.map { case (m, i) =>
+          (m, rows.map(r => r.getDouble(i)).toSeq)
+        }.map { case (m, vs) => (m, vs(0), vs(1), vs(2)) }
+          .toDF("metric", flags(0), flags(1), flags(2))
+          .orderBy("metric")
+      },
+      Some("""
+        SELECT 'avg_price' AS metric,
+               round(avg(l_extendedprice) FILTER (WHERE l_returnflag = 'A'), 4) AS "A",
+               round(avg(l_extendedprice) FILTER (WHERE l_returnflag = 'N'), 4) AS "N",
+               round(avg(l_extendedprice) FILTER (WHERE l_returnflag = 'R'), 4) AS "R"
+        FROM lineitem
+        UNION ALL
+        SELECT 'sum_qty',
+               round(sum(l_quantity) FILTER (WHERE l_returnflag = 'A'), 2),
+               round(sum(l_quantity) FILTER (WHERE l_returnflag = 'N'), 2),
+               round(sum(l_quantity) FILTER (WHERE l_returnflag = 'R'), 2)
+        FROM lineitem
+        ORDER BY metric""")),
+
+    // repeat (explode ∘ array_repeat) + qcut into quartile bin indices.
+    // qcut bins by exact-percentile edges; an interpolated edge lies
+    // strictly between two data cents, so ulp differences in the edge
+    // cannot flip a row's bin (and d=0 edges are exact in both engines).
+    Q("q120_repeat_qcut",
+      (s, dir) => {
+        val rep = t(s, dir, "region")
+          .select(col("r_regionkey"),
+            explode(array_repeat(col("r_name"), (col("r_regionkey") + 1).cast("int"))).as("name"))
+          .groupBy(col("r_regionkey")).agg(count(lit(1)).as("n_rep"))
+        val orders = t(s, dir, "orders")
+        val e = orders.select(
+          percentile(col("o_totalprice"), array(lit(0.25), lit(0.5), lit(0.75))).as("e"))
+          .head().getSeq[Double](0)
+        val binned = orders.select(
+          (when(col("o_totalprice") <= e(0), 0)
+            .when(col("o_totalprice") <= e(1), 1)
+            .when(col("o_totalprice") <= e(2), 2)
+            .otherwise(3)).as("price_quartile"))
+          .groupBy(col("price_quartile")).agg(count(lit(1)).as("n_orders"))
+        Frame(rep.crossJoin(binned))
+          .sortValues(Seq(SortKey.asc("r_regionkey"), SortKey.asc("price_quartile"))).df
+      },
+      Some("""
+        WITH rep AS (
+          SELECT r_regionkey, count(*) AS n_rep FROM (
+            SELECT r_regionkey, unnest(list_transform(range(r_regionkey + 1), x -> r_name)) AS name
+            FROM region) GROUP BY r_regionkey),
+        edges AS (
+          SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS e FROM orders),
+        binned AS (
+          SELECT CASE WHEN o_totalprice <= e[1] THEN 0
+                      WHEN o_totalprice <= e[2] THEN 1
+                      WHEN o_totalprice <= e[3] THEN 2
+                      ELSE 3 END AS price_quartile, count(*) AS n_orders
+          FROM orders, edges GROUP BY 1)
+        SELECT r_regionkey, n_rep, price_quartile, n_orders
+        FROM rep CROSS JOIN binned
+        ORDER BY r_regionkey, price_quartile""")),
+
+    // wide_to_long (melt + stub/suffix split from compound column names).
+    Q("q121_wide_to_long",
+      (s, dir) => {
+        val wide = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("val_qty"),
+          col("l_extendedprice").as("val_price"))
+        val long = wide.unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("val_qty"), col("val_price")),
+          "compound", "val")
+          .withColumn("suffix", regexp_extract(col("compound"), "^val_(.*)$", 1))
+          .drop("compound")
+        Frame(long.select(col("l_orderkey"), col("l_linenumber"), col("suffix"),
+          round(col("val"), 2).as("val")))
+          .sortValues(Seq(SortKey.asc("l_orderkey"), SortKey.asc("l_linenumber"),
+            SortKey.asc("suffix"))).df
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, suffix, round(val, 2) AS val FROM (
+          SELECT l_orderkey, l_linenumber, 'qty' AS suffix, l_quantity AS val FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem)
+        ORDER BY l_orderkey, l_linenumber, suffix""")))
+}

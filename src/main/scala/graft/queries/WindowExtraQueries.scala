@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.api.{Frame, SortKey}
+import graft.ops.{Ewm, RowOrder}
+import QueryKit._
+
+/**
+ * §2.6 remainder: ewm, time-based rolling (rangeBetween), rolling
+ * var/std/median/rank, global rank + pct_change without an
+ * unpartitioned window (reference: QC:1668-1783 rolling family;
+ * modin/pandas/window.py:99 time-offset rolling, :34 ewm; QC:2862 rank;
+ * base QC:2083 pct_change).
+ */
+object WindowExtraQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ewm(alpha=0.5).mean() per user — O(n) recurrence per group via
+    // flatMapGroups (ops.Ewm); oracle = the O(n²) closed form (weights
+    // are exact powers of 2, so both engines sum the same quantities).
+    Q("q114_ewm",
+      (s, dir) => {
+        val src = t(s, dir, "events")
+          .withColumn("__ord__", unix_micros(col("ts").cast("timestamp")))
+        Frame(Ewm.meanByKey(src, "user_id", "__ord__", "event_id", "value",
+          alpha = 0.5, out = "ewm")
+          .select(col("event_id"), round(col("ewm"), 4).as("ewm_mean")))
+          .sortValues(Seq(SortKey.asc("event_id"))).df
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events)
+        SELECT a.event_id,
+               round(sum(power(0.5, a.rn - b.rn) * b.value)
+                     / sum(power(0.5, a.rn - b.rn)), 4) AS ewm_mean
+        FROM e a JOIN e b ON a.user_id = b.user_id AND b.rn <= a.rn
+        GROUP BY a.event_id
+        ORDER BY a.event_id""")),
+
+    // Time-based rolling (pandas rolling('1h')): RANGE window over the
+    // event-time axis per user — sum/count of the trailing hour.
+    Q("q115_rolling_time",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts").cast("timestamp")))
+          .rangeBetween(-3600L * 1000000L, 0)
+        Frame(t(s, dir, "events").select(
+          col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum(col("value")).over(w), 4).as("sum_1h")))
+          .sortValues(Seq(SortKey.asc("event_id"))).df
+      },
+      Some("""
+        SELECT event_id,
+               count(*) OVER w AS n_1h,
+               round(sum(value) OVER w, 4) AS sum_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")),
+
+    // rolling var/std/median + rolling rank over a 7-row window.
+    // Median interpolates the two middle cents at factor exactly 0.5, so
+    // a 4-decimal round can't tie; var/std are messy rationals (no ties).
+    // Rolling rank = count of window values ≤ current, via a lambda over
+    // the windowed collect_list (stays in codegen, no UDF).
+    Q("q116_rolling_var_median_rank",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(-6, 0)
+        val cnt = count(lit(1)).over(w)
+        val vals = collect_list(col("value")).over(w)
+        Frame(t(s, dir, "events").select(
+          col("event_id"),
+          when(cnt >= 7, round(var_samp(col("value")).over(w), 4)).as("roll_var"),
+          when(cnt >= 7, round(stddev_samp(col("value")).over(w), 4)).as("roll_std"),
+          when(cnt >= 7, round(percentile(col("value"), lit(0.5)).over(w), 4)).as("roll_median"),
+          size(filter(vals, v => v <= col("value"))).cast("long").as("roll_rank")))
+          .sortValues(Seq(SortKey.asc("event_id"))).df
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events)
+        SELECT a.event_id,
+               CASE WHEN count(*) >= 7 THEN round(var_samp(b.value), 4) END AS roll_var,
+               CASE WHEN count(*) >= 7 THEN round(stddev_samp(b.value), 4) END AS roll_std,
+               CASE WHEN count(*) >= 7 THEN round(quantile_cont(b.value, 0.5), 4) END AS roll_median,
+               count(*) FILTER (WHERE b.value <= a.value) AS roll_rank
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 6 AND a.rn
+        GROUP BY a.event_id, a.value
+        ORDER BY a.event_id""")),
+
+    // GLOBAL rank + pct_change with NO unpartitioned window: materialize
+    // __row_order__ with the two-pass block-offset plan (ops.RowOrder),
+    // then rank(ties=min) = min row-number per value (a value-partitioned
+    // window) and pct_change = equi-join on adjacent positions (a shuffle
+    // join on the position key — both stages scale with partitions).
+    Q("q117_global_rank_pctchange",
+      (s, dir) => {
+        val fr = Frame(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice")),
+          ordering = Seq(SortKey.desc("o_totalprice"), SortKey.asc("o_orderkey")))
+        val ordered = RowOrder.withRowOrder(fr.df, fr.ordering)
+        val wVal = Window.partitionBy(col("o_totalprice"))
+        val ranked = ordered.withColumn("rnk", min(col("__row_order__") + 1).over(wVal))
+        val prev = ordered.select(
+          (col("__row_order__") + 1).as("__ro_next__"),
+          col("o_totalprice").as("__prev_price__"))
+        Frame(ranked
+          .join(prev, ranked("__row_order__") === prev("__ro_next__"), "left")
+          .select(
+            col("o_orderkey"),
+            col("rnk"),
+            round((col("o_totalprice") - col("__prev_price__")) / col("__prev_price__"), 6)
+              .as("pct_change")))
+          .sortValues(Seq(SortKey.asc("o_orderkey"))).df
+      },
+      Some("""
+        SELECT o_orderkey,
+               rank() OVER (ORDER BY o_totalprice DESC) AS rnk,
+               round((o_totalprice - lag(o_totalprice)
+                        OVER (ORDER BY o_totalprice DESC, o_orderkey))
+                     / lag(o_totalprice) OVER (ORDER BY o_totalprice DESC, o_orderkey), 6)
+                 AS pct_change
+        FROM orders
+        ORDER BY o_orderkey""")))
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+import graft.functions.Text
+
+/** Near-dup semantics that have no SQL oracle (minhash/simhash are
+  * xxhash64-based): invariants pinned here instead. */
+class DedupSpec extends SparkSuite {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "text")
+  }
+
+  test("exact dedup keeps the smallest id per fingerprint, formatting-insensitive") {
+    val d = docs(
+      1L -> "Hello,   World!",
+      2L -> "hello world",   // same fingerprint after canonicalization
+      3L -> "something else")
+    val kept = Dedup.exact(d, "id", "text").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("minhash LSH always pairs identical documents") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog today",
+      3L -> "completely different words appear in this other document here")
+    val pairs = Dedup.minhashLshPairs(d, "id", "text",
+      shingleN = 2, numHashes = 16, bands = 4, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash banding finds all pairs within the Hamming bound") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta iota", // 1 token differs
+      3L -> "totally unrelated text with other vocabulary entirely")
+    val pairs = Dedup.simhashPairs(d, "id", "text", maxBits = 20)
+      .select("id_a", "id_b", "hamming").collect()
+    // the near-identical pair must be found; its hamming must respect the bound
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(pairs.forall(_.getAs[Number]("hamming").intValue <= 20))
+  }
+
+  test("simhash pigeonhole holds for arbitrary maxBits (chunk widths cover 64 bits)") {
+    // construct ids whose simhashes we compare exhaustively vs banding
+    val d = docs(
+      1L -> "one two three four five six",
+      2L -> "one two three four five seven",
+      3L -> "one two three four eight nine")
+    val sigs = d.select(col("id"),
+      Text.simhash(Text.wordTokens(col("text"))).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      ham = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if ham <= 12
+    } yield (a, b)
+    val found = Dedup.simhashPairs(d, "id", "text", maxBits = 12)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all.toSet == found)
+  }
+
+  test("jaccardPairs respects threshold and buckets") {
+    val d = docs(
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e f g h i k",   // high 2-gram overlap, same length band
+      3L -> "z y x w v u t s r q")
+    val pairs = Dedup.jaccardPairs(d, "id", "text", shingleN = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("fingerprint canonicalizes case and punctuation runs") {
+    import spark.implicits._
+    val out = Seq(("A!!B  c", "a b C")).toDF("x", "y")
+      .select(Text.fingerprint(col("x")) === Text.fingerprint(col("y"))).head().getBoolean(0)
+    assert(out)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.{Frame, SortKey}
+
+/** §2.2/§2.7/§2.11 Frame operator semantics on sf0.001 + inline data. */
+class FrameSpec extends SparkSuite {
+
+  private def li = Frame(table("lineitem"))
+
+  test("select prunes to requested columns") {
+    val out = li.select("l_orderkey", "l_quantity").df
+    assert(out.columns.toSeq == Seq("l_orderkey", "l_quantity"))
+  }
+
+  test("filter + query agree") {
+    val a = li.filter(col("l_quantity") > 30).df.count()
+    val b = li.query("l_quantity > 30").df.count()
+    assert(a == b && a > 0)
+  }
+
+  test("rename keeps data, renames index cols too") {
+    val f = Frame(table("region"), indexCols = Seq("r_regionkey"))
+      .rename("r_regionkey" -> "rk", "r_name" -> "name")
+    assert(f.indexCols == Seq("rk"))
+    assert(f.df.columns.contains("name"))
+    assert(f.df.count() == 5)
+  }
+
+  test("astype casts and preserves column order") {
+    val f = li.astype("l_quantity" -> "int", "l_orderkey" -> "string")
+    val sch = f.df.schema
+    assert(sch("l_quantity").dataType.typeName == "integer")
+    assert(sch("l_orderkey").dataType.typeName == "string")
+    assert(f.df.columns.toSeq == li.df.columns.toSeq)
+  }
+
+  test("clip bounds values") {
+    val f = li.clip("l_quantity", 10, 20)
+    val r = f.df.agg(min(col("l_quantity")), max(col("l_quantity"))).head()
+    assert(r.getDouble(0) >= 10.0 && r.getDouble(1) <= 20.0)
+  }
+
+  test("dropna + fillna round-trip") {
+    import spark.implicits._
+    val d = Seq[(java.lang.Long, java.lang.Double)]((1L, 1.0), (2L, null), (null, 3.0))
+      .toDF("a", "b")
+    assert(Frame(d).dropna("any").df.count() == 1)
+    assert(Frame(d).dropna("all").df.count() == 3)
+    assert(Frame(d).fillna(0.0, Seq("b")).df.filter(col("b").isNull).count() == 0)
+  }
+
+  test("tail flips declared ordering and restores it") {
+    val f = Frame(table("orders"), ordering = Seq(SortKey.asc("o_orderkey")))
+    val lastTwo = f.tail(2).df.collect().map(_.getLong(0))
+    val expected = table("orders").orderBy(col("o_orderkey").desc).limit(2)
+      .collect().map(_.getLong(0)).sorted
+    assert(lastTwo.sorted.toSeq == expected.toSeq)
+  }
+
+  test("dropDuplicates keep-first under declared order") {
+    import spark.implicits._
+    val d = Seq(("a", 2L), ("a", 1L), ("b", 5L)).toDF("k", "v")
+    val out = Frame(d).dropDuplicates(Seq("k"), Seq(SortKey.asc("v")))
+      .df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("a", 1L), ("b", 5L)))
+  }
+
+  test("valueCounts orders by count desc then value") {
+    val vc = Frame(table("orders")).valueCounts("o_orderstatus").df.collect()
+    val counts = vc.map(_.getLong(1))
+    assert(counts.sorted.reverse.toSeq == counts.toSeq)
+  }
+
+  test("whereCol keeps where cond holds; maskCol replaces where it holds") {
+    import spark.implicits._
+    val d = Seq(1.0, -2.0, 3.0).toDF("x")
+    val w = Frame(d).whereCol("x", col("x") > 0, lit(0.0)).df
+      .collect().map(_.getDouble(0)).toSeq
+    val m = Frame(d).maskCol("x", col("x") > 0, lit(0.0)).df
+      .collect().map(_.getDouble(0)).toSeq
+    assert(w == Seq(1.0, 0.0, 3.0))
+    assert(m == Seq(0.0, -2.0, 0.0))
+  }
+}

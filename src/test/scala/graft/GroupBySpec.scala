@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.{Frame, SortKey}
+
+/** §2.5 GroupBy semantics. */
+class GroupBySpec extends SparkSuite {
+
+  import org.apache.spark.sql.Row
+
+  private def ev = Frame(table("events"))
+  private val ord = Seq(SortKey.asc("ts"), SortKey.asc("event_id"))
+
+  test("agg matches SQL group aggregate") {
+    val got = Frame(table("lineitem")).groupby("l_returnflag")
+      .agg("s" -> round(sum(col("l_quantity")), 2), "n" -> count(lit(1))).df
+    assertMatchesSql(got,
+      "SELECT l_returnflag, round(sum(l_quantity),2) AS s, count(*) AS n FROM lineitem GROUP BY 1",
+      Seq("lineitem"))
+  }
+
+  test("cumsum is a running per-group prefix") {
+    import spark.implicits._
+    val d = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 4.0), ("b", 1L, 10.0))
+      .toDF("k", "i", "v")
+    val out = Frame(d).groupby("k")
+      .cumsum("v", "cs", Seq(SortKey.asc("i")))
+      .df.orderBy("k", "i").collect().map(_.getAs[Double]("cs")).toSeq
+    assert(out == Seq(1.0, 3.0, 7.0, 10.0))
+  }
+
+  test("shift lags within group only") {
+    import spark.implicits._
+    val d = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 1L, 9.0)).toDF("k", "i", "v")
+    val out = Frame(d).groupby("k").shift("v", "p", 1, Seq(SortKey.asc("i")))
+      .df.orderBy("k", "i").collect().map(r => Option(r.getAs[java.lang.Double]("p"))).toSeq
+    assert(out == Seq(None, Some(1.0), None))
+  }
+
+  test("rank method=min vs dense vs first") {
+    import spark.implicits._
+    val d = Seq(("a", 1.0), ("a", 1.0), ("a", 2.0)).toDF("k", "v")
+    def ranks(m: String) = Frame(d).groupby("k").rank("v", "r", m)
+      .df.orderBy(col("v"), col("r")).collect().map(_.getAs[Number]("r").longValue).toSeq
+    assert(ranks("min") == Seq(1L, 1L, 3L))
+    assert(ranks("dense") == Seq(1L, 1L, 2L))
+    assert(ranks("first") == Seq(1L, 2L, 3L))
+  }
+
+  test("headPerGroup / nth / tailPerGroup positional semantics") {
+    val h = ev.groupby("user_id").headPerGroup(3, ord).df
+      .groupBy("user_id").count().agg(max("count")).head().getLong(0)
+    assert(h <= 3)
+    val n0 = ev.groupby("user_id").nth(0, ord).df.count()
+    val users = table("events").select("user_id").distinct().count()
+    assert(n0 == users)
+  }
+
+  test("ngroup ids are dense 0..G-1 in sorted key order") {
+    val out = Frame(table("orders")).groupby("o_orderpriority").ngroup("gid")
+      .df.select("o_orderpriority", "gid").distinct()
+      .orderBy("o_orderpriority").collect()
+    assert(out.map(_.getInt(1)).toSeq == out.indices.map(identity))
+  }
+
+  test("cumprodLong exact integer running product") {
+    import spark.implicits._
+    val d = Seq(("a", 1L, 2L), ("a", 2L, 3L), ("a", 3L, 5L)).toDF("k", "i", "v")
+    val out = Frame(d).groupby("k").cumprodLong("v", "cp", Seq(SortKey.asc("i")))
+      .df.orderBy("i").collect().map(_.getAs[Long]("cp")).toSeq
+    assert(out == Seq(2L, 6L, 30L))
+  }
+
+  test("idxminmax picks extremum labels with deterministic ties") {
+    import spark.implicits._
+    val d = Seq(("g", 5L, 1.0), ("g", 3L, 1.0), ("g", 7L, 9.0)).toDF("k", "id", "v")
+    val r = Frame(d).groupby("k").idxminmax("v", "id").df.head()
+    assert(r.getAs[Long]("idxmin") == 3L) // smallest label among ties
+    assert(r.getAs[Long]("idxmax") == 7L)
+  }
+}

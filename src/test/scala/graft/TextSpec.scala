@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import graft.ops.Multimodal
+
+/** Text-analysis expressions + multimodal plumbing. */
+class TextSpec extends SparkSuite {
+
+  private def one(text: String) = {
+    import spark.implicits._
+    Seq((1L, text)).toDF("id", "text")
+  }
+
+  test("token counts: whitespace vs word-regex") {
+    val r = one("hello, world  foo-bar").select(
+      Text.tokenCountWs(col("text")),
+      Text.tokenCountWords(col("text"))).head()
+    assert(r.getInt(0) == 3)   // whitespace tokens
+    assert(r.getInt(1) == 4)   // hello, world, foo, bar
+  }
+
+  test("shingles produce n-grams; short texts fall back to one shingle") {
+    val r = one("a b c d").select(Text.shingles(col("text"), 3)).head().getSeq[String](0)
+    assert(r == Seq("a b c", "b c d"))
+    val short = one("a b").select(Text.shingles(col("text"), 3)).head().getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("languageId picks the dominant stopword set, und when none") {
+    val cases = Seq(
+      "the cat and the dog is in the house" -> "en",
+      "el perro y la casa de los gatos en madrid" -> "es",
+      "zzz qqq www" -> "und")
+    cases.foreach { case (txt, want) =>
+      val got = one(txt).select(Text.languageId(col("text"))).head().getString(0)
+      assert(got == want, s"$txt -> $got (want $want)")
+    }
+  }
+
+  test("simhash is deterministic and near-identical texts are close") {
+    val h = (t: String) => one(t).select(Text.simhash(Text.wordTokens(col("text")))).head().getLong(0)
+    val a = h("one two three four five six seven eight")
+    val b = h("one two three four five six seven eight")
+    val c = h("one two three four five six seven nine")
+    val far = h("alpha beta gamma delta epsilon zeta")
+    assert(a == b)
+    assert(java.lang.Long.bitCount(a ^ c) < java.lang.Long.bitCount(a ^ far))
+  }
+
+  test("multimodal pack/extract: features derived from real bytes") {
+    val packed = Multimodal.pack(one("AB c"), "id", "text")
+    val meta = packed.select(col("meta.mime"), col("meta.n_bytes")).head()
+    assert(meta.getString(0) == "text/plain" && meta.getInt(1) == 4)
+    val f = Multimodal.extractFeatures(packed, "id").head()
+    assert(f.getAs[Int]("n_bytes") == 4)
+    assert(f.getAs[Long]("feat0") == 'A'.toLong)
+    assert(f.getAs[Long]("feat1") == "AB c".getBytes("UTF-8").map(_ & 0xff).sum.toLong)
+  }
+
+  test("quality score stays in [0,1] on sf0.001 documents") {
+    val r = table("documents")
+      .select(Text.qualityScore(col("text")).as("q"))
+      .agg(min("q"), max("q")).head()
+    assert(r.getDouble(0) >= 0.0 && r.getDouble(1) <= 1.0)
+  }
+}
