@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.api.{Frame, SortKey}
+import graft.ops.RowOrder
+import QueryKit._
+
+/**
+ * Remaining §2 singles: argsort (base QC:2308), time-based first/last +
+ * between_time (base:5828,5847,5331), align + dot (base QC:1067,
+ * QC:2546), list/struct accessors (base QC:7354-7420).
+ */
+object ExtrasQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // argsort: position each row would occupy under the value order —
+    // the two-pass block-offset row numbering (no unpartitioned window).
+    Q("q47_argsort",
+      (s, dir) => {
+        val ordered = RowOrder.withRowOrder(
+          t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal")),
+          Seq(SortKey.asc("c_acctbal"), SortKey.asc("c_custkey")))
+        Frame(ordered.select(col("c_custkey"), col("__row_order__").as("argsort_pos")))
+          .sortValues(Seq(SortKey.asc("c_custkey"))).df
+      },
+      Some("""
+        SELECT c_custkey,
+               row_number() OVER (ORDER BY c_acctbal, c_custkey) - 1 AS argsort_pos
+        FROM customer ORDER BY c_custkey""")),
+
+    // first('3 days') / last('3 days') / between_time('08:00','09:00') —
+    // timestamp-filter plans; the min/max anchors are scalar aggregates.
+    Q("q48_first_last_time",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val bounds = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+        val lo = bounds.getAs[java.time.LocalDateTime]("lo")
+        val hi = bounds.getAs[java.time.LocalDateTime]("hi")
+        Frame(ev.agg(
+          count(when(col("ts") < lit(lo.plusDays(3)), 1)).as("n_first3d"),
+          count(when(col("ts") > lit(hi.minusDays(3)), 1)).as("n_last3d"),
+          count(when(hour(col("ts")) === 8, 1)).as("n_between_8_9")))
+          .df
+      },
+      Some("""
+        SELECT count(*) FILTER (WHERE ts < (SELECT min(ts) FROM events) + INTERVAL 3 DAY)
+                 AS n_first3d,
+               count(*) FILTER (WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 3 DAY)
+                 AS n_last3d,
+               count(*) FILTER (WHERE hour(ts) = 8) AS n_between_8_9
+        FROM events""")),
+
+    // align (outer join on the index) + dot (multiply-aggregate by key —
+    // the small side would broadcast; here both sides are key-aligned
+    // aggregates so the join is a co-partitioned equi-join).
+    Q("q49_align_dot",
+      (s, dir) => {
+        val a = t(s, dir, "orders").groupBy(col("o_custkey").as("k"))
+          .agg(count(lit(1)).cast("double").as("n_orders"))
+        val b = t(s, dir, "customer").select(col("c_custkey").as("k"), col("c_acctbal"))
+        val aligned = a.join(b, Seq("k"), "full_outer")
+        Frame(aligned.agg(
+          count(lit(1)).as("n_aligned"),
+          count(when(col("n_orders").isNull || col("c_acctbal").isNull, 1)).as("n_unmatched"),
+          round(sum(col("n_orders") * col("c_acctbal")), 2).as("dot")))
+          .df
+      },
+      Some("""
+        WITH a AS (SELECT o_custkey AS k, CAST(count(*) AS DOUBLE) AS n_orders
+                   FROM orders GROUP BY 1),
+             b AS (SELECT c_custkey AS k, c_acctbal FROM customer)
+        SELECT count(*) AS n_aligned,
+               count(*) FILTER (WHERE n_orders IS NULL OR c_acctbal IS NULL) AS n_unmatched,
+               round(sum(n_orders * c_acctbal), 2) AS dot
+        FROM a FULL OUTER JOIN b USING (k)""")),
+
+    // list/struct accessors: list_len / list_getitem / slice /
+    // contains + struct_field / struct_explode over derived nested cols.
+    Q("q77_list_struct",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("words", split(trim(col("text")), "\\s+"))
+          .withColumn("meta", struct(col("lang").as("lang"), octet_length(col("text")).as("len")))
+        Frame(d.select(
+          col("doc_id"),
+          size(col("words")).as("list_len"),
+          element_at(col("words"), 1).as("first_word"),
+          element_at(col("words"), -1).as("last_word"),
+          concat_ws(" ", slice(col("words"), 1, 3)).as("first3"),
+          array_contains(col("words"), "data").as("has_data"),
+          col("meta").getField("lang").as("meta_lang"),
+          col("meta.len").as("meta_len")))
+          .sortValues(Seq(SortKey.asc("doc_id"))).df
+      },
+      Some("""
+        SELECT doc_id,
+               len(w) AS list_len,
+               w[1] AS first_word,
+               w[-1] AS last_word,
+               array_to_string(w[1:3], ' ') AS first3,
+               list_contains(w, 'data') AS has_data,
+               lang AS meta_lang,
+               strlen(text) AS meta_len
+        FROM (SELECT doc_id, lang, text,
+                     regexp_extract_all(trim(text), '\S+') AS w
+              FROM documents)
+        ORDER BY doc_id""")))
+}

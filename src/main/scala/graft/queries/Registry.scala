@@ -11,6 +11,7 @@ object Registry {
     IoQueries.all,
     JoinQueries.all,
     SortQueries.all,
+    ExtrasQueries.all,
     WindowQueries.all,
     WindowExtraQueries.all,
     SelectQueries.all,

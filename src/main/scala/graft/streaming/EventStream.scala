@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/**
+ * Structured Streaming surplus layer (SURVEY §2.14 — the reference has no
+ * streaming; its closest analogs are resample (§2.12) and the batch
+ * pipeline API). The same `events` schema the batch engine processes is
+ * exposed as a stream: file-source ingestion, watermarked tumbling-window
+ * aggregation, and stateful sessionization via mapGroupsWithState — the
+ * streaming twins of q90_resample_hour and q92_sessionize.
+ */
+object EventStream {
+
+  /** File-source stream over an events-shaped directory (one parquet per
+    * micro-batch discovery; at scale this is the standard file-drop
+    * ingestion pattern — swap for Kafka by changing only this reader). */
+  def read(spark: SparkSession, dir: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+
+  /** Tumbling 1h aggregate with a 2h watermark: late events beyond the
+    * watermark drop; state per open window only — bounded regardless of
+    * stream length. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("win"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("win.start").as("bucket"), col("n"), col("sum_value"), col("approx_users"))
+
+  /** Per-user session state: (sessionCount, lastSeenMicros). */
+  final case class SessionState(sessions: Long, lastMicros: Long)
+  final case class SessionUpdate(userId: Long, sessions: Long)
+
+  /** Gap-based sessionization (30 min) as explicit keyed state — the
+    * streaming equivalent of ops.Resample.sessionize. State is one tuple
+    * per user (constant size); ProcessingTimeTimeout would evict idle
+    * users in production. */
+  def sessionize(events: DataFrame): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val typed = events.select(
+      col("user_id").cast("long"),
+      unix_micros(col("ts").cast("timestamp")).as("micros"))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout) {
+        case (userId, batch, state: GroupState[SessionState]) =>
+          val sorted = batch.map(_._2).toArray.sorted
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          sorted.foreach { m =>
+            val newSession = st.lastMicros == Long.MinValue || m - st.lastMicros > 1800L * 1000000L
+            st = SessionState(st.sessions + (if (newSession) 1 else 0), m)
+          }
+          state.update(st)
+          SessionUpdate(userId, st.sessions)
+      }
+  }
+
+  /** Run a stream to a named in-memory sink until all source files are
+    * consumed; returns the query (caller reads `spark.table(name)`). */
+  def runToMemory(df: Dataset[_], name: String, outputMode: OutputMode): StreamingQuery = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStream
+
+/** Streaming results must agree with their batch twins on the same data
+  * (file-source stream over the sf0.001 events fixture). */
+class StreamingSpec extends SparkSuite {
+
+  /** File streams need a directory source: stage the fixture file into
+    * a temp dir once (this is also the file-drop ingestion layout). */
+  private lazy val eventsDir: String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get("/tmp/graft_stream/events")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  /** Raw parquet schema (ts is TIMESTAMP(NANOS) read as long — see
+    * QueryKit) + the same nanos→micros conversion the batch path does. */
+  private def rawStream() = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = StructType(table("events").schema.map {
+      case f if f.name == "ts" => StructField("ts", LongType)
+      case f => f
+    })
+    // watermark requires TIMESTAMP (not NTZ); session TZ is UTC so the
+    // instant values match the batch path's NTZ reading exactly
+    EventStream.read(spark, eventsDir, raw)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  test("streaming hourly agg equals the batch tumbling aggregate") {
+    val batchDf = table("events")
+    val stream = rawStream()
+    val q = EventStream.runToMemory(
+      EventStream.hourlyAgg(stream), "hourly_stream", OutputMode.Append())
+    try {
+      // Append mode only emits windows the watermark has closed; every
+      // emitted row must match the batch computation exactly.
+      val streamed = spark.table("hourly_stream")
+        .select(col("bucket").cast("timestamp_ntz").as("bucket"), col("n"), col("sum_value"))
+      val batch = batchDf
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      val joined = streamed.join(batch, Seq("bucket"), "inner")
+      assert(streamed.count() > 0, "watermark should have closed at least one window")
+      assert(joined.count() == streamed.count(), "every emitted window exists in batch")
+      val mismatches = streamed.alias("s").join(batch.alias("b"), Seq("bucket"))
+        .filter(col("s.n") =!= col("b.n")).count()
+      assert(mismatches == 0)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization matches the batch gap-session count") {
+    val stream = rawStream()
+    val q = EventStream.runToMemory(
+      EventStream.sessionize(stream), "sessions_stream", OutputMode.Update())
+    try {
+      // take the LAST update per user (memory sink keeps every update row)
+      val streamed = spark.table("sessions_stream")
+        .groupBy(col("userId")).agg(max(col("sessions")).as("sessions"))
+      val batch = graft.ops.Resample.sessionize(
+        queries.QueryKit.t(spark, sfDir, "events"), "user_id", "ts", 1800)
+        .groupBy(col("user_id").as("userId"))
+        .agg(max(col("session_id")).as("sessions"))
+      assertParity(streamed, batch)
+    } finally q.stop()
+  }
+}
