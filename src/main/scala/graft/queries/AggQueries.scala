@@ -227,17 +227,19 @@ object AggQueries {
         FROM orders""")),
 
     // is_monotonic_increasing (reference base QC:2006 — map+reduce over
-    // boundary values; here a lag-compare + bool_and under the declared
-    // o_orderkey order).
+    // boundary values). Uses ops.Monotonic's per-partition boundary plan:
+    // an unpartitioned lag window would funnel all rows into one task —
+    // the single-partition hazard this op is the canonical example of.
     Q("q23_is_monotonic",
       (s, dir) => {
-        val w = org.apache.spark.sql.expressions.Window.orderBy(col("o_orderkey"))
-        t(s, dir, "orders")
-          .withColumn("__ok__",
-            coalesce(col("o_orderkey") > lag(col("o_orderkey"), 1).over(w), lit(true)))
-          .agg(
-            bool_and(col("__ok__")).as("key_monotonic"),
-            bool_and(coalesce(col("o_totalprice") >= lit(0.0), lit(false))).as("price_nonneg"))
+        val orders = t(s, dir, "orders")
+        val (inc, _) = graft.ops.Monotonic.check(orders, "o_orderkey", "o_orderkey")
+        val priceNonneg = orders
+          .agg(bool_and(coalesce(col("o_totalprice") >= lit(0.0), lit(false))))
+          .head().getBoolean(0)
+        val spark = s
+        import spark.implicits._
+        Seq((inc, priceNonneg)).toDF("key_monotonic", "price_nonneg")
       },
       Some("""
         SELECT bool_and(ok) AS key_monotonic,
