@@ -61,6 +61,79 @@ object StringDateQueries {
                CAST(sum(len(string_split(p_name, ' '))) AS BIGINT) AS n_words_total
         FROM part""")),
 
+    // str breadth 2: title/swapcase/zfill/center/translate/find/count/
+    // removeprefix/removesuffix (reference QC:2129-2230 Map family —
+    // each a 1:1 codegen'd expression; swapcase is the chained-translate
+    // trick, zfill = lpad, center = rpad∘lpad).
+    Q("q78_string_funcs2",
+      (s, dir) => Frame(t(s, dir, "part").select(
+        col("p_partkey"),
+        initcap(col("p_name")).as("title"),
+        translate(col("p_brand"),
+          "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ",
+          "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz").as("swapped"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("zfilled"),
+        rpad(lpad(col("p_brand"),
+          floor((lit(14) + length(col("p_brand"))) / 2).cast("int"), lit(" ")), 14, " ")
+          .as("centered"),
+        (instr(col("p_name"), "re") - 1).cast("long").as("find_re"),
+        size(split(col("p_name"), "a", -1)).cast("long").-(1).as("count_a"),
+        regexp_replace(col("p_brand"), "^Brand#", "").as("noprefix"),
+        regexp_replace(col("p_type"), "ed$", "").as("nosuffix")))
+        .sortValues(Seq(SortKey.asc("p_partkey"))).df,
+      Some("""
+        SELECT p_partkey,
+               list_aggregate([upper(x[1]) || x[2:] FOR x IN string_split(p_name, ' ')],
+                              'string_agg', ' ') AS title,
+               translate(p_brand,
+                 'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                 'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz') AS swapped,
+               lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS zfilled,
+               rpad(lpad(p_brand, CAST(floor((14 + length(p_brand)) / 2) AS INT), ' '), 14, ' ')
+                 AS centered,
+               CAST(instr(p_name, 're') - 1 AS BIGINT) AS find_re,
+               CAST(len(string_split(p_name, 'a')) - 1 AS BIGINT) AS count_a,
+               regexp_replace(p_brand, '^Brand#', '') AS noprefix,
+               regexp_replace(p_type, 'ed$', '') AS nosuffix
+        FROM part ORDER BY p_partkey""")),
+
+    // dt breadth 2: is_month/quarter/year_start+end, is_leap_year,
+    // daysinmonth, isocalendar week, month_name/day_name, dt floor
+    // (reference dt_* QC:2284-2331 — all 1:1 expressions).
+    Q("q79_date_parts2",
+      (s, dir) => {
+        val d = col("o_orderdate")
+        Frame(t(s, dir, "orders").select(
+          col("o_orderkey"),
+          (dayofmonth(d) === 1).as("is_month_start"),
+          (d.cast("date") === last_day(d)).as("is_month_end"),
+          (month(d).isin(1, 4, 7, 10) && (dayofmonth(d) === 1)).as("is_quarter_start"),
+          ((month(d) === 1) && (dayofmonth(d) === 1)).as("is_year_start"),
+          (((year(d) % 4 === 0) && (year(d) % 100 =!= 0)) || (year(d) % 400 === 0))
+            .as("is_leap_year"),
+          dayofmonth(last_day(d)).cast("long").as("daysinmonth"),
+          weekofyear(d).cast("long").as("iso_week"),
+          date_format(d, "MMMM").as("month_name"),
+          date_format(d, "EEEE").as("day_name"),
+          date_trunc("month", d).as("month_floor")))
+          .sortValues(Seq(SortKey.asc("o_orderkey"))).df
+      },
+      Some("""
+        SELECT o_orderkey,
+               day(o_orderdate) = 1 AS is_month_start,
+               CAST(o_orderdate AS DATE) = last_day(o_orderdate) AS is_month_end,
+               month(o_orderdate) IN (1, 4, 7, 10) AND day(o_orderdate) = 1
+                 AS is_quarter_start,
+               month(o_orderdate) = 1 AND day(o_orderdate) = 1 AS is_year_start,
+               (year(o_orderdate) % 4 = 0 AND year(o_orderdate) % 100 <> 0)
+                 OR year(o_orderdate) % 400 = 0 AS is_leap_year,
+               CAST(day(last_day(o_orderdate)) AS BIGINT) AS daysinmonth,
+               CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+               monthname(o_orderdate) AS month_name,
+               dayname(o_orderdate) AS day_name,
+               date_trunc('month', o_orderdate) AS month_floor
+        FROM orders ORDER BY o_orderkey""")),
+
     // JSON accessor over the events props column (reference list/struct
     // accessors §2.9: struct_field / get_json_object-style access).
     Q("q72_json_accessor",
