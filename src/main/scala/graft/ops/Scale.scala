@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * 100 TB-scale physical-layout tools: bucketed co-located joins and
+ * skew salting (reference analogs: modin's RangePartitioning merge path,
+ * storage_formats/pandas/merge.py:39-101, shuffles both sides into
+ * identical key ranges — bucketing is the persisted version of that
+ * idea; the reference has no skew story, AQE + salting is ours).
+ */
+object Scale {
+
+  /** Persist `df` bucketed by `keys` into the session catalog. Joins and
+    * aggregations on the bucket keys then read co-located buckets and
+    * skip the exchange entirely — the dominant shuffle at TB scale is
+    * eliminated at write time, once, instead of per query. */
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int, keys: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Equi-join two bucketed tables on their bucket keys — zero-shuffle
+    * when both sides were bucketed with the same key set and count. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      on: Seq[String], how: String = "inner"): DataFrame =
+    spark.table(left).join(spark.table(right), on, how)
+
+  /**
+   * Skew-salted join: replicate the (small) build side `saltFactor`
+   * times and scatter the probe side's hot keys across the replicas, so
+   * one giant key no longer lands in one task. AQE's skew-join split
+   * handles moderate skew automatically; explicit salting is the tool
+   * for pathological keys (the classic null-key / power-law case).
+   *
+   * The salt is deterministic (hash of the probe row's full content) —
+   * no rand(), so retried tasks produce identical output.
+   */
+  def saltedJoin(probe: DataFrame, build: DataFrame, on: Seq[String],
+      saltFactor: Int, how: String = "inner"): DataFrame = {
+    val salt = "__salt__"
+    val probeSalted = probe.withColumn(salt,
+      pmod(xxhash64(probe.columns.map(col).toIndexedSeq: _*), lit(saltFactor.toLong)))
+    val buildSalted = build.withColumn(salt,
+      explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
+    probeSalted.join(buildSalted, on :+ salt, how).drop(salt)
+  }
+
+  /** Two-stage (salted) aggregation for algebraic functions: partial
+    * aggregate on (keys ++ salt), final on keys. Spark's hash aggregate
+    * already map-side-combines, but when one key dominates a whole
+    * executor the extra stage re-spreads the partials. */
+  def twoStageAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
+      aggs: (String, String, Column)*): DataFrame = {
+    // aggs: (partialFn, outName, inputExpr); partialFn ∈ sum|count|min|max
+    val salt = "__salt__"
+    val salted = df.withColumn(salt,
+      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets.toLong)))
+    def fn(name: String, c: Column): Column = name match {
+      case "sum" => sum(c); case "count" => count(c)
+      case "min" => min(c); case "max" => max(c)
+      case other => sys.error(s"twoStageAgg: non-algebraic $other")
+    }
+    val partial = salted.groupBy((keys :+ salt).map(col): _*)
+      .agg(fn(aggs.head._1, aggs.head._3).as(aggs.head._2),
+        aggs.tail.map(a => fn(a._1, a._3).as(a._2)): _*)
+    // final stage: counts re-aggregate as sums of partial counts
+    def finalFn(name: String, c: Column): Column = name match {
+      case "count" => sum(c); case other => fn(other, c)
+    }
+    partial.groupBy(keys.map(col): _*)
+      .agg(finalFn(aggs.head._1, col(aggs.head._2)).as(aggs.head._2),
+        aggs.tail.map(a => finalFn(a._1, col(a._2)).as(a._2)): _*)
+  }
+}

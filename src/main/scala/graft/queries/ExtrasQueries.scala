@@ -75,6 +75,30 @@ object ExtrasQueries {
                round(sum(n_orders * c_acctbal), 2) AS dot
         FROM a FULL OUTER JOIN b USING (k)""")),
 
+    // Categorical dtype (SURVEY §1.3: StringType + dictionary via a
+    // lookup join): cat_codes = dense id in sorted category order,
+    // built from the DISTINCT category set (group-count sized) and
+    // broadcast back — same physics as groupby ngroup.
+    Q("q86_cat_codes",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val cats = orders.select(col("o_orderpriority")).distinct()
+          .withColumn("cat_code",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("o_orderpriority"))) - 1)
+        Frame(orders.join(broadcast(cats), "o_orderpriority")
+          .groupBy(col("o_orderpriority"), col("cat_code"))
+          .agg(count(lit(1)).as("n")))
+          .sortValues(Seq(SortKey.asc("cat_code"))).df
+      },
+      Some("""
+        SELECT o_orderpriority, cat_code, count(*) AS n FROM orders
+        JOIN (SELECT o_orderpriority,
+                     CAST(row_number() OVER (ORDER BY o_orderpriority) - 1 AS INT)
+                       AS cat_code
+              FROM (SELECT DISTINCT o_orderpriority FROM orders)) USING (o_orderpriority)
+        GROUP BY o_orderpriority, cat_code ORDER BY cat_code""")),
+
     // list/struct accessors: list_len / list_getitem / slice /
     // contains + struct_field / struct_explode over derived nested cols.
     Q("q77_list_struct",
