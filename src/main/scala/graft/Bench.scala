@@ -29,13 +29,17 @@ object Bench {
     val results = headline.map { q =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try q.fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        try {
+          q.fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            Double.PositiveInfinity // a failed run must never win the min
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      q.name -> times.min
+      val best = times.min
+      q.name -> (if (best.isInfinity) -1.0 else best) // -1 marks failure
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

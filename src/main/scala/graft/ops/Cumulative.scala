@@ -39,6 +39,10 @@ object Cumulative {
       cols: Seq[(String, String)],
       numPartitions: Option[Int] = None): DataFrame = {
 
+    // the per-pair foldLeft adds output columns in sequence — an output
+    // name shadowing a LATER pair's input would silently corrupt it
+    require(!cols.map(_._2).exists(out => cols.map(_._1).contains(out)),
+      s"globalRunning: output names ${cols.map(_._2)} must not collide with inputs")
     val n = numPartitions.getOrElse(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val sortCols = order.map(_.toColumn)

@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
  */
 object Monotonic {
 
-  /** Returns (isMonotonicIncreasing, isMonotonicDecreasing) of `c` under
-    * the frame's order by `c` itself being the order key (pandas
-    * `Series.is_monotonic_*` checks the series in row order; for a frame
-    * ordered by `orderCol`, pass that column). */
+  /** Returns (isMonotonicIncreasing, isMonotonicDecreasing) of
+    * `valueCol` under the frame's declared order `orderCol` — both
+    * NON-strict (ties allowed), matching pandas `Series.is_monotonic_*`.
+    * Nulls make the series non-monotonic (pandas: NaN ⇒ False).
+    * Restriction: both columns must cast to double losslessly — longs
+    * beyond 2^53 would alias; use a decimal/string comparator variant
+    * if that range matters. */
   def check(df: DataFrame, orderCol: String, valueCol: String): (Boolean, Boolean) = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // alias both sides — orderCol may BE valueCol (series case)
@@ -42,13 +45,16 @@ object Monotonic {
         var inc = true; var dec = true
         var first = Double.NaN; var prev = Double.NaN; var started = false
         it.foreach { r =>
-          val v = r.getDouble(1)
-          if (!started) { first = v; started = true }
+          if (r.isNullAt(1)) { inc = false; dec = false } // pandas: NaN ⇒ False
           else {
-            if (v < prev) inc = false
-            if (v > prev) dec = false
+            val v = r.getDouble(1)
+            if (!started) { first = v; started = true }
+            else {
+              if (v < prev) inc = false
+              if (v > prev) dec = false
+            }
+            prev = v
           }
-          prev = v
         }
         Iterator((pid, inc, dec, first, prev))
       }

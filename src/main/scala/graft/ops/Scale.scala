@@ -42,6 +42,11 @@ object Scale {
    */
   def saltedJoin(probe: DataFrame, build: DataFrame, on: Seq[String],
       saltFactor: Int, how: String = "inner"): DataFrame = {
+    // right/full outer would emit every unmatched build row saltFactor
+    // times (one per replica) — restrict to the join types where the
+    // replicated side never surfaces unmatched.
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti", "cross")(how),
+      s"saltedJoin: '$how' not supported (build side is replicated)")
     val salt = "__salt__"
     val probeSalted = probe.withColumn(salt,
       pmod(xxhash64(probe.columns.map(col).toIndexedSeq: _*), lit(saltFactor.toLong)))

@@ -227,27 +227,35 @@ object AggQueries {
         FROM orders""")),
 
     // is_monotonic_increasing (reference base QC:2006 — map+reduce over
-    // boundary values). Uses ops.Monotonic's per-partition boundary plan:
-    // an unpartitioned lag window would funnel all rows into one task —
-    // the single-partition hazard this op is the canonical example of.
+    // boundary values; pandas semantics are NON-strict, ties allowed).
+    // Uses ops.Monotonic's per-partition boundary plan: an unpartitioned
+    // lag window would funnel all rows into one task — the
+    // single-partition hazard this op is the canonical example of.
+    // Checked columns are o_orderdate / o_totalprice UNDER the declared
+    // o_orderkey order (checking the order key against itself would be
+    // vacuously true).
     Q("q23_is_monotonic",
       (s, dir) => {
         val orders = t(s, dir, "orders")
-        val (inc, _) = graft.ops.Monotonic.check(orders, "o_orderkey", "o_orderkey")
-        val priceNonneg = orders
-          .agg(bool_and(coalesce(col("o_totalprice") >= lit(0.0), lit(false))))
-          .head().getBoolean(0)
+        val (dateInc, _) = graft.ops.Monotonic.check(
+          orders.withColumn("__d__", unix_micros(col("o_orderdate").cast("timestamp"))),
+          "o_orderkey", "__d__")
+        val (priceInc, priceDec) = graft.ops.Monotonic.check(orders, "o_orderkey", "o_totalprice")
         val spark = s
         import spark.implicits._
-        Seq((inc, priceNonneg)).toDF("key_monotonic", "price_nonneg")
+        Seq((dateInc, priceInc, priceDec))
+          .toDF("date_monotonic", "price_monotonic_inc", "price_monotonic_dec")
       },
       Some("""
-        SELECT bool_and(ok) AS key_monotonic,
-               bool_and(coalesce(o_totalprice >= 0, false)) AS price_nonneg
+        SELECT bool_and(d_ok) AS date_monotonic,
+               bool_and(p_inc) AS price_monotonic_inc,
+               bool_and(p_dec) AS price_monotonic_dec
         FROM (
-          SELECT coalesce(o_orderkey > lag(o_orderkey) OVER (ORDER BY o_orderkey), true) AS ok,
-                 o_totalprice
-          FROM orders)""")),
+          SELECT coalesce(o_orderdate >= lag(o_orderdate) OVER w, true) AS d_ok,
+                 coalesce(o_totalprice >= lag(o_totalprice) OVER w, true) AS p_inc,
+                 coalesce(o_totalprice <= lag(o_totalprice) OVER w, true) AS p_dec
+          FROM orders
+          WINDOW w AS (ORDER BY o_orderkey))""")),
 
     // equals via symmetric EXCEPT ALL emptiness (reference base QC:1164).
     Q("q24_equals",

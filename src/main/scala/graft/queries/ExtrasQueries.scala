@@ -81,12 +81,9 @@ object ExtrasQueries {
     // broadcast back — same physics as groupby ngroup.
     Q("q86_cat_codes",
       (s, dir) => {
-        val orders = t(s, dir, "orders")
-        val cats = orders.select(col("o_orderpriority")).distinct()
-          .withColumn("cat_code",
-            row_number().over(org.apache.spark.sql.expressions.Window
-              .orderBy(col("o_orderpriority"))) - 1)
-        Frame(orders.join(broadcast(cats), "o_orderpriority")
+        val coded = f(s, dir, "orders")
+          .groupby("o_orderpriority").ngroup("cat_code")
+        Frame(coded.df
           .groupBy(col("o_orderpriority"), col("cat_code"))
           .agg(count(lit(1)).as("n")))
           .sortValues(Seq(SortKey.asc("cat_code"))).df

@@ -44,14 +44,19 @@ object ReshapeExtraQueries {
           .sortValues(Seq(SortKey.asc("l_returnflag")))
         val rows = agg.df.collect() // tiny: one row per flag
         require(rows.length <= 100, "transpose guard: reduction outputs only")
+        // build the transposed frame for ANY flag count (metric row per
+        // input column, one output column per input row)
         val flags = rows.map(_.getString(0))
         val metrics = Seq("sum_qty" -> 1, "avg_price" -> 2)
-        val spark = s
-        import spark.implicits._
-        metrics.map { case (m, i) =>
-          (m, rows.map(r => r.getDouble(i)).toSeq)
-        }.map { case (m, vs) => (m, vs(0), vs(1), vs(2)) }
-          .toDF("metric", flags(0), flags(1), flags(2))
+        val schema = org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("metric",
+            org.apache.spark.sql.types.StringType) +:
+            flags.map(f => org.apache.spark.sql.types.StructField(f,
+              org.apache.spark.sql.types.DoubleType)).toIndexedSeq)
+        val data = metrics.map { case (m, i) =>
+          org.apache.spark.sql.Row.fromSeq(m +: rows.map(r => r.getDouble(i)).toIndexedSeq)
+        }
+        s.createDataFrame(s.sparkContext.parallelize(data), schema)
           .orderBy("metric")
       },
       Some("""

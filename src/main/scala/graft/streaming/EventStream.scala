@@ -42,7 +42,16 @@ object EventStream {
   /** Gap-based sessionization (30 min) as explicit keyed state — the
     * streaming equivalent of ops.Resample.sessionize. State is one tuple
     * per user (constant size); ProcessingTimeTimeout would evict idle
-    * users in production. */
+    * users in production.
+    *
+    * Ordering contract: events are sorted within each micro-batch, but
+    * an event arriving in a LATER batch with an EARLIER timestamp than
+    * state.lastMicros is treated as in-session (its gap is negative).
+    * Matching the batch result therefore requires per-user-ordered
+    * arrival across batches (true for time-ordered file drops / a
+    * by-user-keyed, time-ordered Kafka topic). Full out-of-order
+    * handling would buffer events under a watermark before folding —
+    * the flatMapGroupsWithState + event-time-timeout pattern. */
   def sessionize(events: DataFrame): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     val typed = events.select(

@@ -10,6 +10,19 @@ class ScaleSpec extends SparkSuite {
   test("bucketed join on the bucket key plans zero exchanges") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
     try {
+      // the in-memory catalog forgets tables between JVMs but their
+      // warehouse dirs persist — clear both before recreating
+      Seq("orders_b", "lineitem_b").foreach { tbl =>
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        val dir = new java.io.File(s"/tmp/graft_warehouse/$tbl")
+        if (dir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(dir)
+        }
+      }
       Scale.writeBucketed(table("orders"), "orders_b", 4, Seq("o_orderkey"))
       Scale.writeBucketed(
         table("lineitem").select("l_orderkey", "l_quantity")
