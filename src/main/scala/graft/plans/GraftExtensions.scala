@@ -1,0 +1,38 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * SparkSessionExtensions entry point: registers graft's native Catalyst
+ * expressions as SQL functions. Two activation paths:
+ *
+ *   - config: `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+ *     at session build time (the production path);
+ *   - [[GraftExtensions.register]] on a live session (tests, notebooks).
+ *
+ * After either, `graft_simhash(array<string>) -> bigint` is callable
+ * from SQL and via `call_function("graft_simhash", col)`.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.simhashDescriptor)
+  }
+}
+
+object GraftExtensions {
+  private val simhashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_simhash(tokens) takes one argument")
+      SimHash64(children.head)
+    })
+
+  /** Register on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", children => SimHash64(children.head), "scala_udf")
+}
