@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.GraftExtensions
 
 /**
  * Embedding similarity search over `Array[Float]` columns.
@@ -23,6 +24,14 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Native codegen'd cosine (graft.plans.CosineSim) — bit-identical to
+    * [[cosine]] on array<float> inputs, one fused loop instead of three
+    * lambda trees. Registers the function on the frame's session. */
+  private def nativeCosine(df: DataFrame)(a: Column, b: Column): Column = {
+    GraftExtensions.register(df.sparkSession)
+    call_function("graft_cosine", a, b)
+  }
+
   /**
    * Brute-force cosine top-k against a (small) query set: broadcast the
    * queries, score every corpus row, keep k per query with a rank-filter
@@ -35,7 +44,7 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
-      .withColumn("cosine", cosine(col(corpusVec), col(queryVec)))
+      .withColumn("cosine", nativeCosine(corpus)(col(corpusVec), col(queryVec)))
     val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId).asc)
     scored.withColumn("__rk__", row_number().over(w))
       .filter(col("__rk__") <= k)
@@ -88,7 +97,7 @@ object Similarity {
     val candidates = c.join(broadcast(q), Seq("__table__", "__bucket__"))
       .select(col(queryId), col(corpusId), col(corpusVec), col(queryVec))
       .distinct() // a pair found by multiple tables scores once
-      .withColumn("cosine", cosine(col(corpusVec), col(queryVec)))
+      .withColumn("cosine", nativeCosine(corpus)(col(corpusVec), col(queryVec)))
     val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId).asc)
     candidates.withColumn("__rk__", row_number().over(w))
       .filter(col("__rk__") <= k)
@@ -106,7 +115,7 @@ object Similarity {
     val rid = "__rid__"
     val withId = df.withColumn(rid, monotonically_increasing_id())
     val scored = withId.crossJoin(broadcast(centroids))
-      .withColumn("__sim__", cosine(col(vecCol), col(centVecCol)))
+      .withColumn("__sim__", nativeCosine(df)(col(vecCol), col(centVecCol)))
     val keys = df.columns.map(col).toIndexedSeq
     val w = Window.partitionBy(col(rid)).orderBy(col("__sim__").desc, col(centIdCol).asc)
     scored.withColumn("__rk__", row_number().over(w)).filter(col("__rk__") === 1)

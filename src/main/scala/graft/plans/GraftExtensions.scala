@@ -19,6 +19,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.simhashDescriptor)
+    ext.injectFunction(GraftExtensions.cosineDescriptor)
   }
 }
 
@@ -31,8 +32,19 @@ object GraftExtensions {
       SimHash64(children.head)
     })
 
+  private val cosineDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cosine"),
+    new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_cosine(a, b) takes two arguments")
+      CosineSim(children(0), children(1))
+    })
+
   /** Register on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", children => SimHash64(children.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine", children => CosineSim(children(0), children(1)), "scala_udf")
+  }
 }

@@ -23,8 +23,17 @@ object SimHashBench {
       (1 to 3).foreach(_ => mk.collect())
       println(f"$name: ${(System.nanoTime() - t0) / 3e9}%.3f s/run")
     }
-    time("tree  ")(docs.agg(sum(pmod(Text.simhash(col("toks")), lit(1000000L)))))
-    time("native")(docs.agg(sum(pmod(call_function("graft_simhash", col("toks")), lit(1000000L)))))
+    time("simhash tree  ")(docs.agg(sum(pmod(Text.simhash(col("toks")), lit(1000000L)))))
+    time("simhash native")(docs.agg(sum(pmod(call_function("graft_simhash", col("toks")), lit(1000000L)))))
+
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").cache()
+    emb.count()
+    val q = emb.limit(20).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    import graft.functions.Similarity
+    time("cosine tree   ")(emb.crossJoin(broadcast(q))
+      .agg(sum(Similarity.cosine(col("embedding"), col("qvec")))))
+    time("cosine native ")(emb.crossJoin(broadcast(q))
+      .agg(sum(call_function("graft_cosine", col("embedding"), col("qvec")))))
     spark.stop()
   }
 }
