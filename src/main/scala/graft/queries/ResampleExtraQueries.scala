@@ -47,6 +47,33 @@ object ResampleExtraQueries {
                count(DISTINCT event_type) AS n_types
         FROM e GROUP BY bucket ORDER BY bucket""")),
 
+    // resample('1d') statistical family: mean (exact-integer), std/var/
+    // sem, exact quantile — base QC resample_{mean,std,var,sem,quantile}.
+    Q("q133_resample_stats",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("bucket", date_trunc("day", col("ts")))
+        val n = count(lit(1))
+        val cents = sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+        Frame(ev.groupBy(col("bucket"))
+          .agg(
+            (floor((cents * 200 + n) / (n * 2)) / lit(10000.0)).as("day_mean"),
+            round(stddev_samp(col("value")), 4).as("day_std"),
+            round(var_samp(col("value")), 4).as("day_var"),
+            round(stddev_samp(col("value")) / sqrt(n), 4).as("day_sem"),
+            round(percentile(col("value"), lit(0.9)), 4).as("day_p90")))
+          .sortValues(Seq(SortKey.asc("bucket"))).df
+      },
+      Some("""
+        SELECT date_trunc('day', ts) AS bucket,
+               floor((200 * sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                      + count(*)) / (2 * count(*))) / 10000.0 AS day_mean,
+               round(stddev_samp(value), 4) AS day_std,
+               round(var_samp(value), 4) AS day_var,
+               round(stddev_samp(value) / sqrt(count(*)), 4) AS day_sem,
+               round(quantile_cont(value, 0.9), 4) AS day_p90
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
     // resample('6h').asfreq().ffill(): dense 6-hour spine, buckets with
     // no events forward-fill the previous bucket's mean. The global
     // ffill window runs over the SPINE (bucket-count sized — months of

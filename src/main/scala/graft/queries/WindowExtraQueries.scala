@@ -98,6 +98,39 @@ object WindowExtraQueries {
         GROUP BY a.event_id, a.value
         ORDER BY a.event_id""")),
 
+    // rolling corr/cov over a 10-row window per user (reference
+    // rolling_corr/cov base QC:6715,6740) — Spark's corr/covar_samp are
+    // window-capable aggregates, so this stays one shuffle on user_id.
+    Q("q132_rolling_corr",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(-9, 0)
+        val cnt = count(lit(1)).over(w)
+        // event_id is strictly increasing, so the second variable always
+        // has positive variance — a constant window column would make
+        // ANSI-mode corr divide by zero
+        val vid = col("event_id").cast("double")
+        Frame(t(s, dir, "events").select(
+          col("event_id"),
+          when(cnt >= 10, round(corr(col("value"), vid).over(w), 4)).as("roll_corr"),
+          when(cnt >= 10, round(covar_samp(col("value"), vid).over(w), 4)).as("roll_cov")))
+          .sortValues(Seq(SortKey.asc("event_id"))).df
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, value,
+                 CAST(event_id AS DOUBLE) AS vid,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events)
+        SELECT a.event_id,
+               CASE WHEN count(*) >= 10 THEN round(corr(b.value, b.vid), 4) END AS roll_corr,
+               CASE WHEN count(*) >= 10 THEN round(covar_samp(b.value, b.vid), 4) END AS roll_cov
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 9 AND a.rn
+        GROUP BY a.event_id
+        ORDER BY a.event_id""")),
+
     // GLOBAL rank + pct_change with NO unpartitioned window: materialize
     // __row_order__ with the two-pass block-offset plan (ops.RowOrder),
     // then rank(ties=min) = min row-number per value (a value-partitioned
