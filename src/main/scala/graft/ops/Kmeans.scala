@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Similarity
+import graft.plans.GraftExtensions
+
+/**
+ * Distributed k-means (cosine/spherical) + IVF approximate nearest
+ * neighbor — the scale path for embedding search: train `nlist` coarse
+ * centroids once, assign the corpus, and probe only the `nprobe`
+ * nearest inverted lists per query instead of the whole corpus.
+ *
+ * Everything per iteration is one broadcast-scored scan + one
+ * (centroid-count-sized) aggregate — Lloyd's algorithm as Spark
+ * physics; nothing data-sized ever reaches the driver.
+ */
+object Kmeans {
+
+  private def cosineCol(df: DataFrame)(a: Column, b: Column): Column = {
+    GraftExtensions.register(df.sparkSession)
+    call_function("graft_cosine", a, b)
+  }
+
+  /** Deterministic init: the first `k` vectors under id order. */
+  def initCentroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    corpus.orderBy(col(idCol)).limit(k)
+      .select((row_number().over(Window.orderBy(col(idCol))) - 1).cast("long").as("centroid_id"),
+        col(vecCol).as("cvec"))
+
+  /**
+   * Lloyd iterations under cosine distance: assign each vector to the
+   * most-similar centroid (broadcast), recompute each centroid as the
+   * element-wise mean of its members, L2-normalize. `iters` scans total.
+   */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    var centroids = initCentroids(corpus, idCol, vecCol, k)
+    var it = 0
+    while (it < iters) {
+      val assigned = assign(corpus, vecCol, centroids)
+      val dim = size(col(vecCol))
+      // element-wise mean via posexplode + regroup: (centroid, dim) keys —
+      // one shuffle keyed by centroid×dimension, never driver-side
+      val sums = assigned
+        .select(col("centroid_id"), posexplode(col(vecCol)))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+      val means = sums.groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
+        .select(col("centroid_id"),
+          transform(col("pairs"), p => p.getField("m").cast("float")).as("cvec"))
+      // L2-normalize so cosine against unit centroids is a plain dot
+      val norm = sqrt(aggregate(col("cvec"),
+        lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+      centroids = means.select(col("centroid_id"),
+        transform(col("cvec"), x => (x.cast("double") / norm).cast("float")).as("cvec"))
+        .localCheckpoint(true) // truncate the per-iteration lineage
+      it += 1
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment — delegates to
+    * [[Similarity.assignCentroid]] (surrogate-row-id window top-1, the
+    * duplicate-row-safe formulation). */
+  def assign(corpus: DataFrame, vecCol: String, centroids: DataFrame): DataFrame =
+    Similarity.assignCentroid(corpus, vecCol, centroids, "centroid_id", "cvec")
+
+  /**
+   * IVF top-k: score queries against centroids (tiny), keep `nprobe`
+   * lists per query, then join query↔corpus on the centroid id — the
+   * scan touches only the probed lists' rows; exact re-ranking inside.
+   */
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val assigned = assign(corpus, corpusVec, centroids)
+    val qProbes = queries.crossJoin(broadcast(centroids))
+      .withColumn("__qsim__", cosineCol(queries)(col(queryVec), col("cvec")))
+      .withColumn("__qrk__", row_number().over(
+        Window.partitionBy(col(queryId)).orderBy(col("__qsim__").desc, col("centroid_id").asc)))
+      .filter(col("__qrk__") <= nprobe)
+      .select(col(queryId), col(queryVec), col("centroid_id"))
+    val candidates = assigned.join(qProbes, "centroid_id")
+      .withColumn("cosine", cosineCol(corpus)(col(corpusVec), col(queryVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId).asc)
+    candidates.withColumn("__rk__", row_number().over(w))
+      .filter(col("__rk__") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("__rk__").cast("long").as("rank"))
+  }
+}

@@ -182,6 +182,34 @@ object PipelineQueries {
       },
       None),
 
+    // Full IVF ANN: k-means-trained coarse centroids (2 Lloyd iterations),
+    // corpus assigned to inverted lists, queries probe lists, exact
+    // re-rank inside. Probing ALL lists makes the result provably equal
+    // to brute force, so the oracle applies end-to-end; the partial-probe
+    // approximation (the actual 100 TB path — nprobe ≪ nlist) has its
+    // recall pinned in KmeansSpec.
+    Q("q134_ann_ivf",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        val cents = graft.ops.Kmeans.train(emb, "vec_id", "embedding", k = 4, iters = 1)
+        Frame(graft.ops.Kmeans.ivfTopK(emb, "vec_id", "embedding",
+          queries, "query_id", "qvec", cents, k = 5, nprobe = 4)
+          .select(col("query_id"), col("vec_id"),
+            round(col("cosine"), 6).as("cosine"), col("rank")))
+          .sortValues(Seq(SortKey.asc("query_id"), SortKey.asc("rank"))).df
+      },
+      Some("""
+        SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                            c.vec_id) AS rank
+          FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 3) q)
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // IVF-style centroid assignment: nearest of 8 broadcast centroids per
     // vector; output = cluster sizes.
     Q("q109_centroid_assign",
