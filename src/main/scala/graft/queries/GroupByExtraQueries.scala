@@ -55,6 +55,37 @@ object GroupByExtraQueries {
         USING (o_orderpriority)
         ORDER BY o_orderpriority""")),
 
+    // groupby.transform: shape-preserving per-group normalization
+    // (demean + share-of-group) — unbounded windows over the group keys,
+    // one shuffle, no apply-side collect (reference groupby_agg
+    // transform mode QC:4236 / base :3779).
+    Q("q113_groupby_transform",
+      (s, dir) => {
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+        val n = count(lit(1)).over(wAll)
+        val cents = sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).over(wAll)
+        val mean4 = floor((cents * 200 + n) / (n * 2)) / lit(10000.0)
+        val myCents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        // share at 6 decimals via exact integer half-up division (the
+        // p/t quotient can land exactly on a rounding boundary)
+        val share6 = floor((myCents * 2000000L + cents) / (cents * 2)) / lit(1000000.0)
+        Frame(t(s, dir, "orders").select(
+          col("o_orderkey"),
+          round(col("o_totalprice") - mean4, 4).as("demeaned"),
+          share6.as("share")))
+          .sortValues(Seq(SortKey.asc("o_orderkey"))).df
+      },
+      Some("""
+        SELECT o_orderkey,
+               round(o_totalprice - floor((200 * sum(c) OVER w + count(*) OVER w)
+                     / (2 * count(*) OVER w)) / 10000.0, 4) AS demeaned,
+               floor((c * 2000000 + sum(c) OVER w) / (2 * sum(c) OVER w)) / 1000000.0 AS share
+        FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+              FROM orders)
+        WINDOW w AS (PARTITION BY o_custkey)
+        ORDER BY o_orderkey""")),
+
     // groupby_cumprod (exact integer factors ∈ {1,2} — the running
     // product stays ≪ 2^53 even for customers with ~100 orders, so both
     // engines' arithmetic is exact) plus per-group ffill of an
