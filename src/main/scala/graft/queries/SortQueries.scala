@@ -93,6 +93,29 @@ object SortQueries {
           SELECT s_suppkey, s_name, 'supplier' FROM supplier)
         ORDER BY src, id""")),
 
+    // concat axis=1 (reference concat QC:482 column-wise: copartition
+    // rows, stitch columns). Spark has no row identity, so both sides
+    // materialize __row_order__ under the SAME declared order (two-pass
+    // block offsets — ops.RowOrder) and equi-join on it: a shuffle join
+    // on a dense long key, scalable, order-faithful.
+    Q("q136_concat_axis1",
+      (s, dir) => {
+        import graft.ops.RowOrder
+        val ord = Seq(SortKey.asc("o_orderkey"))
+        val left = RowOrder.withRowOrder(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")), ord)
+        val right = RowOrder.withRowOrder(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")), ord)
+          .withColumnRenamed("o_orderkey", "__k2__")
+        Frame(left.join(right, "__row_order__")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
+            (col("o_orderkey") === col("__k2__")).as("aligned")))
+          .sortValues(Seq(SortKey.asc("o_orderkey"))).df
+      },
+      Some("""
+        SELECT o_orderkey, o_totalprice, o_orderpriority, true AS aligned
+        FROM orders ORDER BY o_orderkey""")),
+
     // set ops (§2.8): intersect / except / union-distinct on key sets.
     Q("q45_setops",
       (s, dir) => {
