@@ -102,6 +102,65 @@ object PipelineQueries {
                count(*) AS n, round(avg(q), 6) AS avg_quality
         FROM scored GROUP BY 1 ORDER BY 1""")),
 
+    // End-to-end training-data filter pipeline: exact dedup → language
+    // gate → quality threshold → token-length band → per-language yield
+    // stats. One declarative plan: dedup's hash shuffle is the only
+    // exchange before the final aggregate — the whole filter chain is a
+    // single codegen'd pass at any corpus scale.
+    Q("q135_filter_pipeline",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val deduped = Dedup.exact(docs, "doc_id", "text")
+        val kept = deduped
+          .withColumn("lang_pred", Text.languageId(col("text")))
+          .filter(col("lang_pred").isin("en", "es", "de", "fr"))
+          .withColumn("quality", Text.qualityScore(col("text")))
+          .filter(col("quality") >= 0.3)
+          .withColumn("n_tok", Text.tokenCountWs(col("text")))
+          .filter(col("n_tok").between(50, 2000))
+        Frame(kept.groupBy(col("lang_pred"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_tok")).cast("long").as("total_tokens"),
+            round(min(col("quality")), 6).as("min_quality")))
+          .sortValues(Seq(SortKey.asc("lang_pred"))).df
+      },
+      Some("""
+        WITH dedup AS (
+          SELECT * FROM (
+            SELECT doc_id, text,
+                   row_number() OVER (
+                     PARTITION BY md5(trim(regexp_replace(lower(text), '\W+', ' ', 'g')))
+                     ORDER BY doc_id) AS rn
+            FROM documents) WHERE rn = 1),
+        scored AS (
+          SELECT doc_id, text,
+                 len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for)\b')) AS s_en,
+                 len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|por)\b')) AS s_es,
+                 len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ein|mit)\b')) AS s_de,
+                 len(regexp_extract_all(lower(text), '\b(le|la|les|de|et|est|pas|pour)\b')) AS s_fr,
+                 round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+                     + least(CAST(len(regexp_extract_all(lower(text),
+                         '\b(the|and|of|to|in|is|that|for|el|la|de|que|y|en|los|por|der|die|und|das|ist|nicht|ein|mit|le|les|est|pas|pour)\b')) AS DOUBLE) / 10.0, 1.0) * 0.3
+                     + (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+                            / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.2, 6) AS quality,
+                 len(regexp_extract_all(trim(text), '\S+')) AS n_tok
+          FROM dedup),
+        labeled AS (
+          SELECT *,
+                 CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                      WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                      WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                      WHEN s_de >= s_fr THEN 'de'
+                      ELSE 'fr' END AS lang_pred
+          FROM scored)
+        SELECT lang_pred, count(*) AS n_kept,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               round(min(quality), 6) AS min_quality
+        FROM labeled
+        WHERE lang_pred IN ('en', 'es', 'de', 'fr')
+          AND quality >= 0.3 AND n_tok BETWEEN 50 AND 2000
+        GROUP BY lang_pred ORDER BY lang_pred""")),
+
     // MinHash-LSH near-dup candidate pairs (shingle → 16-hash signature →
     // 4 bands → bucket self-join → exact Jaccard verify). xxhash64-based:
     // no SQL oracle; semantics pinned in DedupSpec.

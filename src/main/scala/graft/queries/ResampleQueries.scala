@@ -61,7 +61,7 @@ object ResampleQueries {
           "n_events" -> count(lit(1)))
         .sortValues(Seq(SortKey.asc("user_id"))).df,
       Some("""
-        SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+        SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
         FROM (
           SELECT user_id,
                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts

@@ -98,6 +98,46 @@ object WindowExtraQueries {
         GROUP BY a.event_id, a.value
         ORDER BY a.event_id""")),
 
+    // Weighted rolling window (pandas rolling(7, win_type='triang') —
+    // reference modin/pandas/window.py:34, the family modin defaults to
+    // pandas for). Triangular weights [1,2,3,4,3,2,1] applied by position
+    // over the windowed collect_list; exact integer arithmetic (Σw·cents
+    // then one half-up division) so both engines agree bit-for-bit.
+    Q("q137_rolling_weighted",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(-6, 0)
+        val centsArr = collect_list((col("value").cast("decimal(18,2)") * 100).cast("long")).over(w)
+        val cnt = size(centsArr)
+        // weight for position i in a full 7-window: 4 - |3 - i|
+        val weighted = aggregate(
+          zip_with(centsArr, sequence(lit(0), cnt - 1),
+            (c, i) => c * (lit(4) - abs(lit(3) - i))),
+          lit(0L), (acc, x) => acc + x)
+        // mean dollars at 4 decimals: S*25/4 per 1e-4 unit (Σw = 16)
+        val mean4 = floor((weighted * 50 + 4) / 8) / lit(10000.0)
+        Frame(t(s, dir, "events").select(
+          col("event_id"),
+          when(cnt >= 7, mean4).as("triang_mean")))
+          .sortValues(Seq(SortKey.asc("event_id"))).df
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events)
+        SELECT a.event_id,
+               CASE WHEN count(*) >= 7
+                    THEN floor((50 * sum(b.c * (4 - abs(3 - (b.rn - a.rn + 6)))) + 4) / 8)
+                         / 10000.0
+               END AS triang_mean
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 6 AND a.rn
+        GROUP BY a.event_id
+        ORDER BY a.event_id""")),
+
     // rolling corr/cov over a 10-row window per user (reference
     // rolling_corr/cov base QC:6715,6740) — Spark's corr/covar_samp are
     // window-capable aggregates, so this stays one shuffle on user_id.
