@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.api.{Frame, SortKey}
 import graft.ops.Missing
@@ -84,6 +85,27 @@ object MissingQueries {
                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_bfill,
                CASE WHEN event_type = 'click' THEN 'tap' ELSE event_type END AS event_type,
                regexp_replace(props, '[0-9]+', 'N', 'g') AS props_masked
+        FROM events ORDER BY event_id""")),
+
+    // ffill(limit=2) (reference fillna limit handling QC:2710-2812): the
+    // fill only reaches 2 rows past the last non-null — a bounded
+    // trailing window instead of the unbounded one.
+    Q("q139_ffill_limit",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(-2, 0)
+        val v = when(col("value") < 20 || col("value") > 30, col("value"))
+        Frame(t(s, dir, "events")
+          .withColumn("v_limited", last(v, ignoreNulls = true).over(w))
+          .select(col("event_id"), col("v_limited")))
+          .sortValues(Seq(SortKey.asc("event_id"))).df
+      },
+      Some("""
+        SELECT event_id,
+               last_value(CASE WHEN value < 20 OR value > 30 THEN value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS v_limited
         FROM events ORDER BY event_id""")),
 
     // case_when chain (reference QC:4818) + df.compare (QC:4807): rows

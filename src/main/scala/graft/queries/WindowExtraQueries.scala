@@ -98,6 +98,33 @@ object WindowExtraQueries {
         GROUP BY a.event_id, a.value
         ORDER BY a.event_id""")),
 
+    // expanding().median() / quantile (reference expanding_median,
+    // expanding_quantile QC:1475-1667): exact percentile over the
+    // unbounded-preceding frame per user. Median of cents interpolates
+    // two cents at factor 0.5 — no 4-decimal rounding tie possible.
+    Q("q138_expanding_median",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        Frame(t(s, dir, "events").select(
+          col("event_id"),
+          round(percentile(col("value"), lit(0.5)).over(w), 4).as("exp_median"),
+          round(percentile(col("value"), lit(0.25)).over(w), 4).as("exp_q25")))
+          .sortValues(Seq(SortKey.asc("event_id"))).df
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events)
+        SELECT a.event_id,
+               round(quantile_cont(b.value, 0.5), 4) AS exp_median,
+               round(quantile_cont(b.value, 0.25), 4) AS exp_q25
+        FROM e a JOIN e b ON a.user_id = b.user_id AND b.rn <= a.rn
+        GROUP BY a.event_id
+        ORDER BY a.event_id""")),
+
     // Weighted rolling window (pandas rolling(7, win_type='triang') —
     // reference modin/pandas/window.py:34, the family modin defaults to
     // pandas for). Triangular weights [1,2,3,4,3,2,1] applied by position
