@@ -27,7 +27,7 @@ object Similarity {
   /** Native codegen'd cosine (graft.plans.CosineSim) — bit-identical to
     * [[cosine]] on array<float> inputs, one fused loop instead of three
     * lambda trees. Registers the function on the frame's session. */
-  private def nativeCosine(df: DataFrame)(a: Column, b: Column): Column = {
+  private[graft] def nativeCosine(df: DataFrame)(a: Column, b: Column): Column = {
     GraftExtensions.register(df.sparkSession)
     call_function("graft_cosine", a, b)
   }

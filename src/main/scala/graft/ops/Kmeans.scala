@@ -18,10 +18,8 @@ import graft.plans.GraftExtensions
  */
 object Kmeans {
 
-  private def cosineCol(df: DataFrame)(a: Column, b: Column): Column = {
-    GraftExtensions.register(df.sparkSession)
-    call_function("graft_cosine", a, b)
-  }
+  private def cosineCol(df: DataFrame)(a: Column, b: Column): Column =
+    Similarity.nativeCosine(df)(a, b)
 
   /** Deterministic init: the first `k` vectors under id order. */
   def initCentroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
@@ -40,7 +38,6 @@ object Kmeans {
     var it = 0
     while (it < iters) {
       val assigned = assign(corpus, vecCol, centroids)
-      val dim = size(col(vecCol))
       // element-wise mean via posexplode + regroup: (centroid, dim) keys —
       // one shuffle keyed by centroid×dimension, never driver-side
       val sums = assigned
@@ -50,12 +47,16 @@ object Kmeans {
       val means = sums.groupBy(col("centroid_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
         .select(col("centroid_id"),
-          transform(col("pairs"), p => p.getField("m").cast("float")).as("cvec"))
-      // L2-normalize so cosine against unit centroids is a plain dot
-      val norm = sqrt(aggregate(col("cvec"),
+          transform(col("pairs"), p => p.getField("m").cast("float")).as("mvec"))
+      // L2-normalize so cosine against unit centroids is a plain dot;
+      // a centroid whose cluster emptied keeps its previous position
+      // (standard Lloyd's fix — k never silently shrinks)
+      val norm = sqrt(aggregate(col("mvec"),
         lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-      centroids = means.select(col("centroid_id"),
-        transform(col("cvec"), x => (x.cast("double") / norm).cast("float")).as("cvec"))
+      val updated = means.select(col("centroid_id"),
+        transform(col("mvec"), x => (x.cast("double") / norm).cast("float")).as("__new__"))
+      centroids = centroids.join(updated, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("__new__"), col("cvec")).as("cvec"))
         .localCheckpoint(true) // truncate the per-iteration lineage
       it += 1
     }

@@ -32,10 +32,15 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // match the zip_with/aggregate fold exactly: a length mismatch pads
+    // with null and a null element nulls the whole fold — return NULL,
+    // never a silently-truncated score
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -54,14 +59,22 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |final int $n = Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $x.getFloat($i);
-         |  double $yi = (double) $y.getFloat($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |if ($x.numElements() != $y.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  final int $n = $x.numElements();
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; }
+         |    else {
+         |      double $xi = (double) $x.getFloat($i);
+         |      double $yi = (double) $y.getFloat($i);
+         |      $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |    }
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+         |  }
          |}
-         |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
        """.stripMargin
     })
 }

@@ -41,14 +41,18 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
+      // a null token hashes to the seed itself (xxhash64 of null keeps
+      // the accumulator at 42) — matching Text.simhash bit-for-bit
+      val h =
+        if (arr.isNullAt(i)) 42L
+        else {
+          val s = arr.getUTF8String(i)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
         }
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
       }
       i += 1
     }
@@ -71,13 +75,16 @@ case class SimHash64(child: Expression) extends UnaryExpression {
          |int[] $votes = new int[64];
          |final int $n = $arr.numElements();
          |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$arr.isNullAt($i)) {
+         |  long $h;
+         |  if ($arr.isNullAt($i)) {
+         |    $h = 42L; // xxhash64 of a null token keeps the seed (Text.simhash parity)
+         |  } else {
          |    org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
-         |    long $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(),
+         |    $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(),
          |      $s.numBytes(), 42L);
-         |    for (int $b = 0; $b < 64; $b++) {
-         |      if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
-         |    }
+         |  }
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
          |  }
          |}
          |${ev.value} = 0L;

@@ -67,7 +67,7 @@ object PipelineQueries {
                      / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio,
                round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
                      + least(CAST(len(regexp_extract_all(lower(text),
-                         '\b(the|and|of|to|in|is|that|for|el|la|de|que|y|en|los|por|der|die|und|das|ist|nicht|ein|mit|le|les|est|pas|pour)\b')) AS DOUBLE) / 10.0, 1.0) * 0.3
+                         '\b(the|and|of|to|in|is|that|for|el|la|de|que|y|en|los|por|der|die|und|das|ist|nicht|ein|mit|le|les|et|est|pas|pour)\b')) AS DOUBLE) / 10.0, 1.0) * 0.3
                      + (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
                             / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.2, 6) AS quality
         FROM documents ORDER BY doc_id""")),
@@ -90,7 +90,7 @@ object PipelineQueries {
                  len(regexp_extract_all(lower(text), '\b(le|la|les|de|et|est|pas|pour)\b')) AS s_fr,
                  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
                      + least(CAST(len(regexp_extract_all(lower(text),
-                         '\b(the|and|of|to|in|is|that|for|el|la|de|que|y|en|los|por|der|die|und|das|ist|nicht|ein|mit|le|les|est|pas|pour)\b')) AS DOUBLE) / 10.0, 1.0) * 0.3
+                         '\b(the|and|of|to|in|is|that|for|el|la|de|que|y|en|los|por|der|die|und|das|ist|nicht|ein|mit|le|les|et|est|pas|pour)\b')) AS DOUBLE) / 10.0, 1.0) * 0.3
                      + (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
                             / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.2, 6) AS q
           FROM documents)
@@ -140,7 +140,7 @@ object PipelineQueries {
                  len(regexp_extract_all(lower(text), '\b(le|la|les|de|et|est|pas|pour)\b')) AS s_fr,
                  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
                      + least(CAST(len(regexp_extract_all(lower(text),
-                         '\b(the|and|of|to|in|is|that|for|el|la|de|que|y|en|los|por|der|die|und|das|ist|nicht|ein|mit|le|les|est|pas|pour)\b')) AS DOUBLE) / 10.0, 1.0) * 0.3
+                         '\b(the|and|of|to|in|is|that|for|el|la|de|que|y|en|los|por|der|die|und|das|ist|nicht|ein|mit|le|les|et|est|pas|pour)\b')) AS DOUBLE) / 10.0, 1.0) * 0.3
                      + (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
                             / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.2, 6) AS quality,
                  len(regexp_extract_all(trim(text), '\S+')) AS n_tok

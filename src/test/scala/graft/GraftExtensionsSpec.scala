@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The spark.sql.extensions activation path: a session built with
   * GraftExtensions gets the native functions AND the optimizer rule. */
-class GraftExtensionsSpec extends AnyFunSuite {
+class GraftExtensionsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
   private lazy val extSpark: SparkSession = {
     // getOrCreate() would silently reuse the shared test session WITHOUT
@@ -25,10 +25,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .appName("graft-ext-test")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "2")
+      // static confs (warehouse dir) are fixed by whichever session is
+      // built FIRST in the JVM — keep them identical to SparkSuite's so
+      // suite execution order can't leak a wrong warehouse into ScaleSpec
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
+  }
+
+  override def afterAll(): Unit = {
+    // un-register this session so a later SparkSuite.session getOrCreate
+    // builds its own (extension-free) session rather than reusing ours
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    super.afterAll()
   }
 
   test("extensions-built session exposes graft functions via SQL") {
@@ -46,10 +59,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .createOrReplaceTempView("emb_v")
     val df = extSpark.sql("SELECT graft_cosine(embedding, embedding) AS c FROM emb_v")
     val optimized = df.queryExecution.optimizedPlan.toString
-    assert(!optimized.contains("graft_cosine"),
+    assert(!optimized.contains("graft_cosine("),
       s"self-cosine should be folded:\n$optimized")
-    // every output is EXACTLY 1.0 — computed cosine would show FP error
-    assert(df.collect().forall(r => r.getDouble(0) == 1.0))
+    assert(optimized.contains("graft_self_cosine"),
+      s"fold target missing:\n$optimized")
+    // the rewrite is value-preserving BIT-FOR-BIT, FP quirks included
+    // (cosine(v,v) is ≈1 but not exactly 1 when √na·√na ≠ na): compare
+    // against the raw expression evaluated through Similarity.cosine
+    val folded = df.collect().map(_.getDouble(0))
+    val raw = extSpark.table("emb_v")
+      .select(graft.functions.Similarity.cosine(col("embedding"), col("embedding")))
+      .collect().map(_.getDouble(0))
+    assert(folded.sorted.toSeq == raw.sorted.toSeq)
   }
 
   test("null vector stays null after the fold") {
