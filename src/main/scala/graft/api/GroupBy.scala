@@ -78,7 +78,7 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
 
   /** reference groupby_cumcount (base QC:3906) — 0-based like pandas. */
   def cumcount(as: String, order: Seq[SortKey]): Frame =
-    frame.withColumn(as, row_number().over(w(order)) - 1)
+    frame.withColumn(as, (row_number().over(w(order)) - 1).cast("long"))
 
   /** reference groupby_shift (base QC:4324). */
   def shift(c: String, as: String, periods: Int, order: Seq[SortKey]): Frame =

@@ -105,13 +105,13 @@ object ExtrasQueries {
           .withColumn("meta", struct(col("lang").as("lang"), octet_length(col("text")).as("len")))
         Frame(d.select(
           col("doc_id"),
-          size(col("words")).as("list_len"),
+          size(col("words")).cast("long").as("list_len"),
           element_at(col("words"), 1).as("first_word"),
           element_at(col("words"), -1).as("last_word"),
           concat_ws(" ", slice(col("words"), 1, 3)).as("first3"),
           array_contains(col("words"), "data").as("has_data"),
           col("meta").getField("lang").as("meta_lang"),
-          col("meta.len").as("meta_len")))
+          col("meta.len").cast("long").as("meta_len")))
           .sortValues(Seq(SortKey.asc("doc_id"))).df
       },
       Some("""

@@ -67,6 +67,25 @@ object IoQueries {
         SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // from_map / from_range (reference from_map dispatcher.py:188-240 —
+    // one partition per input chunk): generate a table inside the plan
+    // from spark.range + expressions, no driver-side data.
+    Q("q140_from_range",
+      (s, dir) => {
+        val gen = s.range(0, 100000, 1, 8).select(
+          col("id"),
+          (col("id") % 7).as("bucket"),
+          (col("id") * col("id") % 1001).as("v"))
+        Frame(gen.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"), max(col("id")).as("max_id")))
+          .sortValues(Seq(SortKey.asc("bucket"))).df
+      },
+      Some("""
+        SELECT id % 7 AS bucket, count(*) AS n,
+               CAST(sum(id * id % 1001) AS BIGINT) AS sum_v, max(id) AS max_id
+        FROM (SELECT unnest(range(0, 100000)) AS id)
+        GROUP BY 1 ORDER BY 1""")),
+
     // to_orc + read_orc round-trip (reference read_orc is a
     // default_to_pandas thin path; native columnar source in Spark).
     Q("q12_orc_roundtrip",

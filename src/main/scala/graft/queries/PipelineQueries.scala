@@ -51,8 +51,8 @@ object PipelineQueries {
     Q("q102_text_stats",
       (s, dir) => Frame(t(s, dir, "documents").select(
         col("doc_id"),
-        Text.tokenCountWs(col("text")).as("n_tok_ws"),
-        Text.tokenCountWords(col("text")).as("n_tok_word"),
+        Text.tokenCountWs(col("text")).cast("long").as("n_tok_ws"),
+        Text.tokenCountWords(col("text")).cast("long").as("n_tok_word"),
         round(Text.avgTokenLen(col("text")), 4).as("avg_tok_len"),
         round(Text.punctRatio(col("text")), 6).as("punct_ratio"),
         round(Text.qualityScore(col("text")), 6).as("quality")))

@@ -154,7 +154,7 @@ object SelectQueries {
         .sortValues(Seq(SortKey.asc("user_id"))).df,
       Some("""
         SELECT user_id,
-               sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null,
+               CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
                round(sum(v), 4) AS sum_v
         FROM (
           SELECT user_id,

@@ -146,7 +146,7 @@ object StringDateQueries {
         .sortValues(Seq(SortKey.asc("event_type"))).df,
       Some("""
         SELECT event_type, count(*) AS n,
-               sum(CAST(props->>'k' AS INTEGER)) AS sum_k,
+               CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
                max(CAST(props->>'k' AS INTEGER)) AS max_k
         FROM events GROUP BY event_type ORDER BY event_type""")),
 

@@ -62,8 +62,8 @@ object UdfQueries {
       },
       Some("""
         SELECT l_returnflag,
-               sum(CAST(round(l_quantity * l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                              * 10000, 0) AS BIGINT)) AS sum_net4,
+               CAST(sum(CAST(round(l_quantity * l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                              * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_net4,
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
@@ -128,9 +128,9 @@ object UdfQueries {
       },
       Some("""
         SELECT lang, count(*) AS n,
-               sum(strlen(text)) AS sum_bytes,
-               sum(ascii(substr(text, 1, 1))) AS sum_first_byte,
+               CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
+               CAST(sum(ascii(substr(text, 1, 1))) AS BIGINT) AS sum_first_byte,
                sum(list_sum(list_transform(regexp_extract_all(text, '.'),
-                                            ch -> ascii(ch)))) AS sum_byte_total
+                                            ch -> ascii(ch)))) :: BIGINT AS sum_byte_total
         FROM documents GROUP BY lang ORDER BY lang""")))
 }

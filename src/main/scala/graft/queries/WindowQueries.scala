@@ -97,7 +97,7 @@ object WindowQueries {
           .sortValues(Seq(SortKey.asc("user_id"), SortKey.asc("event_id"))).df
       },
       Some("""
-        SELECT user_id, event_id, rn - 1 AS k FROM (
+        SELECT user_id, event_id, CAST(rn - 1 AS BIGINT) AS k FROM (
           SELECT user_id, event_id,
                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
           FROM events) WHERE rn <= 3
