@@ -106,19 +106,40 @@ object Similarity {
 
   /** IVF-style coarse quantization: assign each vector to the nearest of a
     * broadcast centroid table (id, vec); probing = equi-join on the
-    * centroid id. Centroids come from any upstream sampling step. */
+    * centroid id. Centroids come from any upstream sampling step.
+    *
+    * Plan shape: the centroid table is packed into ONE array-of-structs
+    * row and attached with a broadcast single-row cross join; the argmax
+    * is then a per-row codegen'd `aggregate()` fold — ZERO corpus
+    * shuffles. (The previous formulation windowed row_number() over a
+    * per-row surrogate id across the corpus×k cross product, which
+    * hash-shuffled k× the corpus per call — k× the exchange volume per
+    * Lloyd iteration at 100 TB.) Ties on similarity pick the smaller
+    * centroid id; a row whose every similarity is null (dim mismatch /
+    * null element) gets a null centroid_id.
+    */
   def assignCentroid(df: DataFrame, vecCol: String, centroids: DataFrame,
       centIdCol: String, centVecCol: String): DataFrame = {
-    // Attach a surrogate row id BEFORE the cross join and take the top-1
-    // per row id: partitioning the window by the corpus columns would
-    // silently collapse exact-duplicate input rows into one output row.
-    val rid = "__rid__"
-    val withId = df.withColumn(rid, monotonically_increasing_id())
-    val scored = withId.crossJoin(broadcast(centroids))
-      .withColumn("__sim__", nativeCosine(df)(col(vecCol), col(centVecCol)))
+    GraftExtensions.register(df.sparkSession)
+    val idType = centroids.schema(centIdCol).dataType
+    val packed = centroids.agg(collect_list(
+      struct(col(centIdCol).as("cid"), col(centVecCol).as("cvec"))).as("__cents__"))
     val keys = df.columns.map(col).toIndexedSeq
-    val w = Window.partitionBy(col(rid)).orderBy(col("__sim__").desc, col(centIdCol).asc)
-    scored.withColumn("__rk__", row_number().over(w)).filter(col("__rk__") === 1)
-      .select((keys :+ col(centIdCol).as("centroid_id")): _*)
+    // score each centroid exactly once, then fold argmax over the scores
+    val scored = transform(col("__cents__"), c => struct(
+      c.getField("cid").as("cid"),
+      call_function("graft_cosine", col(vecCol), c.getField("cvec")).as("sim")))
+    val init = struct(
+      lit(null).cast(idType).as("cid"), lit(null).cast("double").as("sim"))
+    val best = aggregate(scored, init, (acc, c) => {
+      val s = c.getField("sim")
+      val better = s.isNotNull && (acc.getField("cid").isNull ||
+        s > acc.getField("sim") ||
+        (s === acc.getField("sim") && c.getField("cid") < acc.getField("cid")))
+      when(better, c).otherwise(acc)
+    })
+    df.crossJoin(broadcast(packed))
+      .withColumn("__best__", best)
+      .select((keys :+ col("__best__").getField("cid").as("centroid_id")): _*)
   }
 }

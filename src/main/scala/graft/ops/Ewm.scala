@@ -24,7 +24,10 @@ object Ewm {
 
   /** Adds `out` = ewm-mean of `valueCol` per `keyCol` group ordered by
     * (`orderCol` asc, tie-break `idCol` asc). Input columns must be
-    * (bigint, orderable, bigint, double). */
+    * (bigint, orderable, bigint, double). Null values follow pandas
+    * `ignore_na=False`: the weight still decays across a null row but
+    * nothing is added, and the output at a null row is the ewm of the
+    * values seen so far (NaN→null before any value). */
   def meanByKey(
       df: DataFrame, keyCol: String, orderCol: String, idCol: String,
       valueCol: String, alpha: Double, out: String): DataFrame = {
@@ -45,9 +48,16 @@ object Ewm {
         var num = 0.0
         var den = 0.0
         rows.iterator.map { r =>
-          num = r.getDouble(3) + oneMinus * num
-          den = 1.0 + oneMinus * den
-          Row.fromSeq(r.toSeq :+ num / den)
+          if (r.isNullAt(3)) {
+            // ignore_na=False: existing weights decay, nothing is added
+            num = oneMinus * num
+            den = oneMinus * den
+            Row.fromSeq(r.toSeq :+ (if (den == 0.0) null else num / den))
+          } else {
+            num = r.getDouble(3) + oneMinus * num
+            den = 1.0 + oneMinus * den
+            Row.fromSeq(r.toSeq :+ num / den)
+          }
         }
       }(enc)
   }

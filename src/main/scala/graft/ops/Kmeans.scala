@@ -64,8 +64,9 @@ object Kmeans {
   }
 
   /** Nearest-centroid assignment — delegates to
-    * [[Similarity.assignCentroid]] (surrogate-row-id window top-1, the
-    * duplicate-row-safe formulation). */
+    * [[Similarity.assignCentroid]] (broadcast array argmax fold: zero
+    * corpus shuffles, duplicate-row-safe by construction since no
+    * window/groupBy is involved). */
   def assign(corpus: DataFrame, vecCol: String, centroids: DataFrame): DataFrame =
     Similarity.assignCentroid(corpus, vecCol, centroids, "centroid_id", "cvec")
 

@@ -28,7 +28,10 @@ object Monotonic {
     * Nulls make the series non-monotonic (pandas: NaN ⇒ False).
     * Restriction: both columns must cast to double losslessly — longs
     * beyond 2^53 would alias; use a decimal/string comparator variant
-    * if that range matters. */
+    * if that range matters. `orderCol` must also be a UNIQUE total
+    * order (e.g. `__row_order__`): with ties in orderCol the
+    * within-partition sort leaves tied rows in arbitrary relative
+    * order, so the inc/dec verdict on valueCol could vary run-to-run. */
   def check(df: DataFrame, orderCol: String, valueCol: String): (Boolean, Boolean) = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // alias both sides — orderCol may BE valueCol (series case)

@@ -48,6 +48,10 @@ object Multimodal {
     packed.mapPartitions { it =>
       // per-partition init happens HERE (codec handle, model session, …)
       it.map { r =>
+        // null payload (e.g. null text through pack's encode) → null
+        // features, not an NPE'd task
+        if (r.isNullAt(payloadIdx)) Row(r.getLong(idIdx), 0, null, null)
+        else {
         val bytes = r.getAs[Array[Byte]](payloadIdx)
         val n = bytes.length
         // stub features: first-byte value and simple byte sum
@@ -56,6 +60,7 @@ object Multimodal {
         var i = 0
         while (i < n) { s += (bytes(i) & 0xFF); i += 1 }
         Row(r.getLong(idIdx), n, feat0, s)
+        }
       }
     }(enc)
   }

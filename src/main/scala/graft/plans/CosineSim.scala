@@ -24,6 +24,11 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       s"graft_cosine requires (array<float>, array<float>), got (${l.catalogString}, ${r.catalogString})")
   }
   override def dataType: DataType = DoubleType
+  // Can return NULL from non-null inputs (length mismatch, null array
+  // element) — must be declared, or with non-nullable children codegen
+  // emits an assignment to a `false` literal and NullPropagation folds
+  // IsNull(graft_cosine(..)) to false.
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =

@@ -23,6 +23,9 @@ case class SelfCosine(child: Expression) extends UnaryExpression {
       s"self_cosine requires array<float>, got ${other.catalogString}")
   }
   override def dataType: DataType = DoubleType
+  // Null array elements yield NULL from a non-null input — declare it so
+  // codegen/NullPropagation don't assume non-nullability (see CosineSim).
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_self_cosine"
 
   override protected def withNewChildInternal(newChild: Expression): SelfCosine =

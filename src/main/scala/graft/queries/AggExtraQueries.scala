@@ -43,22 +43,33 @@ object AggExtraQueries {
 
     // quantile(list) — one exact-percentile aggregate returning the whole
     // list (reference QC:2815) — plus corrwith as pairwise corr of one
-    // anchor column against the rest (base QC:1326).
+    // anchor column against the rest (base QC:1326). The list is computed
+    // as a single array aggregate and unpacked to scalar columns so the
+    // oracle harness (which sorts result columns) can compare values.
     Q("q15_quantile_list_corrwith",
       (s, dir) => t(s, dir, "lineitem").agg(
         transform(
           percentile(col("l_extendedprice"), array(lit(0.1), lit(0.5), lit(0.9))),
-          v => round(v, 4)).as("price_quantiles"),
+          v => round(v, 4)).as("pq"),
         round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corrwith_price"),
         round(corr(col("l_quantity"), col("l_discount")), 6).as("corrwith_disc"),
-        round(corr(col("l_quantity"), col("l_tax")), 6).as("corrwith_tax")),
+        round(corr(col("l_quantity"), col("l_tax")), 6).as("corrwith_tax"))
+        .select(
+          element_at(col("pq"), 1).as("price_q10"),
+          element_at(col("pq"), 2).as("price_q50"),
+          element_at(col("pq"), 3).as("price_q90"),
+          col("corrwith_price"), col("corrwith_disc"), col("corrwith_tax")),
       Some("""
-        SELECT [round(q, 4) FOR q IN quantile_cont(l_extendedprice, [0.1, 0.5, 0.9])]
-                 AS price_quantiles,
-               round(corr(l_quantity, l_extendedprice), 6) AS corrwith_price,
-               round(corr(l_quantity, l_discount), 6) AS corrwith_disc,
-               round(corr(l_quantity, l_tax), 6) AS corrwith_tax
-        FROM lineitem""")),
+        SELECT round(qs[1], 4) AS price_q10,
+               round(qs[2], 4) AS price_q50,
+               round(qs[3], 4) AS price_q90,
+               corrwith_price, corrwith_disc, corrwith_tax
+        FROM (
+          SELECT quantile_cont(l_extendedprice, [0.1, 0.5, 0.9]) AS qs,
+                 round(corr(l_quantity, l_extendedprice), 6) AS corrwith_price,
+                 round(corr(l_quantity, l_discount), 6) AS corrwith_disc,
+                 round(corr(l_quantity, l_tax), 6) AS corrwith_tax
+          FROM lineitem)""")),
 
     // searchsorted (reference QC:2272): insertion index of each probe
     // value into the sorted l_quantity column = count of rows strictly

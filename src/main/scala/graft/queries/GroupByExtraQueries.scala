@@ -35,8 +35,11 @@ object GroupByExtraQueries {
     Q("q111_groupby_unique_ngroup",
       (s, dir) => {
         val fr = f(s, dir, "orders")
+        // serialize the set column so the oracle harness (pandas
+        // sort_values over all columns) can hash/sort the result
         val uniq = fr.groupby("o_orderpriority")
           .uniquePerGroup("o_orderstatus", "statuses")
+          .withColumn("statuses", array_join(col("statuses"), ","))
         val withId = fr.groupby("o_orderpriority").ngroup("gid")
           .select("o_orderpriority", "gid")
           .df.distinct()
@@ -46,7 +49,8 @@ object GroupByExtraQueries {
       Some("""
         SELECT u.o_orderpriority, u.statuses, g.gid FROM (
           SELECT o_orderpriority,
-                 list_sort(list_distinct(list(o_orderstatus))) AS statuses
+                 array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+                   AS statuses
           FROM orders GROUP BY o_orderpriority) u
         JOIN (
           SELECT o_orderpriority,

@@ -214,22 +214,30 @@ object WindowExtraQueries {
         val prev = ordered.select(
           (col("__row_order__") + 1).as("__ro_next__"),
           col("o_totalprice").as("__prev_price__"))
+        // pct_change at 6 decimals via exact integer cents arithmetic —
+        // Spark's round() rounds the shortest decimal repr while DuckDB
+        // rounds the exact binary value, so true x.xxxxx5 ties diverge;
+        // half-up division on exact cents is identical in both engines.
+        val cCur = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        val cPrev = (col("__prev_price__").cast("decimal(18,2)") * 100).cast("long")
+        val pct6 = floor(((cCur - cPrev) * 2000000L + cPrev) / (cPrev * 2)) / lit(1000000.0)
         Frame(ranked
           .join(prev, ranked("__row_order__") === prev("__ro_next__"), "left")
           .select(
             col("o_orderkey"),
             col("rnk"),
-            round((col("o_totalprice") - col("__prev_price__")) / col("__prev_price__"), 6)
-              .as("pct_change")))
+            pct6.as("pct_change")))
           .sortValues(Seq(SortKey.asc("o_orderkey"))).df
       },
       Some("""
         SELECT o_orderkey,
                rank() OVER (ORDER BY o_totalprice DESC) AS rnk,
-               round((o_totalprice - lag(o_totalprice)
-                        OVER (ORDER BY o_totalprice DESC, o_orderkey))
-                     / lag(o_totalprice) OVER (ORDER BY o_totalprice DESC, o_orderkey), 6)
-                 AS pct_change
-        FROM orders
+               floor(((c - pc) * 2000000 + pc) / (pc * 2)) / 1000000.0 AS pct_change
+        FROM (
+          SELECT o_orderkey, o_totalprice,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                 lag(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   OVER (ORDER BY o_totalprice DESC, o_orderkey) AS pc
+          FROM orders)
         ORDER BY o_orderkey""")))
 }
