@@ -186,10 +186,32 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
 
   /** reference groupby_cumprod (base QC:4002) over an integral column:
     * exact long fold over the running prefix (a windowed collect_list —
-    * bounded-group op; for unbounded groups use exp∘cumsum∘log). */
+    * bounded-group op, O(n²) in group length; for unbounded groups use
+    * [[cumprodDouble]]). */
   def cumprodLong(c: String, as: String, order: Seq[SortKey]): Frame =
     frame.withColumn(as,
       aggregate(collect_list(col(c)).over(running(order)), lit(1L), (acc, x) => acc * x))
+
+  /** Unbounded-group cumprod: sign/zero-aware exp∘sum∘log. Three plain
+    * running-window aggregates (log-magnitude sum, negative count, zero
+    * count) — O(n) per group with partial window evaluation and no
+    * per-row prefix materialization, so it survives groups of any
+    * length. The magnitude is exp-of-sum (FP-approximate to ~1e-13
+    * relative, unlike [[cumprodLong]]'s exact integers); sign and
+    * zero-ness are exact. Nulls follow pandas skipna cumprod: a null row
+    * emits null and is excluded from the running product. */
+  def cumprodDouble(c: String, as: String, order: Seq[SortKey]): Frame = {
+    val w = running(order)
+    val x = col(c).cast("double")
+    val zeros = sum(when(x === 0.0, 1L).otherwise(0L)).over(w)
+    val negs = sum(when(x < 0.0, 1L).otherwise(0L)).over(w)
+    val logSum = sum(when(x =!= 0.0, log(abs(x)))).over(w)
+    val sign = when(pmod(negs, lit(2L)) === 1L, lit(-1.0)).otherwise(lit(1.0))
+    frame.withColumn(as,
+      when(x.isNull, lit(null).cast("double"))
+        .when(zeros > 0, sign * lit(0.0))
+        .otherwise(sign * exp(coalesce(logSum, lit(0.0)))))
+  }
 
   /** reference groupby_fillna method='ffill' (base QC:4228): per-group
     * forward fill = last non-null over the running window. */

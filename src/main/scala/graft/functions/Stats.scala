@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.WindowSpec
 import org.apache.spark.sql.functions._
 
 /**
@@ -42,4 +43,29 @@ object Stats {
 
   /** Exact quantile with linear interpolation (pandas default). */
   def quantile(c: Column, q: Double): Column = percentile(c, lit(q))
+
+  // Windowed variants of the moment corrections — same formulas with
+  // every aggregate evaluated over the window frame, so rolling/expanding
+  // skew/kurt/sem (pandas rolling_skew QC:1475+, expanding family) stay
+  // ordinary window aggregates: one shuffle on the partition key, no UDAF.
+
+  /** Rolling/expanding sample skewness G1 over a window frame. Null
+    * until the frame holds ≥3 non-null values (n−2 in the denominator). */
+  def skewOver(c: Column, w: WindowSpec): Column = {
+    val n = count(c).over(w).cast("double")
+    when(n >= 3, skewness(c).over(w) * sqrt(n * (n - lit(1.0))) / (n - lit(2.0)))
+  }
+
+  /** Rolling/expanding bias-corrected excess kurtosis G2 over a window
+    * frame. Null until the frame holds ≥4 non-null values. */
+  def kurtOver(c: Column, w: WindowSpec): Column = {
+    val n = count(c).over(w).cast("double")
+    when(n >= 4,
+      (n - lit(1.0)) / ((n - lit(2.0)) * (n - lit(3.0))) *
+        ((n + lit(1.0)) * kurtosis(c).over(w) + lit(6.0)))
+  }
+
+  /** Rolling/expanding standard error of the mean over a window frame. */
+  def semOver(c: Column, w: WindowSpec): Column =
+    stddev_samp(c).over(w) / sqrt(count(c).over(w).cast("double"))
 }

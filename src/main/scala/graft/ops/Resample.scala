@@ -58,6 +58,32 @@ object Resample {
     }
   }
 
+  /** resample().nearest() (reference resample_nearest base QC:5879+):
+    * fill each spine point from the closer of the previous/next known
+    * observation, measured along `orderCol` (epoch seconds for a time
+    * spine); exact midpoints take the previous one, matching pandas'
+    * `left_dist <= right_dist` tie rule. Two running windows (ffill +
+    * bfill of value and position) — per-key when `keys` is set, else a
+    * keyless spine-sized window (the spine is range/step-sized, not
+    * data-sized, so the single task is bounded by construction). */
+  def nearest(df: DataFrame, orderCol: String, valueCol: String, out: String,
+      keys: Seq[String] = Nil): DataFrame = {
+    val wb = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wa = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val pv = last(col(valueCol), ignoreNulls = true).over(wb)
+    val pr = last(when(col(valueCol).isNotNull, col(orderCol)), ignoreNulls = true).over(wb)
+    val nv = first(col(valueCol), ignoreNulls = true).over(wa)
+    val nr = first(when(col(valueCol).isNotNull, col(orderCol)), ignoreNulls = true).over(wa)
+    df.withColumn(out,
+      when(col(valueCol).isNotNull, col(valueCol))
+        .when(pv.isNull, nv)
+        .when(nv.isNull, pv)
+        .when(col(orderCol) - pr <= nr - col(orderCol), pv)
+        .otherwise(nv))
+  }
+
   /** Gap-based sessionization over an event stream: a session break is a
     * gap > `gapSeconds` since the previous event of the same user; session
     * ids are the running count of breaks. One shuffle on the key, two

@@ -179,8 +179,9 @@ object PipelineQueries {
         .sortValues(Seq(SortKey.asc("id_a"), SortKey.asc("id_b"))).df,
       None),
 
-    // n-gram Jaccard near-dup with a length-band bucket. DuckDB expresses
-    // the 2-gram shingle set with a list comprehension, so this one IS
+    // n-gram Jaccard near-dup with MinHash-banded candidates under an
+    // engine-portable hash (md5 — both engines compute identical band
+    // keys), so candidate generation AND the exact-Jaccard verify are
     // oracle-checked end to end.
     Q("q106_jaccard_pairs",
       (s, dir) => Frame(Dedup.jaccardPairs(
@@ -190,15 +191,20 @@ object PipelineQueries {
       Some("""
         WITH t AS (
           SELECT doc_id,
-                 list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS sh,
-                 len(w) // 10 AS bucket
+                 CASE WHEN len(w) >= 2
+                      THEN list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))])
+                      ELSE [array_to_string(w, ' ')] END AS sh
           FROM (SELECT doc_id, regexp_extract_all(trim(lower(text)), '\S+') AS w
-                FROM documents))
-        SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+                FROM documents)),
+        e AS (
+          SELECT doc_id, sh, b,
+                 list_min([md5(CAST(b AS VARCHAR) || ':' || s) for s in sh]) AS key
+          FROM t CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(b))
+        SELECT DISTINCT id_a, id_b, round(j, 6) AS jaccard FROM (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  len(list_intersect(a.sh, b.sh))::DOUBLE
                    / len(list_distinct(list_concat(a.sh, b.sh))) AS j
-          FROM t a JOIN t b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+          FROM e a JOIN e b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
         WHERE j >= 0.3 ORDER BY id_a, id_b""")),
 
     // Brute-force cosine top-k ANN baseline: broadcast 3 query vectors,

@@ -116,5 +116,80 @@ object ResampleExtraQueries {
                last_value(n_raw IGNORE NULLS) OVER (ORDER BY spine.bucket_sec
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_ffill
         FROM spine LEFT JOIN agg USING (bucket_sec)
-        ORDER BY bucket""")))
+        ORDER BY bucket""")),
+
+    // resample nearest + interpolate (reference resample_nearest /
+    // resample_interpolate base QC:5879-6233): 6h bucket totals (exact
+    // cents longs) upsampled to a 1h spine. nearest = the closer known
+    // neighbor along epoch seconds (midpoint ties → previous, pandas'
+    // left_dist <= right_dist rule, via Resample.nearest); interpolate =
+    // time-linear between the bracketing knowns with the q122 exact
+    // integer half-up formula — identical arithmetic in both engines.
+    // The spine window is keyless but spine-sized (range/step), not
+    // data-sized.
+    Q("q144_resample_nearest_interp",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val epochSec = (unix_micros(col("ts").cast("timestamp")) / lit(1000000L)).cast("long")
+        val bucketSec = (epochSec / lit(21600L)).cast("long") * 21600L
+        val known = ev.groupBy(bucketSec.as("ksec"))
+          .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("vc"))
+        val bounds = ev.agg(min(bucketSec).as("lo"), max(bucketSec).as("hi")).head()
+        val spine = s.range(bounds.getLong(0), bounds.getLong(1) + 1, 3600L)
+          .select(col("id").as("sec"))
+        val joined = spine.join(known, spine("sec") === known("ksec"), "left")
+          .select(col("sec"), col("vc"))
+        val wb = Window.orderBy(col("sec")).rowsBetween(Window.unboundedPreceding, 0)
+        val wa = Window.orderBy(col("sec")).rowsBetween(0, Window.unboundedFollowing)
+        val pv = last(col("vc"), ignoreNulls = true).over(wb)
+        val pr = last(when(col("vc").isNotNull, col("sec")), ignoreNulls = true).over(wb)
+        val nv = first(col("vc"), ignoreNulls = true).over(wa)
+        val nr = first(when(col("vc").isNotNull, col("sec")), ignoreNulls = true).over(wa)
+        val nearestC = graft.ops.Resample.nearest(joined, "sec", "vc", "__near_c__")
+        val interp = when(col("vc").isNotNull, col("vc") / lit(100.0))
+          .when(pv.isNull, lit(null).cast("double"))
+          .when(nv.isNull, pv / lit(100.0))
+          .otherwise(
+            floor((lit(2) * (pv * 100 * (nr - pr) + (nv - pv) * 100 * (col("sec") - pr))
+              + (nr - pr)) / (lit(2) * (nr - pr))) / lit(10000.0))
+        Frame(nearestC
+          .withColumn("v_interp", interp)
+          .select(
+            timestamp_seconds(col("sec")).cast("timestamp_ntz").as("bucket"),
+            (col("__near_c__") / 100.0).as("v_nearest"),
+            col("v_interp")))
+          .sortValues(Seq(SortKey.asc("bucket"))).df
+      },
+      Some("""
+        WITH spine AS (
+          SELECT unnest(range(
+            (SELECT CAST(floor(epoch(min(ts)) / 21600) AS BIGINT) * 21600 FROM events),
+            (SELECT CAST(floor(epoch(max(ts)) / 21600) AS BIGINT) * 21600 + 1 FROM events),
+            3600)) AS sec),
+        known AS (
+          SELECT CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 AS ksec,
+                 sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS vc
+          FROM events GROUP BY 1),
+        fbv AS (
+          SELECT sec, vc,
+                 last_value(vc IGNORE NULLS) OVER wb AS pv,
+                 last_value(CASE WHEN vc IS NOT NULL THEN sec END IGNORE NULLS) OVER wb AS pr,
+                 first_value(vc IGNORE NULLS) OVER wa AS nv,
+                 first_value(CASE WHEN vc IS NOT NULL THEN sec END IGNORE NULLS) OVER wa AS nr
+          FROM spine LEFT JOIN known ON spine.sec = known.ksec
+          WINDOW wb AS (ORDER BY sec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wa AS (ORDER BY sec ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT TIMESTAMP '1970-01-01 00:00:00' + sec * INTERVAL 1 SECOND AS bucket,
+               CASE WHEN vc IS NOT NULL THEN vc / 100.0
+                    WHEN pv IS NULL THEN nv / 100.0
+                    WHEN nv IS NULL THEN pv / 100.0
+                    WHEN sec - pr <= nr - sec THEN pv / 100.0
+                    ELSE nv / 100.0 END AS v_nearest,
+               CASE WHEN vc IS NOT NULL THEN vc / 100.0
+                    WHEN pv IS NULL THEN NULL
+                    WHEN nv IS NULL THEN pv / 100.0
+                    ELSE floor((2 * (pv * 100 * (nr - pr) + (nv - pv) * 100 * (sec - pr))
+                                + (nr - pr)) / (2 * (nr - pr))) / 10000.0
+               END AS v_interp
+        FROM fbv ORDER BY bucket""")))
 }

@@ -242,5 +242,70 @@ object StringDateQueries {
                  CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
                       AS DOUBLE) / 1e6 AS gap_s
           FROM events)
-        GROUP BY user_id ORDER BY user_id""")))
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // tz_localize / tz_convert (reference dt_tz_localize QC base:5396,
+    // dt_tz_convert :5354): localize = interpret the naive wall time in a
+    // zone (→ the UTC instant), convert = re-render an instant in another
+    // zone's wall time. Spark's to_utc_timestamp/from_utc_timestamp are
+    // exactly these two halves; outputs are normalized back to naive
+    // TIMESTAMP_NTZ for dtype parity with DuckDB's timezone() pairs.
+    // (events.ts is all Jan-2024 — no DST transition in any zone used.)
+    Q("q141_tz_localize_convert",
+      (s, dir) => {
+        val ts = col("ts").cast("timestamp")
+        Frame(t(s, dir, "events").select(
+          col("event_id"),
+          to_utc_timestamp(ts, "America/New_York").cast("timestamp_ntz").as("ny_localized_utc"),
+          from_utc_timestamp(ts, "Asia/Tokyo").cast("timestamp_ntz").as("utc_to_tokyo"),
+          from_utc_timestamp(to_utc_timestamp(ts, "America/New_York"), "Europe/Paris")
+            .cast("timestamp_ntz").as("ny_to_paris"),
+          hour(from_utc_timestamp(ts, "Australia/Sydney")).cast("long").as("sydney_hour")))
+          .sortValues(Seq(SortKey.asc("event_id"))).df
+      },
+      Some("""
+        SELECT event_id,
+               timezone('UTC', timezone('America/New_York', CAST(ts AS TIMESTAMP)))
+                 AS ny_localized_utc,
+               timezone('Asia/Tokyo', timezone('UTC', CAST(ts AS TIMESTAMP)))
+                 AS utc_to_tokyo,
+               timezone('Europe/Paris', timezone('America/New_York', CAST(ts AS TIMESTAMP)))
+                 AS ny_to_paris,
+               hour(timezone('Australia/Sydney', timezone('UTC', CAST(ts AS TIMESTAMP))))
+                 AS sydney_hour
+        FROM events ORDER BY event_id""")),
+
+    // Period family (reference dt_to_period QC base:2311, dt_qyear :2317,
+    // period start_time/end_time :2322-2328): a period is just its label
+    // plus its [start, end] span — date_trunc + offset arithmetic, all
+    // codegen'd scalar expressions. qyear uses fiscal freq Q-SEP (year of
+    // the quarter's end when quarters close in September): Oct-Dec roll
+    // into the next fiscal year. end_time = next period start − 1 µs.
+    Q("q142_period_ops",
+      (s, dir) => {
+        val d = col("o_orderdate")
+        Frame(t(s, dir, "orders").select(
+          col("o_orderkey"),
+          date_format(d, "yyyy-MM").as("period_m"),
+          concat(year(d).cast("string"), lit("Q"), quarter(d).cast("string")).as("period_q"),
+          (year(d) + (month(d) > 9).cast("int")).cast("long").as("qyear_sep"),
+          date_trunc("month", d).as("m_start_time"),
+          (date_trunc("month", add_months(d, 1)).cast("timestamp_ntz")
+            - expr("INTERVAL 1 MICROSECOND")).as("m_end_time"),
+          date_trunc("quarter", d).as("q_start_time")))
+          .sortValues(Seq(SortKey.asc("o_orderkey"))).df
+      },
+      Some("""
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m') AS period_m,
+               CAST(year(o_orderdate) AS VARCHAR) || 'Q' ||
+                 CAST(quarter(o_orderdate) AS VARCHAR) AS period_q,
+               CAST(year(o_orderdate) +
+                 CASE WHEN month(o_orderdate) > 9 THEN 1 ELSE 0 END AS BIGINT)
+                 AS qyear_sep,
+               date_trunc('month', o_orderdate) AS m_start_time,
+               CAST(date_trunc('month', CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH)
+                    AS TIMESTAMP) - INTERVAL 1 MICROSECOND AS m_end_time,
+               date_trunc('quarter', o_orderdate) AS q_start_time
+        FROM orders ORDER BY o_orderkey""")))
 }

@@ -239,5 +239,52 @@ object WindowExtraQueries {
                  lag(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
                    OVER (ORDER BY o_totalprice DESC, o_orderkey) AS pc
           FROM orders)
-        ORDER BY o_orderkey""")))
+        ORDER BY o_orderkey""")),
+
+    // rolling(10).skew()/kurt() + expanding sem/skew (reference
+    // rolling_skew/rolling_kurt QC:1475-1783, expanding_sem/skew family):
+    // Stats.skewOver/kurtOver compose the pandas bias corrections from
+    // Spark's windowed moment aggregates — plain window functions, one
+    // shuffle on user_id, whole-stage codegen throughout. Rolling gates
+    // at the full window (pandas min_periods = window); expanding gates
+    // at the moment's own minimum n.
+    Q("q143_rolling_skew_kurt",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val w10 = byUser.rowsBetween(-9, 0)
+        val wExp = byUser.rowsBetween(Window.unboundedPreceding, 0)
+        val n10 = count(col("value")).over(w10)
+        val nExp = count(col("value")).over(wExp)
+        Frame(t(s, dir, "events").select(
+          col("event_id"),
+          when(n10 === 10, round(graft.functions.Stats.skewOver(col("value"), w10), 4))
+            .as("roll_skew"),
+          when(n10 === 10, round(graft.functions.Stats.kurtOver(col("value"), w10), 4))
+            .as("roll_kurt"),
+          when(nExp >= 2, round(graft.functions.Stats.semOver(col("value"), wExp), 4))
+            .as("exp_sem"),
+          round(graft.functions.Stats.skewOver(col("value"), wExp), 4).as("exp_skew")))
+          .sortValues(Seq(SortKey.asc("event_id"))).df
+      },
+      Some("""
+        SELECT event_id,
+               CASE WHEN n10 = 10 THEN round(sk10, 4) END AS roll_skew,
+               CASE WHEN n10 = 10 THEN round(kt10, 4) END AS roll_kurt,
+               CASE WHEN ne >= 2 THEN round(seme, 4) END AS exp_sem,
+               CASE WHEN ne >= 3 THEN round(ske, 4) END AS exp_skew
+        FROM (
+          SELECT event_id,
+                 count(value) OVER w10 AS n10,
+                 skewness(value) OVER w10 AS sk10,
+                 kurtosis(value) OVER w10 AS kt10,
+                 count(value) OVER we AS ne,
+                 stddev_samp(value) OVER we / sqrt(count(value) OVER we) AS seme,
+                 skewness(value) OVER we AS ske
+          FROM events
+          WINDOW w10 AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+                 we AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        ORDER BY event_id""")))
 }

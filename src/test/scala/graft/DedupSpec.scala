@@ -73,6 +73,19 @@ class DedupSpec extends SparkSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("jaccardPairs finds near-dups whose lengths straddle a ÷10 word-count band") {
+    // 9 vs 11 words — the old word-count÷10 bucket put these in different
+    // bands (0 vs 1) and silently missed the pair; the MinHash band key is
+    // length-independent, so high shingle overlap alone drives candidacy.
+    val d = docs(
+      1L -> "a b c d e f g h i",
+      2L -> "a b c d e f g h i j k",
+      3L -> "z y x w v u t s r q p")
+    val pairs = Dedup.jaccardPairs(d, "id", "text", shingleN = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("fingerprint canonicalizes case and punctuation runs") {
     import spark.implicits._
     val out = Seq(("A!!B  c", "a b C")).toDF("x", "y")

@@ -71,6 +71,35 @@ class GroupBySpec extends SparkSuite {
     assert(out == Seq(2L, 6L, 30L))
   }
 
+  test("cumprodDouble matches cumprodLong on bounded integer groups") {
+    import spark.implicits._
+    // 40 rows / 2 groups, factors in {1,2,3}: products stay ≪ 2^53 so the
+    // exact path is a valid oracle for the exp∘sum∘log path
+    val d = (1 to 40).map(i => (s"g${i % 2}", i.toLong, (i % 3 + 1).toLong))
+      .toDF("k", "i", "v")
+    val exact = Frame(d).groupby("k").cumprodLong("v", "cp", Seq(SortKey.asc("i")))
+      .df.orderBy("i").collect().map(_.getAs[Long]("cp"))
+    val approx = Frame(d).groupby("k").cumprodDouble("v", "cp", Seq(SortKey.asc("i")))
+      .df.orderBy("i").collect().map(_.getAs[Double]("cp"))
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(a - e.toDouble) <= math.abs(e.toDouble) * 1e-12,
+        s"exact=$e approx=$a") }
+  }
+
+  test("cumprodDouble sign, zero, and null handling") {
+    import org.apache.spark.sql.Row
+    import spark.implicits._
+    val d = Seq(("a", 1L, Some(-2.0)), ("a", 2L, Some(3.0)), ("a", 3L, None),
+      ("a", 4L, Some(0.0)), ("a", 5L, Some(-5.0)))
+      .toDF("k", "i", "v")
+    val out = Frame(d).groupby("k").cumprodDouble("v", "cp", Seq(SortKey.asc("i")))
+      .df.orderBy("i").collect().map(r => Option(r.getAs[java.lang.Double]("cp")).map(_.toDouble))
+    assert(out(0).contains(-2.0) && out(1).contains(-6.0)) // sign carried
+    assert(out(2).isEmpty)                                 // null row → null
+    assert(out(3).contains(-0.0) || out(3).contains(0.0))  // zero kills the product
+    assert(out(4).exists(v => v == 0.0 || v == -0.0))      // …and stays dead
+  }
+
   test("idxminmax picks extremum labels with deterministic ties") {
     import spark.implicits._
     val d = Seq(("g", 5L, 1.0), ("g", 3L, 1.0), ("g", 7L, 9.0)).toDF("k", "id", "v")

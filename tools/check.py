@@ -8,6 +8,12 @@ Usage:
 2. loads every parquet table from <sf> into DuckDB views
 3. runs each oracle SQL from <out>/oracle_sql.json
 4. compares to the Spark result parquet at <out>/<name>/ and prints a verdict
+
+Queries with no SQL-expressible oracle (xxhash64-based minhash/simhash/LSH)
+are diffed against committed golden fixtures in tools/golden/<name>.parquet
+instead (deterministic seeds + sorted output make them reproducible).
+Regenerate with --bless after an intentional semantic change — and say why
+in the commit.
 """
 import argparse
 import json
@@ -96,8 +102,11 @@ def main():
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default="/tmp/graft_verify")
     ap.add_argument("--skip-run", action="store_true")
+    ap.add_argument("--bless", action="store_true",
+                    help="(re)write tools/golden fixtures for no-oracle queries")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+    golden_dir = Path(__file__).resolve().parent / "golden"
 
     outdir = Path(args.out)
     if not args.skip_run:
@@ -117,11 +126,37 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')")
 
     oracle_sql = json.loads((outdir / "oracle_sql.json").read_text())
-    names = args.names or sorted(oracle_sql)
+    golden_names = {p.stem for p in golden_dir.glob("*.parquet")} if golden_dir.is_dir() else set()
+    names = args.names or sorted(set(oracle_sql) | golden_names)
     ok = fail = 0
     for name in names:
         if name not in oracle_sql:
-            print(f"-- {name}: no oracle SQL (rows-only op)")
+            fixture = golden_dir / f"{name}.parquet"
+            try:
+                sdf = load_spark_result(outdir, name)
+            except Exception as e:
+                print(f"FAIL {name}: spark result missing: {e}")
+                fail += 1
+                continue
+            if args.bless:
+                golden_dir.mkdir(exist_ok=True)
+                sdf.to_parquet(fixture, index=False)
+                print(f"ok   {name} ({len(sdf)} rows)  [blessed golden fixture]")
+                ok += 1
+                continue
+            if not fixture.exists():
+                print(f"-- {name}: no oracle SQL and no golden fixture (rows-only op)")
+                continue
+            problems = compare(name, sdf, pd.read_parquet(fixture))
+            hard = [p for p in problems if not p.startswith("dtype note")]
+            if hard:
+                print(f"FAIL {name} ({len(sdf)} rows) vs golden fixture:")
+                for p in problems[:8]:
+                    print(f"   {p}")
+                fail += 1
+            else:
+                print(f"ok   {name} ({len(sdf)} rows)  [golden fixture]")
+                ok += 1
             continue
         try:
             odf = con.execute(oracle_sql[name]).fetchdf()
