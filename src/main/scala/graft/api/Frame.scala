@@ -71,6 +71,17 @@ final case class Frame(
   /** String-predicate filter (reference rowwise_query QC:3585). */
   def query(predicate: String): Frame = copy(df = df.filter(expr(predicate)))
 
+  /** `query` in the pandas expression dialect (`and`/`or`/`==`/`in [...]`/
+    * `True`…) — translated to Spark SQL by [[PandasExpr]], so ported
+    * pandas code runs unchanged. */
+  def queryPandas(predicate: String): Frame =
+    copy(df = df.filter(expr(PandasExpr.toSparkSql(predicate))))
+
+  /** `eval` in the pandas expression dialect: adds `name` = the evaluated
+    * expression (reference rowwise_query/eval surface). */
+  def evalPandas(name: String, expression: String): Frame =
+    copy(df = df.withColumn(name, expr(PandasExpr.toSparkSql(expression))))
+
   def withColumn(name: String, c: Column): Frame = copy(df = df.withColumn(name, c))
 
   /** Drop columns by label (reference QC:3326 — metadata-only there; a plain

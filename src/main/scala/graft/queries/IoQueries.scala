@@ -120,5 +120,42 @@ object IoQueries {
         SELECT p_type, count(*) AS n, round(sum(p_retailprice), 2) AS total
         FROM part WHERE p_brand = 'Brand#11'
         GROUP BY p_type ORDER BY p_type"""),
-      headline = true))
+      headline = true),
+
+    // read_table (tab-separated csv) + read_fwf (fixed-width text via
+    // sources.FixedWidth: newline-aligned byte split by the text source,
+    // codegen'd substring/trim/cast per column — the reference's text
+    // dispatcher split, text_file_dispatcher.py:988). Both written then
+    // read back and aggregated; the oracle computes the same aggregates
+    // from the original table, so a parse drift in either path fails.
+    Q("q146_read_table_fwf",
+      (s, dir) => {
+        val src = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val tpath = tmp(s, "orders_tsv")
+        src.write.mode(SaveMode.Overwrite)
+          .option("sep", "\t").option("header", "true").csv(tpath)
+        val tback = s.read
+          .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+          .option("sep", "\t").option("header", "true").csv(tpath)
+        val fpath = tmp(s, "orders_fwf")
+        src.select(format_string("%10d%2s%14.2f",
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")).as("value"))
+          .write.mode(SaveMode.Overwrite).text(fpath)
+        val fback = graft.sources.FixedWidth.read(s, fpath, Seq(
+          ("o_orderkey", 0, 10, "bigint"),
+          ("o_orderstatus", 10, 12, "string"),
+          ("o_totalprice", 12, 26, "double")))
+        val tAgg = tback.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_tsv"), round(sum(col("o_totalprice")), 2).as("total_tsv"))
+        val fAgg = fback.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_fwf"), round(sum(col("o_totalprice")), 2).as("total_fwf"))
+        Frame(tAgg.join(fAgg, "o_orderstatus"))
+          .sortValues(Seq(SortKey.asc("o_orderstatus"))).df
+      },
+      Some("""
+        SELECT o_orderstatus,
+               count(*) AS n_tsv, round(sum(o_totalprice), 2) AS total_tsv,
+               count(*) AS n_fwf, round(sum(o_totalprice), 2) AS total_fwf
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")))
 }

@@ -52,6 +52,28 @@ object SelectQueries {
         WHERE o_totalprice > 200000 AND o_orderstatus = 'F'
         ORDER BY o_orderkey""")),
 
+    // query/eval in the PANDAS expression dialect (reference rowwise_query
+    // QC:3585 parses pandas syntax) — `and`/`not`/`==`/`in [..]`/`//`/`**`
+    // translated to Spark SQL by api.PandasExpr, so `df.query("...")`
+    // strings port verbatim.
+    Q("q145_query_pandas_dialect",
+      (s, dir) => f(s, dir, "orders")
+        .queryPandas("""o_orderstatus in ['O', 'F'] and not (o_totalprice <= 50000.0) and o_orderpriority != "1-URGENT"""")
+        .evalPandas("price_k", "o_totalprice // 1000")
+        .evalPandas("cust_sq", "o_custkey ** 2 + 1.5")
+        .evalPandas("keep", "o_orderstatus == 'O' or False")
+        .select("o_orderkey", "price_k", "cust_sq", "keep")
+        .sortValues(Seq(SortKey.asc("o_orderkey"))).df,
+      Some("""
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
+               pow(o_custkey, 2) + 1.5 AS cust_sq,
+               o_orderstatus = 'O' OR FALSE AS keep
+        FROM orders
+        WHERE o_orderstatus IN ('O', 'F') AND NOT (o_totalprice <= 50000.0)
+          AND o_orderpriority <> '1-URGENT'
+        ORDER BY o_orderkey""")),
+
     // isin / clip / where / mask / case_when over every row, checked via
     // per-group aggregates.
     Q("q62_isin_clip_where",

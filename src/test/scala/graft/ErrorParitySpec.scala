@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+import graft.api.{Frame, SortKey}
+
+/**
+ * Exception parity (reference: `eval_general` asserts that modin raises
+ * where pandas raises, modin/tests/pandas/utils.py:1000-1037). The engine
+ * maps pandas' KeyError/ValueError family onto Spark's typed
+ * AnalysisException at plan-build time: every case here raises in pandas
+ * and must raise — eagerly, not at materialization — on this engine too.
+ */
+class ErrorParitySpec extends SparkSuite {
+
+  private def orders = Frame(table("orders"))
+
+  test("selecting a missing column raises (pandas KeyError)") {
+    assertThrows[AnalysisException](orders.select("no_such_column").df.schema)
+  }
+
+  test("filter on a missing column raises (pandas KeyError / UndefinedVariableError)") {
+    assertThrows[AnalysisException](orders.query("no_such_column > 1").df.schema)
+  }
+
+  test("pandas-dialect query on a missing column raises") {
+    assertThrows[AnalysisException](
+      orders.queryPandas("no_such_column == 'x'").df.schema)
+  }
+
+  test("unparseable query text raises (pandas SyntaxError)") {
+    intercept[Exception](orders.query("o_orderkey >>> 1").df.schema)
+    intercept[Exception](orders.queryPandas("o_orderkey ==").df.schema)
+  }
+
+  test("astype to a nonexistent type raises (pandas TypeError)") {
+    intercept[Exception](orders.astype("o_orderkey" -> "not_a_type").df.schema)
+  }
+
+  test("merge on a missing key column raises (pandas KeyError)") {
+    val other = Frame(table("customer"))
+    intercept[Exception](
+      orders.merge(other, Seq("no_such_key"), "inner").df.schema)
+  }
+
+  test("sort on a missing column raises (pandas KeyError)") {
+    assertThrows[AnalysisException](
+      orders.sortValues(Seq(SortKey.asc("no_such_column"))).df.schema)
+  }
+
+  test("duplicate query registration is rejected eagerly (engine invariant)") {
+    // not a pandas case, but the same fail-fast contract: Registry refuses
+    // colliding names at class load rather than shadowing one silently
+    assert(queries.Registry.all.map(_.name).distinct.size ==
+      queries.Registry.all.size)
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.PandasExpr
+
+class PandasExprSpec extends AnyFunSuite {
+
+  private def t(s: String) = PandasExpr.toSparkSql(s)
+
+  test("keywords, equality, and booleans translate") {
+    assert(t("a > 1 and b == 'x' or not c") == "a > 1 AND b = 'x' OR NOT c")
+    assert(t("flag == True and other == None") == "flag = TRUE AND other = NULL")
+    assert(t("(a > 1) & (b < 2) | ~c") == "( a > 1 ) AND ( b < 2 ) OR NOT c")
+  }
+
+  test("in / not in list literals become SQL IN lists") {
+    assert(t("status in ['O', 'F']") == "status IN ( 'O' , 'F' )")
+    assert(t("k not in [1, 2, 3]") == "k NOT IN ( 1 , 2 , 3 )")
+  }
+
+  test("double-quoted strings become escaped single-quoted SQL strings") {
+    assert(t("""name == "it's"""") == "name = 'it''s'")
+    // 'and' inside a string literal is never rewritten
+    assert(t("""name == "x and y"""") == "name = 'x and y'")
+  }
+
+  test("power and floor division on simple operands") {
+    assert(t("a ** 2") == "POWER(a, 2)")
+    assert(t("a ** -2 > 1") == "POWER(a, -2) > 1")
+    assert(t("total // 1000 == 3") == "FLOOR(total / 1000) = 3")
+  }
+
+  test("backticked columns pass through") {
+    assert(t("`my col` > 5 and `other col` == 'x'") == "`my col` > 5 AND `other col` = 'x'")
+  }
+
+  test("@variable references and complex power operands are rejected") {
+    assertThrows[IllegalArgumentException](t("a > @threshold"))
+    assertThrows[IllegalArgumentException](t("(a + b) ** 2"))
+  }
+}
