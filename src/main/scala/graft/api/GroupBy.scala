@@ -174,14 +174,17 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
     agg(as -> array_sort(collect_set(col(c))))
 
   /** reference groupby_ngroup (base QC:4468): group id 0..G-1 in sorted
-    * key order. Ranks only the DISTINCT key set (G rows — group-count
-    * sized, not data-sized, so the single-task window is safe by
-    * construction) and broadcast-joins the ids back. */
+    * key order. Numbers only the DISTINCT key set (G rows, not N) with
+    * the two-pass block-offset plan (ops.RowOrder) — no single-task
+    * window even when G itself is huge — then equi-joins the ids back
+    * (AQE picks broadcast when G is small, shuffle join otherwise). */
   def ngroup(as: String): Frame = {
-    val ids = df.select(kcols: _*).distinct()
-      .withColumn(as,
-        row_number().over(Window.orderBy(kcols.map(_.asc): _*)) - 1)
-    frame.copy(df = df.join(broadcast(ids), keys))
+    val distinctKeys = df.select(kcols: _*).distinct()
+    val ids = graft.ops.RowOrder
+      .withRowOrder(distinctKeys, keys.map(SortKey.asc))
+      .withColumnRenamed(Frame.RowOrder, as)
+      .withColumn(as, col(as).cast("int"))
+    frame.copy(df = df.join(ids, keys))
   }
 
   /** reference groupby_cumprod (base QC:4002) over an integral column:

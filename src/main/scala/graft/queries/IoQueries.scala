@@ -110,7 +110,12 @@ object IoQueries {
       (s, dir) => {
         val src = t(s, dir, "part")
         val path = tmp(s, "part_parquet")
-        src.write.mode(SaveMode.Overwrite).partitionBy("p_brand").parquet(path)
+        // repartition on the partition column before partitionBy: without
+        // it every task writes every brand (tasks×brands small files —
+        // the classic small-file explosion at scale); with it each brand
+        // is one task → one right-sized file per partition value
+        src.repartition(col("p_brand"))
+          .write.mode(SaveMode.Overwrite).partitionBy("p_brand").parquet(path)
         val back = s.read.parquet(path).filter(col("p_brand") === "Brand#11")
         Frame(back.groupBy(col("p_type"))
           .agg(count(lit(1)).as("n"), round(sum(col("p_retailprice")), 2).as("total")))

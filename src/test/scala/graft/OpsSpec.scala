@@ -53,6 +53,49 @@ class OpsSpec extends SparkSuite {
     out.zip(expected).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9, s"$a vs $b") }
   }
 
+  test("ewm skips null values while still decaying weights (ignore_na=False)") {
+    import spark.implicits._
+    val d = Seq[(Long, Long, Long, java.lang.Double)](
+      (1L, 1L, 1L, null), (1L, 2L, 2L, 10.0), (1L, 3L, 3L, null), (1L, 4L, 4L, 30.0))
+      .toDF("k", "o", "id", "v")
+    val out = Ewm.meanByKey(d, "k", "o", "id", "v", alpha = 0.5, out = "e")
+      .orderBy("o").collect()
+      .map(r => Option(r.getAs[java.lang.Double]("e")).map(_.toDouble)).toSeq
+    // pandas ewm(alpha=0.5, adjust=True): null before any value → NaN;
+    // at the second null the prior mean carries; the gap decays the
+    // weight of x=10 to 0.25 by the time x=30 arrives → (30+0.25*10)/1.25
+    assert(out(0).isEmpty)
+    assert(out(1).contains(10.0))
+    assert(out(2).contains(10.0))
+    assert(out(3).exists(v => math.abs(v - 32.5 / 1.25) < 1e-9))
+  }
+
+  test("multimodal extractFeatures survives a null payload") {
+    import spark.implicits._
+    val packed = Seq[(Long, Array[Byte])]((1L, "ab".getBytes("UTF-8")), (2L, null))
+      .toDF("doc_id", "payload")
+    val out = graft.ops.Multimodal.extractFeatures(packed, "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("feat0") == 'a'.toLong)
+    assert(out(1).isNullAt(out(1).fieldIndex("feat0")))
+    assert(out(1).getAs[Int]("n_bytes") == 0)
+  }
+
+  test("graft_cosine declares nullable and returns null on length mismatch") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val e = graft.plans.CosineSim(
+      Literal.create(Array(1.0f), ArrayType(FloatType)),
+      Literal.create(Array(1.0f, 2.0f), ArrayType(FloatType)))
+    assert(e.nullable)
+    val d = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    graft.plans.GraftExtensions.register(spark)
+    val r = d.select(org.apache.spark.sql.functions
+      .call_function("graft_cosine", col("a"), col("b")).as("c")).head()
+    assert(r.isNullAt(0))
+  }
+
   test("interpolateLinear fills interior gaps linearly, trailing with last, leading stays null") {
     import spark.implicits._
     val d = Seq[(String, Long, java.lang.Double)](
