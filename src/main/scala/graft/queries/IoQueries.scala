@@ -162,5 +162,28 @@ object IoQueries {
         SELECT o_orderstatus,
                count(*) AS n_tsv, round(sum(o_totalprice), 2) AS total_tsv,
                count(*) AS n_fwf, round(sum(o_totalprice), 2) AS total_fwf
-        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")))
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // to_xml + read_xml round-trip (pandas read_xml/to_xml — the
+    // reference defaults these to single-node pandas; Spark 4 bundles the
+    // xml datasource, which splits on rowTag boundaries like the csv
+    // source splits on newlines, so the scan parallelizes the same way).
+    Q("q147_xml_roundtrip",
+      (s, dir) => {
+        val src = t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        val path = tmp(s, "nation_xml")
+        src.write.mode(SaveMode.Overwrite)
+          .option("rowTag", "nation").format("xml").save(path)
+        val back = s.read
+          .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+          .option("rowTag", "nation").format("xml").load(path)
+        Frame(back.groupBy(col("n_regionkey"))
+          .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name")))
+          .sortValues(Seq(SortKey.asc("n_regionkey"))).df
+      },
+      Some("""
+        SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+               count(*) AS n, min(n_name) AS first_name
+        FROM nation GROUP BY 1 ORDER BY 1""")))
 }

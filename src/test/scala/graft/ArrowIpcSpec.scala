@@ -1,0 +1,50 @@
+package graft
+
+import java.io.{File, FileOutputStream}
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.{BigIntVector, Float8Vector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.ipc.ArrowFileWriter
+
+import graft.sources.ArrowIpc
+
+/** from_arrow: round-trips an Arrow IPC file written with the bundled
+  * arrow-vector runtime through the ArrowIpc source. */
+class ArrowIpcSpec extends SparkSuite {
+
+  private def writeArrowFile(path: String): Unit = {
+    val alloc = new RootAllocator()
+    val id = new BigIntVector("id", alloc)
+    val price = new Float8Vector("price", alloc)
+    val name = new VarCharVector("name", alloc)
+    val root = VectorSchemaRoot.of(id, price, name)
+    val rows = Seq((1L, 9.5, "ann"), (2L, 3.25, "bob"), (3L, 7.0, "che"))
+    root.allocateNew()
+    rows.zipWithIndex.foreach { case ((i, p, n), r) =>
+      id.setSafe(r, i)
+      price.setSafe(r, p)
+      name.setSafe(r, n.getBytes("UTF-8"))
+    }
+    // a null in every column type
+    id.setNull(1)
+    root.setRowCount(rows.size)
+    val out = new FileOutputStream(path)
+    val writer = new ArrowFileWriter(root, null, out.getChannel)
+    try { writer.start(); writer.writeBatch(); writer.end() }
+    finally { writer.close(); out.close(); root.close(); alloc.close() }
+  }
+
+  test("reads an Arrow IPC file with schema, values, and nulls intact") {
+    val f = File.createTempFile("graft_arrow", ".arrow")
+    f.deleteOnExit()
+    writeArrowFile(f.getAbsolutePath)
+    val df = ArrowIpc.read(spark, f.getAbsolutePath)
+    assert(df.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      Seq(("id", "bigint"), ("price", "double"), ("name", "string")))
+    val got = df.orderBy("price").collect()
+    assert(got.length == 3)
+    assert(got.map(_.getAs[String]("name")).toSeq == Seq("bob", "che", "ann"))
+    val nullRow = got.find(_.getAs[String]("name") == "bob").get
+    assert(nullRow.isNullAt(nullRow.fieldIndex("id")))
+  }
+}
