@@ -247,6 +247,26 @@ object PipelineQueries {
       },
       None),
 
+    // Embedding-cosine near-dup pairs, exact baseline: every (i<j) pair
+    // with cosine >= 0.45 via broadcast self-join + native cosine. The
+    // scale path (LSH-bucketed candidates + exact verify,
+    // Dedup.embeddingPairsLsh) is pinned against this baseline in
+    // DedupSpec — candidate recall is probabilistic, so only the exact
+    // formulation is oracle-comparable.
+    Q("q148_embedding_neardup",
+      (s, dir) => Frame(Dedup.embeddingPairsBrute(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", threshold = 0.45)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine")))
+        .sortValues(Seq(SortKey.asc("id_a"), SortKey.asc("id_b"))).df,
+      Some("""
+        SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                   AS cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        WHERE cosine >= 0.45 ORDER BY id_a, id_b""")),
+
     // Full IVF ANN: k-means-trained coarse centroids (2 Lloyd iterations),
     // corpus assigned to inverted lists, queries probe lists, exact
     // re-rank inside. Probing ALL lists makes the result provably equal

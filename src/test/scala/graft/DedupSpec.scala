@@ -86,6 +86,28 @@ class DedupSpec extends SparkSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("embedding LSH near-dup finds the clustered pairs the brute baseline finds") {
+    import spark.implicits._
+    // two tight clusters (base vector + tiny per-member noise) + isolated
+    // noise vectors: within-cluster cosine ≈ 1, cross-cluster far below
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Float], eps: Float): Array[Float] =
+      base.zipWithIndex.map { case (v, i) => v + eps * (rnd.nextFloat() - 0.5f) }
+    val baseA = Array.fill(16)(rnd.nextFloat() - 0.5f)
+    val baseB = Array.fill(16)(rnd.nextFloat() - 0.5f)
+    val rows =
+      (0L to 2L).map(i => (i, jitter(baseA, 0.01f))) ++
+      (3L to 5L).map(i => (i, jitter(baseB, 0.01f))) ++
+      (6L to 9L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val d = rows.toDF("id", "vec")
+    val brute = graft.ops.Dedup.embeddingPairsBrute(d, "id", "vec", 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.ops.Dedup.embeddingPairsLsh(d, "id", "vec", 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute == Set((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L)))
+    assert(lsh == brute) // exact verify ⇒ precision 1; clusters ⇒ full recall
+  }
+
   test("fingerprint canonicalizes case and punctuation runs") {
     import spark.implicits._
     val out = Seq(("A!!B  c", "a b C")).toDF("x", "y")
