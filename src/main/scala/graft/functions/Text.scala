@@ -19,6 +19,14 @@ object Text {
   /** Word-regex token count (a BPE-ish `\w+` pre-tokenizer count). */
   def tokenCountWords(text: Column): Column = size(regexp_extract_all(text, lit("\\w+"), lit(0)))
 
+  /** GPT-2-style pre-tokenizer count: English contractions, letter runs,
+    * digit runs, and punctuation runs, each optionally space-prefixed —
+    * the standard BPE token-count estimator (ASCII classes, so the regex
+    * means the same thing in Java and RE2). */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("'[std]|'re|'ve|'ll|'m| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+"), lit(0)))
+
   /** Distinct word tokens. */
   def wordTokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
@@ -109,4 +117,33 @@ object Text {
 
   /** Hamming distance between two simhashes (near-dup distance). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Character k-gram hashes for [[winnowFromHashes]]: canonicalize →
+    * k-grams → portable hash (md5 hex, a uniform total order both engines
+    * compute identically).
+    *
+    * IMPORTANT: materialize this as its own column (`withColumn`) before
+    * passing it to [[winnowFromHashes]]. Higher-order functions disable
+    * Catalyst's subexpression elimination, so referencing this expression
+    * from several lambdas would re-evaluate the whole O(n) hash array per
+    * reference — O(n²) per row; CollapseProject keeps the two projections
+    * separate because the column is non-cheap and multiply referenced. */
+  def kgramHashes(text: Column, k: Int): Column = {
+    val t = trim(regexp_replace(lower(text), "\\W+", " "))
+    val nGrams = greatest(length(t) - (k - 1), lit(1))
+    transform(sequence(lit(1), nGrams), i => md5(t.substr(i, lit(k))))
+  }
+
+  /** Winnowing document fingerprints (the MOSS rolling-hash scheme) from
+    * a MATERIALIZED k-gram hash array column: minimum per sliding window
+    * of `w` consecutive hashes → sorted distinct set. Guarantees: any
+    * match of length ≥ k+w-1 shares a fingerprint; nothing shorter than
+    * k ever does. O(n·w) codegen'd map per document, no shuffle. */
+  def winnowFromHashes(hs: Column, w: Int): Column = {
+    val m = size(hs) - (w - 1)
+    val mins = when(m >= 1,
+      transform(sequence(lit(1), m), j => array_min(slice(hs, j, lit(w)))))
+      .otherwise(array(array_min(hs)))
+    array_sort(array_distinct(mins))
+  }
 }

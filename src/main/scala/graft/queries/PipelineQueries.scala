@@ -247,6 +247,50 @@ object PipelineQueries {
       },
       None),
 
+    // BPE-ish token counting (GPT-2-style pre-tokenizer regex) + winnowing
+    // rolling-hash fingerprints (MOSS scheme, k=7 grams / w=8 windows,
+    // portable md5 order so DuckDB reproduces the exact fingerprint set).
+    Q("q149_token_stats_winnow",
+      (s, dir) => {
+        // two projection stages: the k-gram hash array materializes once
+        // per row, then the sliding-window mins reference the column —
+        // see Text.kgramHashes' O(n²) warning
+        val staged = t(s, dir, "documents")
+          .withColumn("__hs__", Text.kgramHashes(col("text"), 7))
+          .withColumn("__fp__", Text.winnowFromHashes(col("__hs__"), 8))
+        Frame(staged.select(
+          col("doc_id"),
+          Text.tokenCountWs(col("text")).cast("long").as("n_ws"),
+          Text.tokenCountBpe(col("text")).cast("long").as("n_bpe"),
+          size(col("__fp__")).cast("long").as("n_fp"),
+          element_at(col("__fp__"), 1).as("fp_min")))
+          .sortValues(Seq(SortKey.asc("doc_id"))).df
+      },
+      Some("""
+        WITH c AS (
+          SELECT doc_id, text,
+                 trim(regexp_replace(lower(text), '\W+', ' ', 'g')) AS t
+          FROM documents),
+        g AS (
+          SELECT doc_id, text,
+                 [md5(t[i : i+6]) FOR i IN range(1, greatest(length(t) - 6, 1) + 1)] AS hs
+          FROM c),
+        wn AS (
+          SELECT doc_id, text,
+                 list_sort(list_distinct(
+                   CASE WHEN len(hs) - 7 >= 1
+                        THEN [list_min(hs[j : j+7]) FOR j IN range(1, len(hs) - 7 + 1)]
+                        ELSE [list_min(hs)] END)) AS fps
+          FROM g)
+        SELECT doc_id,
+               len(regexp_extract_all(trim(text), '\S+')) AS n_ws,
+               len(regexp_extract_all(text,
+                 '''[std]|''re|''ve|''ll|''m| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+'))
+                 AS n_bpe,
+               CAST(len(fps) AS BIGINT) AS n_fp,
+               fps[1] AS fp_min
+        FROM wn ORDER BY doc_id""")),
+
     // Embedding-cosine near-dup pairs, exact baseline: every (i<j) pair
     // with cosine >= 0.45 via broadcast self-join + native cosine. The
     // scale path (LSH-bucketed candidates + exact verify,
