@@ -72,6 +72,23 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup on a canonicalized content fingerprint — the
+    * streaming twin of [[graft.ops.Dedup.exact]] and the ingestion-side
+    * dedup stage of a training-data pipeline (drop re-crawled/duplicate
+    * documents before they ever land). State holds one fingerprint per
+    * distinct document and is EVICTED once the event-time watermark
+    * passes it — bounded state, unlike plain `dropDuplicates`, whose
+    * fingerprint set grows without bound on an infinite stream. Keeps
+    * the first arrival (batch `Dedup.exact` keeps the smallest id; on
+    * per-fingerprint-time-ordered input the kept sets coincide). */
+  def dedupeByFingerprint(docs: DataFrame, tsCol: String, textCol: String,
+      horizon: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("__fp__", graft.functions.Text.fingerprint(col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("__fp__")
+      .drop("__fp__")
+
   /** Run a stream to a named in-memory sink until all source files are
     * consumed; returns the query (caller reads `spark.table(name)`). */
   def runToMemory(df: Dataset[_], name: String, outputMode: OutputMode): StreamingQuery = {

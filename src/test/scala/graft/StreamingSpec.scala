@@ -56,6 +56,23 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming fingerprint dedup equals the batch distinct-fingerprint count") {
+    // synthesize a doc stream with exact duplicates: event_type as the
+    // "text" (small vocabulary → heavy duplication), ts as event time
+    val stream = rawStream().select(col("ts"), col("event_type").as("text"))
+    val q = EventStream.runToMemory(
+      EventStream.dedupeByFingerprint(stream, "ts", "text"),
+      "dedup_stream", OutputMode.Append())
+    try {
+      val streamed = spark.table("dedup_stream").count()
+      val batch = table("events")
+        .select(graft.functions.Text.fingerprint(col("event_type")))
+        .distinct().count()
+      assert(streamed == batch,
+        s"stream kept $streamed docs, batch dedup keeps $batch")
+    } finally q.stop()
+  }
+
   test("stateful sessionization matches the batch gap-session count") {
     val stream = rawStream()
     val q = EventStream.runToMemory(
