@@ -89,5 +89,25 @@ object AggExtraQueries {
                count(*) FILTER (WHERE l_quantity < 25) AS pos_25,
                count(*) FILTER (WHERE l_quantity < 40) AS pos_40,
                count(*) FILTER (WHERE l_quantity < 50) AS pos_50
-        FROM lineitem""")))
+        FROM lineitem""")),
+
+    // pivot_table(margins=True) generalized: CUBE over two keys gives
+    // every sub-total and the grand total in ONE pass (SURVEY §2.4 notes
+    // pandas/modin lack grouping sets — Spark gets them free, and the
+    // single cube aggregate replaces the reference's N margin recomputes).
+    Q("q17_cube_margins",
+      (s, dir) => Frame(t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total")))
+        .sortValues(Seq(SortKey.asc("status"), SortKey.asc("priority"))).df,
+      Some("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority""")))
 }

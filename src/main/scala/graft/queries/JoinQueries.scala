@@ -188,5 +188,19 @@ object JoinQueries {
               FROM orders GROUP BY 1) a
         FULL JOIN (SELECT date_trunc('month', o_orderdate) m, count(*) n
                    FROM orders GROUP BY 1) b USING (m)
-        ORDER BY m""")))
+        ORDER BY m""")),
+
+    // merge(how='cross') (pandas 1.2+ cross merge): every (region, nation)
+    // pair — Spark crossJoin with the small side broadcast, so the "join"
+    // is a map-side expansion with zero shuffles.
+    Q("q38_merge_cross",
+      (s, dir) => Frame(t(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))
+        .crossJoin(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name")))))
+        .sortValues(Seq(SortKey.asc("r_regionkey"), SortKey.asc("n_nationkey"))).df,
+      Some("""
+        SELECT r_regionkey, r_name, n_nationkey, n_name
+        FROM region CROSS JOIN nation
+        ORDER BY r_regionkey, n_nationkey""")))
 }
