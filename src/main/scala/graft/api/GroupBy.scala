@@ -180,10 +180,11 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
     * (AQE picks broadcast when G is small, shuffle join otherwise). */
   def ngroup(as: String): Frame = {
     val distinctKeys = df.select(kcols: _*).distinct()
+    // ids stay long (pandas ngroup is int64) — an int cast would wrap
+    // past 2^31 distinct keys, the exact regime this formulation targets
     val ids = graft.ops.RowOrder
       .withRowOrder(distinctKeys, keys.map(SortKey.asc))
       .withColumnRenamed(Frame.RowOrder, as)
-      .withColumn(as, col(as).cast("int"))
     frame.copy(df = df.join(ids, keys))
   }
 

@@ -64,18 +64,37 @@ object PandasExpr {
     out.toVector
   }
 
-  /** SQL-escape a python string literal (either quote style) into '…'. */
+  /** SQL-escape a python string literal (either quote style) into '…'.
+    * Unescaping is a single left-to-right scan (sequential replaces
+    * corrupt an escaped backslash followed by n/t/quote); the emitted
+    * literal re-escapes backslashes because Spark's SQL parser treats
+    * backslash as an escape character inside string literals. */
   private def toSqlString(lit: String): String = {
     val body = lit.substring(1, lit.length - 1)
-    val unescaped = body
-      .replace("\\\"", "\"").replace("\\'", "'")
-      .replace("\\n", "\n").replace("\\t", "\t").replace("\\\\", "\\")
-    "'" + unescaped.replace("'", "''") + "'"
+    val sb = new StringBuilder
+    var i = 0
+    while (i < body.length) {
+      if (body.charAt(i) == '\\' && i + 1 < body.length) {
+        body.charAt(i + 1) match {
+          case 'n' => sb += '\n'
+          case 't' => sb += '\t'
+          case 'r' => sb += '\r'
+          case c @ ('\\' | '\'' | '"') => sb += c
+          case other => sb += '\\' += other // python keeps unknown escapes
+        }
+        i += 2
+      } else { sb += body.charAt(i); i += 1 }
+    }
+    "'" + sb.toString.replace("\\", "\\\\").replace("'", "''") + "'"
   }
 
   private def isSimpleOperand(t: Tok): Boolean = t match {
     case Num(_) => true
-    case Ident(s) => s != "AND" && s != "OR" && s != "NOT" && s != "IN"
+    // synthesized POWER(..)/FLOOR(..) idents are excluded: accepting one
+    // as a ** operand would translate python's RIGHT-associative
+    // `x ** 2 ** 3` into left-associated POWER(POWER(x,2),3) silently
+    case Ident(s) => s != "AND" && s != "OR" && s != "NOT" && s != "IN" &&
+      !s.contains("(")
     case _ => false
   }
 

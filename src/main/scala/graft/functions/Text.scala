@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
  */
 object Text {
 
-  /** Whitespace token count. */
-  def tokenCountWs(text: Column): Column = size(split(trim(text), "\\s+"))
+  /** Whitespace token count. `\S+` extraction, not split: splitting an
+    * empty/whitespace-only string yields [""] (count 1) while the DuckDB
+    * oracle's regexp_extract_all counts 0 — extraction agrees. */
+  def tokenCountWs(text: Column): Column =
+    size(regexp_extract_all(trim(text), lit("\\S+"), lit(0)))
 
   /** Word-regex token count (a BPE-ish `\w+` pre-tokenizer count). */
   def tokenCountWords(text: Column): Column = size(regexp_extract_all(text, lit("\\w+"), lit(0)))

@@ -54,7 +54,7 @@ object GroupByExtraQueries {
           FROM orders GROUP BY o_orderpriority) u
         JOIN (
           SELECT o_orderpriority,
-                 CAST(row_number() OVER (ORDER BY o_orderpriority) - 1 AS INT) AS gid
+                 CAST(row_number() OVER (ORDER BY o_orderpriority) - 1 AS BIGINT) AS gid
           FROM (SELECT DISTINCT o_orderpriority FROM orders)) g
         USING (o_orderpriority)
         ORDER BY o_orderpriority""")),

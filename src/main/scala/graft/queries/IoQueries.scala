@@ -144,13 +144,17 @@ object IoQueries {
           .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
           .option("sep", "\t").option("header", "true").csv(tpath)
         val fpath = tmp(s, "orders_fwf")
-        src.select(format_string("%10d%2s%14.2f",
+        // field widths sized for the full domain (20 ≥ any long's 19
+        // digits + sign, 24 ≥ any %.2f double) — java's Formatter WIDENS
+        // overflowing fields rather than truncating, which would silently
+        // shift every later colspec at larger scale factors
+        src.select(format_string("%20d%2s%24.2f",
           col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")).as("value"))
           .write.mode(SaveMode.Overwrite).text(fpath)
         val fback = graft.sources.FixedWidth.read(s, fpath, Seq(
-          ("o_orderkey", 0, 10, "bigint"),
-          ("o_orderstatus", 10, 12, "string"),
-          ("o_totalprice", 12, 26, "double")))
+          ("o_orderkey", 0, 20, "bigint"),
+          ("o_orderstatus", 20, 22, "string"),
+          ("o_totalprice", 22, 46, "double")))
         val tAgg = tback.groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n_tsv"), round(sum(col("o_totalprice")), 2).as("total_tsv"))
         val fAgg = fback.groupBy(col("o_orderstatus"))

@@ -61,31 +61,48 @@ object ArrowIpc {
       val alloc = new RootAllocator()
       val ch = new FileInputStream(p).getChannel
       val reader = new ArrowFileReader(ch, alloc)
-      try {
-        val root = reader.getVectorSchemaRoot
-        val out = ArrayBuffer.empty[Row]
-        while (reader.loadNextBatch()) {
-          val vectors = root.getFieldVectors
-          var i = 0
-          while (i < root.getRowCount) {
-            val vals = new Array[Any](vectors.size())
-            var j = 0
-            while (j < vectors.size()) {
-              val v = vectors.get(j)
-              vals(j) =
-                if (v.isNull(i)) null
-                else v.getObject(i) match {
-                  case t: org.apache.arrow.vector.util.Text => t.toString
-                  case x => x
-                }
-              j += 1
+      def closeAll(): Unit = { reader.close(); ch.close(); alloc.close() }
+      // stream one record batch at a time — only the current batch's rows
+      // are materialized, so task memory is bounded by the batch size,
+      // not the file size
+      new Iterator[Row] {
+        private val root = reader.getVectorSchemaRoot
+        private var batch = ArrayBuffer.empty[Row]
+        private var pos = 0
+        private var open = true
+        private def loadBatch(): Unit = {
+          batch.clear(); pos = 0
+          if (reader.loadNextBatch()) {
+            val vectors = root.getFieldVectors
+            var i = 0
+            while (i < root.getRowCount) {
+              val vals = new Array[Any](vectors.size())
+              var j = 0
+              while (j < vectors.size()) {
+                val v = vectors.get(j)
+                vals(j) =
+                  if (v.isNull(i)) null
+                  else v.getObject(i) match {
+                    case t: org.apache.arrow.vector.util.Text => t.toString
+                    case x => x
+                  }
+                j += 1
+              }
+              batch += Row.fromSeq(vals.toIndexedSeq)
+              i += 1
             }
-            out += Row.fromSeq(vals.toIndexedSeq)
-            i += 1
           }
+          if (batch.isEmpty && open) { open = false; closeAll() }
         }
-        out.iterator
-      } finally { reader.close(); ch.close(); alloc.close() }
+        override def hasNext: Boolean = {
+          if (pos >= batch.length && open) loadBatch()
+          pos < batch.length
+        }
+        override def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException
+          val r = batch(pos); pos += 1; r
+        }
+      }
     }
     spark.createDataFrame(rdd, schema)
   }

@@ -17,10 +17,12 @@ object PlanPeek {
       Registry.all.find(_.name == name) match {
         case Some(q) =>
           val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
-          val ex = "Exchange".r.findAllIn(plan).size
+          // word-bounded: "Exchange" alone also matches Reused/Broadcast
+          val ex = "(?<![A-Za-z])Exchange".r.findAllIn(plan).size
           val bc = "BroadcastExchange".r.findAllIn(plan).size
+          val reused = "ReusedExchange".r.findAllIn(plan).size
           val sorts = "Sort ".r.findAllIn(plan).size
-          println(s"$name: exchanges=${ex - bc} broadcasts=$bc sorts=$sorts")
+          println(s"$name: exchanges=$ex broadcasts=$bc reused=$reused sorts=$sorts")
         case None => println(s"$name: NOT FOUND")
       }
     }

@@ -60,7 +60,7 @@ class GroupBySpec extends SparkSuite {
     val out = Frame(table("orders")).groupby("o_orderpriority").ngroup("gid")
       .df.select("o_orderpriority", "gid").distinct()
       .orderBy("o_orderpriority").collect()
-    assert(out.map(_.getInt(1)).toSeq == out.indices.map(identity))
+    assert(out.map(_.getLong(1)).toSeq == out.indices.map(_.toLong))
   }
 
   test("cumprodLong exact integer running product") {

@@ -30,6 +30,20 @@ class PandasExprSpec extends AnyFunSuite {
     assert(t("total // 1000 == 3") == "FLOOR(total / 1000) = 3")
   }
 
+  test("backslash escapes survive: ordered unescape + Spark-SQL re-escape") {
+    // python 'C:\\new' is backslash+n-e-w, NOT newline: the unescape scan
+    // must consume \\ before looking at the n
+    assert(t("""p == 'C:\\new'""") == """p = 'C:\\new'""")
+    // a real newline escape re-emits as a literal newline character
+    assert(t("""p == 'a\nb'""") == "p = 'a\nb'")
+    // python keeps unknown escapes verbatim
+    assert(t("""p == '\q'""") == """p = '\\q'""")
+  }
+
+  test("chained ** is rejected rather than silently left-associated") {
+    assertThrows[IllegalArgumentException](t("x ** 2 ** 3"))
+  }
+
   test("backticked columns pass through") {
     assert(t("`my col` > 5 and `other col` == 'x'") == "`my col` > 5 AND `other col` = 'x'")
   }

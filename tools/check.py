@@ -127,7 +127,11 @@ def main():
 
     oracle_sql = json.loads((outdir / "oracle_sql.json").read_text())
     golden_names = {p.stem for p in golden_dir.glob("*.parquet")} if golden_dir.is_dir() else set()
-    names = args.names or sorted(set(oracle_sql) | golden_names)
+    # include result dirs too: a new rows-only query (no oracle, no
+    # fixture yet) must show up in default runs so --bless can create
+    # its first fixture instead of silently skipping it
+    dumped = {p.name for p in outdir.iterdir() if p.is_dir()} if outdir.is_dir() else set()
+    names = args.names or sorted(set(oracle_sql) | golden_names | dumped)
     ok = fail = 0
     for name in names:
         if name not in oracle_sql:
