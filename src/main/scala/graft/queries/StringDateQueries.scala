@@ -275,6 +275,43 @@ object StringDateQueries {
                  AS sydney_hour
         FROM events ORDER BY event_id""")),
 
+    // between_time / at_time (reference base:5331): select rows by
+    // time-of-day regardless of date — a pure filter on
+    // microseconds-since-midnight, pushed to the scan like any predicate.
+    // pandas includes both endpoints by default; at_time is the
+    // equality case (whole minute 12:00 here — event times carry
+    // microseconds, so exact-instant equality would select nothing).
+    Q("q151_between_time",
+      (s, dir) => {
+        val us = unix_micros(col("ts").cast("timestamp"))
+        val dayUs = pmod(us, lit(86400000000L))
+        val lo = ((9L * 60 + 15) * 60) * 1000000L
+        val hi = ((17L * 60 + 45) * 60) * 1000000L
+        val noon = (12L * 3600) * 1000000L
+        Frame(t(s, dir, "events")
+          .withColumn("__day_us__", dayUs)
+          .groupBy(col("event_type"))
+          .agg(
+            count(when(col("__day_us__") >= lo && col("__day_us__") <= hi, 1))
+              .as("n_between"),
+            round(sum(when(col("__day_us__") >= lo && col("__day_us__") <= hi,
+              col("value"))), 2).as("sum_between"),
+            count(when(col("__day_us__") >= noon && col("__day_us__") < noon + 60000000L, 1))
+              .as("n_at_noon")))
+          .sortValues(Seq(SortKey.asc("event_type"))).df
+      },
+      Some("""
+        SELECT event_type,
+               count(*) FILTER (WHERE day_us BETWEEN 33300000000 AND 63900000000)
+                 AS n_between,
+               round(sum(value) FILTER (WHERE day_us BETWEEN 33300000000 AND 63900000000), 2)
+                 AS sum_between,
+               count(*) FILTER (WHERE day_us >= 43200000000 AND day_us < 43260000000)
+                 AS n_at_noon
+        FROM (SELECT event_type, value, epoch_us(ts) % 86400000000 AS day_us
+              FROM events)
+        GROUP BY event_type ORDER BY event_type""")),
+
     // Period family (reference dt_to_period QC base:2311, dt_qyear :2317,
     // period start_time/end_time :2322-2328): a period is just its label
     // plus its [start, end] span — date_trunc + offset arithmetic, all
