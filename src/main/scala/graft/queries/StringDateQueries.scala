@@ -312,6 +312,65 @@ object StringDateQueries {
               FROM events)
         GROUP BY event_type ORDER BY event_type""")),
 
+    // dt.floor/ceil/round to a frequency (reference dt_round/floor/ceil
+    // QC:2284+): exact integer microsecond arithmetic on the epoch —
+    // floor = truncating division, ceil = floor of (us + step - 1),
+    // round = floor of (us + step/2), identical formulas in both engines
+    // (pandas rounds half-to-even on exact midpoints; the event stream's
+    // microsecond timestamps never land on a 7.5-minute boundary, and the
+    // half-up formula is what both sides compute here).
+    Q("q152_dt_floor_ceil_round",
+      (s, dir) => {
+        val us = unix_micros(col("ts").cast("timestamp"))
+        val step = 900000000L // 15 min
+        def toTs(c: org.apache.spark.sql.Column) =
+          timestamp_micros(c * step).cast("timestamp_ntz")
+        Frame(t(s, dir, "events").select(
+          col("event_id"),
+          toTs(floor(us / step).cast("long")).as("floor_15m"),
+          toTs(floor((us + step - 1) / step).cast("long")).as("ceil_15m"),
+          toTs(floor((us + step / 2) / step).cast("long")).as("round_15m")))
+          .sortValues(Seq(SortKey.asc("event_id"))).df
+      },
+      Some("""
+        SELECT event_id,
+               make_timestamp(CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) * 900000000)
+                 AS floor_15m,
+               make_timestamp(CAST(floor((epoch_us(ts) + 899999999) / 900000000) AS BIGINT)
+                 * 900000000) AS ceil_15m,
+               make_timestamp(CAST(floor((epoch_us(ts) + 450000000) / 900000000) AS BIGINT)
+                 * 900000000) AS round_15m
+        FROM events ORDER BY event_id""")),
+
+    // isocalendar (ISO year differs from the calendar year around new
+    // year: the week's THURSDAY determines it) + is_quarter_end /
+    // is_year_end (reference isocalendar, is_*_end QC:2284-2331). All
+    // arithmetic — Spark has no isoyear builtin, so both engines compute
+    // year(date + (4 - isodow) days) with isodow = Mon1..Sun7.
+    Q("q153_isocalendar_flags",
+      (s, dir) => {
+        val d = to_date(col("o_orderdate"))
+        val isoDow = (pmod(dayofweek(d) + 5, lit(7)) + 1).cast("long")
+        Frame(t(s, dir, "orders").select(
+          col("o_orderkey"),
+          year(date_add(d, (lit(4) - isoDow).cast("int"))).cast("long").as("iso_year"),
+          weekofyear(d).cast("long").as("iso_week"),
+          isoDow.as("iso_day"),
+          (d === last_day(d) && month(d).isin(3, 6, 9, 12)).as("is_quarter_end"),
+          ((month(d) === 12) && (dayofmonth(d) === 31)).as("is_year_end")))
+          .sortValues(Seq(SortKey.asc("o_orderkey"))).df
+      },
+      Some("""
+        SELECT o_orderkey,
+               year(CAST(o_orderdate AS DATE) + (4 - isodow(o_orderdate)) * INTERVAL 1 DAY)
+                 AS iso_year,
+               weekofyear(o_orderdate) AS iso_week,
+               CAST(isodow(o_orderdate) AS BIGINT) AS iso_day,
+               CAST(o_orderdate AS DATE) = last_day(CAST(o_orderdate AS DATE))
+                 AND month(o_orderdate) IN (3, 6, 9, 12) AS is_quarter_end,
+               month(o_orderdate) = 12 AND day(o_orderdate) = 31 AS is_year_end
+        FROM orders ORDER BY o_orderkey""")),
+
     // Period family (reference dt_to_period QC base:2311, dt_qyear :2317,
     // period start_time/end_time :2322-2328): a period is just its label
     // plus its [start, end] span — date_trunc + offset arithmetic, all
