@@ -91,7 +91,7 @@ object ExtrasQueries {
       Some("""
         SELECT o_orderpriority, cat_code, count(*) AS n FROM orders
         JOIN (SELECT o_orderpriority,
-                     CAST(row_number() OVER (ORDER BY o_orderpriority) - 1 AS INT)
+                     CAST(row_number() OVER (ORDER BY o_orderpriority) - 1 AS BIGINT)
                        AS cat_code
               FROM (SELECT DISTINCT o_orderpriority FROM orders)) USING (o_orderpriority)
         GROUP BY o_orderpriority, cat_code ORDER BY cat_code""")),

@@ -61,7 +61,15 @@ object ArrowIpc {
       val alloc = new RootAllocator()
       val ch = new FileInputStream(p).getChannel
       val reader = new ArrowFileReader(ch, alloc)
-      def closeAll(): Unit = { reader.close(); ch.close(); alloc.close() }
+      var closed = false
+      def closeAll(): Unit = if (!closed) {
+        closed = true; reader.close(); ch.close(); alloc.close()
+      }
+      // partial consumption (limit/take, task failure) must still release
+      // the channel and the allocator's direct memory — exhaustion alone
+      // is not guaranteed to be reached
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
       // stream one record batch at a time — only the current batch's rows
       // are materialized, so task memory is bounded by the batch size,
       // not the file size
@@ -72,24 +80,31 @@ object ArrowIpc {
         private var open = true
         private def loadBatch(): Unit = {
           batch.clear(); pos = 0
-          if (reader.loadNextBatch()) {
-            val vectors = root.getFieldVectors
-            var i = 0
-            while (i < root.getRowCount) {
-              val vals = new Array[Any](vectors.size())
-              var j = 0
-              while (j < vectors.size()) {
-                val v = vectors.get(j)
-                vals(j) =
-                  if (v.isNull(i)) null
-                  else v.getObject(i) match {
-                    case t: org.apache.arrow.vector.util.Text => t.toString
-                    case x => x
-                  }
-                j += 1
+          // loop past zero-row record batches (legal in IPC files) —
+          // treating the first empty batch as EOF would silently drop
+          // every batch after it
+          var more = true
+          while (batch.isEmpty && more) {
+            more = reader.loadNextBatch()
+            if (more) {
+              val vectors = root.getFieldVectors
+              var i = 0
+              while (i < root.getRowCount) {
+                val vals = new Array[Any](vectors.size())
+                var j = 0
+                while (j < vectors.size()) {
+                  val v = vectors.get(j)
+                  vals(j) =
+                    if (v.isNull(i)) null
+                    else v.getObject(i) match {
+                      case t: org.apache.arrow.vector.util.Text => t.toString
+                      case x => x
+                    }
+                  j += 1
+                }
+                batch += Row.fromSeq(vals.toIndexedSeq)
+                i += 1
               }
-              batch += Row.fromSeq(vals.toIndexedSeq)
-              i += 1
             }
           }
           if (batch.isEmpty && open) { open = false; closeAll() }

@@ -19,7 +19,9 @@ class PandasExprSpec extends AnyFunSuite {
   }
 
   test("double-quoted strings become escaped single-quoted SQL strings") {
-    assert(t("""name == "it's"""") == "name = 'it''s'")
+    // \' not '' — Spark concatenates ADJACENT string literals, so
+    // 'it''s' would silently parse as 'it' ++ 's' = 'its'
+    assert(t("""name == "it's"""") == """name = 'it\'s'""")
     // 'and' inside a string literal is never rewritten
     assert(t("""name == "x and y"""") == "name = 'x and y'")
   }
@@ -42,6 +44,14 @@ class PandasExprSpec extends AnyFunSuite {
 
   test("chained ** is rejected rather than silently left-associated") {
     assertThrows[IllegalArgumentException](t("x ** 2 ** 3"))
+    // // is left-associative in python, so chaining IS correct
+    assert(t("x // 2 // 3") == "FLOOR(FLOOR(x / 2) / 3)")
+    assert(t("x ** 2 // 3") == "FLOOR(POWER(x, 2) / 3)")
+  }
+
+  test("python hex/unicode escapes are interpreted") {
+    assert(t("""c == '\x41'""") == "c = 'A'")
+    assert(t("c == '\\u0042'") == "c = 'B'")
   }
 
   test("backticked columns pass through") {

@@ -143,6 +143,13 @@ def main():
                 fail += 1
                 continue
             if args.bless:
+                # only bless explicitly named queries: result dirs persist
+                # across runs, so a default-run bless would mint fixtures
+                # from stale dirs of renamed/removed queries and turn the
+                # gate red with 'spark result missing' forever after
+                if name not in args.names:
+                    print(f"-- {name}: skipped by --bless (name it explicitly to bless)")
+                    continue
                 golden_dir.mkdir(exist_ok=True)
                 sdf.to_parquet(fixture, index=False)
                 print(f"ok   {name} ({len(sdf)} rows)  [blessed golden fixture]")
