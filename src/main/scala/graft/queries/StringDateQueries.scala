@@ -97,6 +97,60 @@ object StringDateQueries {
                regexp_replace(p_type, 'ed$', '') AS nosuffix
         FROM part ORDER BY p_partkey""")),
 
+    // str.partition/rpartition (3-way split at first/last separator) and
+    // the is* predicate family (isalpha/isdigit/isalnum/isspace/islower/
+    // isupper) — all pure instr/substring/rlike expressions, no UDF
+    // (reference partition base:6234+, predicates QC:2129-2230).
+    Q("q154_partition_predicates",
+      (s, dir) => {
+        val sep = lit(" ")
+        val name = col("p_name")
+        val idx = instr(name, " ")
+        val rIdx = instr(reverse(name), " ")
+        Frame(t(s, dir, "part").select(
+          col("p_partkey"),
+          when(idx > 0, expr("substring(p_name, 1, instr(p_name, ' ') - 1)"))
+            .otherwise(name).as("part_head"),
+          when(idx > 0, sep).otherwise(lit("")).as("part_sep"),
+          when(idx > 0, expr("substring(p_name, instr(p_name, ' ') + 1)"))
+            .otherwise(lit("")).as("part_tail"),
+          when(rIdx > 0, expr(
+            "substring(p_name, 1, length(p_name) - instr(reverse(p_name), ' '))"))
+            .otherwise(lit("")).as("rpart_head"),
+          when(rIdx > 0, expr(
+            "substring(p_name, length(p_name) - instr(reverse(p_name), ' ') + 2)"))
+            .otherwise(name).as("rpart_tail"),
+          col("p_brand").rlike("^[A-Za-z]+$").as("is_alpha"),
+          col("p_brand").rlike("^[0-9]+$").as("is_digit"),
+          col("p_brand").rlike("^[A-Za-z0-9]+$").as("is_alnum"),
+          (col("p_type") === lower(col("p_type"))).as("is_lower"),
+          (col("p_type") === upper(col("p_type"))).as("is_upper")))
+          .sortValues(Seq(SortKey.asc("p_partkey"))).df
+      },
+      Some("""
+        SELECT p_partkey,
+               CASE WHEN strpos(p_name, ' ') > 0
+                    THEN substring(p_name, 1, strpos(p_name, ' ') - 1)
+                    ELSE p_name END AS part_head,
+               CASE WHEN strpos(p_name, ' ') > 0 THEN ' ' ELSE '' END AS part_sep,
+               CASE WHEN strpos(p_name, ' ') > 0
+                    THEN substring(p_name, strpos(p_name, ' ') + 1)
+                    ELSE '' END AS part_tail,
+               CASE WHEN strpos(reverse(p_name), ' ') > 0
+                    THEN substring(p_name, 1,
+                           length(p_name) - strpos(reverse(p_name), ' '))
+                    ELSE '' END AS rpart_head,
+               CASE WHEN strpos(reverse(p_name), ' ') > 0
+                    THEN substring(p_name,
+                           length(p_name) - strpos(reverse(p_name), ' ') + 2)
+                    ELSE p_name END AS rpart_tail,
+               regexp_matches(p_brand, '^[A-Za-z]+$') AS is_alpha,
+               regexp_matches(p_brand, '^[0-9]+$') AS is_digit,
+               regexp_matches(p_brand, '^[A-Za-z0-9]+$') AS is_alnum,
+               p_type = lower(p_type) AS is_lower,
+               p_type = upper(p_type) AS is_upper
+        FROM part ORDER BY p_partkey""")),
+
     // dt breadth 2: is_month/quarter/year_start+end, is_leap_year,
     // daysinmonth, isocalendar week, month_name/day_name, dt floor
     // (reference dt_* QC:2284-2331 — all 1:1 expressions).
