@@ -128,6 +128,25 @@ final case class Frame(
   def isin(column: String, values: Seq[Any]): Frame =
     withColumn(s"${column}_isin", col(column).isin(values: _*))
 
+  /** Deterministic content-hash sampling (pandas `sample(frac,
+    * random_state)` re-expressed for pipelines): keep a row iff
+    * md5(salt + key) falls below the `frac` quantile of the hash space —
+    * an 8-hex-digit threshold compared lexicographically, which is
+    * uniform over lowercase hex strings. Unlike RNG sampling this is
+    * reproducible across engines, runs, partitionings, and cluster
+    * sizes, and the SAME row lands in the same split every time — the
+    * property a train/test split of a 100 TB corpus actually needs.
+    * Pure codegen'd expressions, zero shuffle. */
+  def sampleByHash(keyCol: String, frac: Double, salt: String = ""): Frame = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1]: $frac")
+    copy(df = df.filter(Frame.hashBucket(col(keyCol), salt) < Frame.hexThreshold(frac)))
+  }
+
+  /** Complement split: rows NOT selected by [[sampleByHash]] with the
+    * same arguments — together they partition the frame exactly. */
+  def sampleByHashComplement(keyCol: String, frac: Double, salt: String = ""): Frame =
+    copy(df = df.filter(Frame.hashBucket(col(keyCol), salt) >= Frame.hexThreshold(frac)))
+
   // ---------------------------------------------------------------------
   // §2.11 missing data
   // ---------------------------------------------------------------------
@@ -322,4 +341,18 @@ object Frame {
   /** Name of the materialized positional-order column (see ops.RowOrder). */
   val RowOrder = "__row_order__"
   private[api] val RowNum = "__rn__"
+
+  /** md5(salt + key) — lowercase hex, the engine-portable uniform order
+    * behind [[Frame.sampleByHash]] (DuckDB computes the identical string). */
+  private[graft] def hashBucket(key: Column, salt: String): Column =
+    md5(concat(lit(salt), key.cast("string")))
+
+  /** First-8-hex-digit threshold for `frac` of the md5 space, rendered
+    * lowercase and zero-padded so lexicographic hex comparison equals
+    * numeric comparison. frac=1 → "g" (sorts above every hex digit). */
+  private[graft] def hexThreshold(frac: Double): Column = {
+    val t = if (frac >= 1.0) "g"
+    else f"${(frac * 4294967296.0).toLong}%08x"
+    lit(t)
+  }
 }

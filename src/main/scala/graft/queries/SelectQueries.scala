@@ -74,6 +74,34 @@ object SelectQueries {
           AND o_orderpriority <> '1-URGENT'
         ORDER BY o_orderkey""")),
 
+    // Deterministic content-hash sampling (pandas sample(frac,seed)
+    // re-expressed as the reproducible pipeline split — Frame.sampleByHash):
+    // the train flag is md5(salt+key) under an 8-hex threshold, so the
+    // SAME row lands in the same split on any engine/cluster/run, and
+    // sample + complement partition the table exactly.
+    Q("q155_deterministic_sample",
+      (s, dir) => {
+        val fr = f(s, dir, "orders")
+        val train = fr.sampleByHash("o_orderkey", 0.25, "split1")
+          .groupby("o_orderstatus")
+          .agg("n_train" -> count(lit(1)),
+            "total_train" -> round(sum(col("o_totalprice")), 2)).df
+        val rest = fr.sampleByHashComplement("o_orderkey", 0.25, "split1")
+          .groupby("o_orderstatus")
+          .agg("n_rest" -> count(lit(1))).df
+        Frame(train.join(rest, "o_orderstatus"))
+          .sortValues(Seq(SortKey.asc("o_orderstatus"))).df
+      },
+      Some("""
+        SELECT o_orderstatus,
+               count(*) FILTER (WHERE h < '40000000') AS n_train,
+               round(sum(o_totalprice) FILTER (WHERE h < '40000000'), 2) AS total_train,
+               count(*) FILTER (WHERE h >= '40000000') AS n_rest
+        FROM (SELECT o_orderstatus, o_totalprice,
+                     md5('split1' || CAST(o_orderkey AS VARCHAR)) AS h
+              FROM orders)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // isin / clip / where / mask / case_when over every row, checked via
     // per-group aggregates.
     Q("q62_isin_clip_where",

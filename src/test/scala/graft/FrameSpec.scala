@@ -72,6 +72,24 @@ class FrameSpec extends SparkSuite {
     assert(counts.sorted.reverse.toSeq == counts.toSeq)
   }
 
+  test("sampleByHash: deterministic, partition-exact, and close to frac") {
+    val orders = Frame(table("orders"))
+    val total = orders.df.count()
+    val a = orders.sampleByHash("o_orderkey", 0.25, "s")
+    val b = orders.sampleByHashComplement("o_orderkey", 0.25, "s")
+    // exact partition: sample + complement cover every row once
+    assert(a.df.count() + b.df.count() == total)
+    // frac accuracy (md5 is uniform; 3σ bound at n=total)
+    val p = a.df.count().toDouble / total
+    assert(math.abs(p - 0.25) < 3 * math.sqrt(0.25 * 0.75 / total), s"p=$p")
+    // repartitioning must not change membership (content hash, not RNG)
+    val rep = Frame(orders.df.repartition(13)).sampleByHash("o_orderkey", 0.25, "s")
+    assert(rep.df.select("o_orderkey").exceptAll(a.df.select("o_orderkey")).isEmpty)
+    // a different salt draws a different (overlapping but distinct) sample
+    val c = orders.sampleByHash("o_orderkey", 0.25, "other")
+    assert(c.df.select("o_orderkey").exceptAll(a.df.select("o_orderkey")).count() > 0)
+  }
+
   test("whereCol keeps where cond holds; maskCol replaces where it holds") {
     import spark.implicits._
     val d = Seq(1.0, -2.0, 3.0).toDF("x")
