@@ -202,5 +202,26 @@ object JoinQueries {
       Some("""
         SELECT r_regionkey, r_name, n_nationkey, n_name
         FROM region CROSS JOIN nation
-        ORDER BY r_regionkey, n_nationkey""")))
+        ORDER BY r_regionkey, n_nationkey""")),
+
+    // Skew-salted join (ops.Scale.saltedJoin): the customer dimension is
+    // replicated across salt replicas and each lineitem-derived probe row
+    // scatters to one of them, so a pathological hot key spreads over
+    // saltFactor tasks. Salting is internal — the result must equal the
+    // plain join, which is exactly what the oracle asserts.
+    Q("q39_salted_join",
+      (s, dir) => {
+        val probe = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val build = t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        Frame(graft.ops.Scale.saltedJoin(probe, build, Seq("o_custkey"), saltFactor = 8)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total")))
+          .sortValues(Seq(SortKey.asc("c_mktsegment"))).df
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")))
 }
