@@ -143,9 +143,15 @@ final case class Frame(
   }
 
   /** Complement split: rows NOT selected by [[sampleByHash]] with the
-    * same arguments — together they partition the frame exactly. */
-  def sampleByHashComplement(keyCol: String, frac: Double, salt: String = ""): Frame =
-    copy(df = df.filter(Frame.hashBucket(col(keyCol), salt) >= Frame.hexThreshold(frac)))
+    * same arguments — together they partition the frame exactly. Rows
+    * with a NULL key hash to NULL and can match neither comparison, so
+    * they are routed HERE (the not-sampled side) rather than silently
+    * vanishing from both splits. */
+  def sampleByHashComplement(keyCol: String, frac: Double, salt: String = ""): Frame = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1]: $frac")
+    copy(df = df.filter(
+      !coalesce(Frame.hashBucket(col(keyCol), salt) < Frame.hexThreshold(frac), lit(false))))
+  }
 
   // ---------------------------------------------------------------------
   // §2.11 missing data
@@ -349,10 +355,17 @@ object Frame {
 
   /** First-8-hex-digit threshold for `frac` of the md5 space, rendered
     * lowercase and zero-padded so lexicographic hex comparison equals
-    * numeric comparison. frac=1 → "g" (sorts above every hex digit). */
+    * numeric comparison. frac=1 → "g" (sorts above every hex digit).
+    * The unit count clamps to [0, 2^32-1]: frac·2^32 can round UP to
+    * exactly 2^32 for a frac just under 1.0, and %08x on that (or on a
+    * negative) would emit a 9- or 16-char string that no longer compares
+    * as an 8-hex prefix. */
   private[graft] def hexThreshold(frac: Double): Column = {
     val t = if (frac >= 1.0) "g"
-    else f"${(frac * 4294967296.0).toLong}%08x"
+    else {
+      val units = math.min(math.max((frac * 4294967296.0).toLong, 0L), 0xFFFFFFFFL)
+      f"$units%08x"
+    }
     lit(t)
   }
 }

@@ -81,15 +81,19 @@ object SelectQueries {
     // sample + complement partition the table exactly.
     Q("q155_deterministic_sample",
       (s, dir) => {
-        val fr = f(s, dir, "orders")
-        val train = fr.sampleByHash("o_orderkey", 0.25, "split1")
-          .groupby("o_orderstatus")
-          .agg("n_train" -> count(lit(1)),
-            "total_train" -> round(sum(col("o_totalprice")), 2)).df
-        val rest = fr.sampleByHashComplement("o_orderkey", 0.25, "split1")
-          .groupby("o_orderstatus")
-          .agg("n_rest" -> count(lit(1))).df
-        Frame(train.join(rest, "o_orderstatus"))
+        // single-pass conditional aggregation over the split flag — an
+        // inner join of the two splits' aggregates would silently drop
+        // any status group that lands entirely in one split, where the
+        // oracle's FILTER form keeps it (Frame.sampleByHash itself is
+        // spec-covered in FrameSpec)
+        val isTrain = graft.api.Frame.hashBucket(col("o_orderkey"), "split1") <
+          graft.api.Frame.hexThreshold(0.25)
+        Frame(t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(when(isTrain, 1)).as("n_train"),
+            round(sum(when(isTrain, col("o_totalprice"))), 2).as("total_train"),
+            count(when(!isTrain, 1)).as("n_rest")))
           .sortValues(Seq(SortKey.asc("o_orderstatus"))).df
       },
       Some("""

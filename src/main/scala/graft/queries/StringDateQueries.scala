@@ -99,7 +99,7 @@ object StringDateQueries {
 
     // str.partition/rpartition (3-way split at first/last separator) and
     // the is* predicate family (isalpha/isdigit/isalnum/isspace/islower/
-    // isupper) — all pure instr/substring/rlike expressions, no UDF
+    // isupper) — all pure instr/substr/rlike expressions, no UDF
     // (reference partition base:6234+, predicates QC:2129-2230).
     Q("q154_partition_predicates",
       (s, dir) => {
@@ -107,22 +107,18 @@ object StringDateQueries {
         val name = col("p_name")
         val idx = instr(name, " ")
         val rIdx = instr(reverse(name), " ")
+        val n = length(name)
         Frame(t(s, dir, "part").select(
           col("p_partkey"),
-          when(idx > 0, expr("substring(p_name, 1, instr(p_name, ' ') - 1)"))
-            .otherwise(name).as("part_head"),
+          when(idx > 0, name.substr(lit(1), idx - 1)).otherwise(name).as("part_head"),
           when(idx > 0, sep).otherwise(lit("")).as("part_sep"),
-          when(idx > 0, expr("substring(p_name, instr(p_name, ' ') + 1)"))
-            .otherwise(lit("")).as("part_tail"),
-          when(rIdx > 0, expr(
-            "substring(p_name, 1, length(p_name) - instr(reverse(p_name), ' '))"))
-            .otherwise(lit("")).as("rpart_head"),
-          when(rIdx > 0, expr(
-            "substring(p_name, length(p_name) - instr(reverse(p_name), ' ') + 2)"))
-            .otherwise(name).as("rpart_tail"),
+          when(idx > 0, name.substr(idx + 1, n)).otherwise(lit("")).as("part_tail"),
+          when(rIdx > 0, name.substr(lit(1), n - rIdx)).otherwise(lit("")).as("rpart_head"),
+          when(rIdx > 0, name.substr(n - rIdx + 2, n)).otherwise(name).as("rpart_tail"),
           col("p_brand").rlike("^[A-Za-z]+$").as("is_alpha"),
           col("p_brand").rlike("^[0-9]+$").as("is_digit"),
           col("p_brand").rlike("^[A-Za-z0-9]+$").as("is_alnum"),
+          col("p_brand").rlike("^\\s+$").as("is_space"),
           (col("p_type") === lower(col("p_type"))).as("is_lower"),
           (col("p_type") === upper(col("p_type"))).as("is_upper")))
           .sortValues(Seq(SortKey.asc("p_partkey"))).df
@@ -147,6 +143,7 @@ object StringDateQueries {
                regexp_matches(p_brand, '^[A-Za-z]+$') AS is_alpha,
                regexp_matches(p_brand, '^[0-9]+$') AS is_digit,
                regexp_matches(p_brand, '^[A-Za-z0-9]+$') AS is_alnum,
+               regexp_matches(p_brand, '^\s+$') AS is_space,
                p_type = lower(p_type) AS is_lower,
                p_type = upper(p_type) AS is_upper
         FROM part ORDER BY p_partkey""")),

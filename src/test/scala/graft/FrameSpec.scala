@@ -90,6 +90,18 @@ class FrameSpec extends SparkSuite {
     assert(c.df.select("o_orderkey").exceptAll(a.df.select("o_orderkey")).count() > 0)
   }
 
+  test("sampleByHash routes null keys to the complement, not into the void") {
+    import spark.implicits._
+    val d = Frame(Seq[(Option[Long], String)](
+      (Some(1L), "a"), (None, "b"), (Some(3L), "c"), (None, "d"))
+      .toDF("k", "v"))
+    val s = d.sampleByHash("k", 0.5, "x").df.count()
+    val r = d.sampleByHashComplement("k", 0.5, "x").df.count()
+    assert(s + r == 4, s"sample=$s complement=$r — null keys must not vanish")
+    // both null-key rows are in the complement
+    assert(d.sampleByHashComplement("k", 0.5, "x").df.filter(col("k").isNull).count() == 2)
+  }
+
   test("whereCol keeps where cond holds; maskCol replaces where it holds") {
     import spark.implicits._
     val d = Seq(1.0, -2.0, 3.0).toDF("x")
