@@ -148,6 +148,55 @@ object StringDateQueries {
                p_type = upper(p_type) AS is_upper
         FROM part ORDER BY p_partkey""")),
 
+    // str.findall (serialized match list), slice_replace (substring
+    // surgery), groupwise str.cat (ordered string_agg), and the axis=1
+    // reduction idxmax (argmax across row columns as a greatest +
+    // case-when name pick) — reference findall QC:2160, slice_replace
+    // base:6470, cat base:6635, idxmax(axis=1) QC:1101.
+    Q("q156_findall_cat_rowwise",
+      (s, dir) => {
+        val vowelsOfBrand = concat_ws(",",
+          regexp_extract_all(col("p_brand"), lit("[0-9]"), lit(0)))
+        val sliced = concat(
+          substring(col("p_name"), 1, 3), lit("***"),
+          expr("substring(p_name, 7)"))
+        val (a, b, c) = (col("p_retailprice"), col("p_size").cast("double"),
+          col("p_partkey").cast("double") / 100.0)
+        val mx = greatest(a, b, c)
+        val idxmaxRow = when(mx === a, "retail").when(mx === b, "size").otherwise("key")
+        val perPart = t(s, dir, "part").select(
+          col("p_partkey"), col("p_brand"),
+          vowelsOfBrand.as("brand_digits"),
+          sliced.as("name_spliced"),
+          idxmaxRow.as("rowwise_idxmax"))
+        // groupwise str.cat: partkeys per brand in key order, '|'-joined
+        val cats = t(s, dir, "part")
+          .groupBy(col("p_brand"))
+          .agg(concat_ws("|",
+            transform(array_sort(collect_list(col("p_partkey"))),
+              x => x.cast("string"))).as("cat_keys"))
+        Frame(perPart.join(cats, "p_brand")
+          .select("p_partkey", "brand_digits", "name_spliced",
+            "rowwise_idxmax", "cat_keys"))
+          .sortValues(Seq(SortKey.asc("p_partkey"))).df
+      },
+      Some("""
+        SELECT p_partkey,
+               array_to_string(regexp_extract_all(p_brand, '[0-9]'), ',') AS brand_digits,
+               substring(p_name, 1, 3) || '***' || substring(p_name, 7) AS name_spliced,
+               CASE WHEN greatest(p_retailprice, CAST(p_size AS DOUBLE), p_partkey / 100.0)
+                         = p_retailprice THEN 'retail'
+                    WHEN greatest(p_retailprice, CAST(p_size AS DOUBLE), p_partkey / 100.0)
+                         = CAST(p_size AS DOUBLE) THEN 'size'
+                    ELSE 'key' END AS rowwise_idxmax,
+               cat_keys
+        FROM part
+        JOIN (SELECT p_brand,
+                     string_agg(CAST(p_partkey AS VARCHAR), '|' ORDER BY p_partkey)
+                       AS cat_keys
+              FROM part GROUP BY p_brand) USING (p_brand)
+        ORDER BY p_partkey""")),
+
     // dt breadth 2: is_month/quarter/year_start+end, is_leap_year,
     // daysinmonth, isocalendar week, month_name/day_name, dt floor
     // (reference dt_* QC:2284-2331 — all 1:1 expressions).
