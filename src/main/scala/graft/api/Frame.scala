@@ -153,6 +153,24 @@ final case class Frame(
       !coalesce(Frame.hashBucket(col(keyCol), salt) < Frame.hexThreshold(frac), lit(false))))
   }
 
+  /** Stratified deterministic sampling: a different keep-fraction per
+    * value of `stratCol` (corpus balancing — e.g. keep 10% of English
+    * but 100% of a low-resource language). Same content-hash mechanics
+    * as [[sampleByHash]]; strata absent from `fracs` keep
+    * `defaultFrac`. The threshold is a per-row when-chain over a handful
+    * of literals — no join, no shuffle, still one codegen'd filter. */
+  def sampleByHashStratified(keyCol: String, stratCol: String,
+      fracs: Map[String, Double], defaultFrac: Double = 0.0,
+      salt: String = ""): Frame = {
+    (fracs.values ++ Seq(defaultFrac)).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"frac must be in [0,1]: $f"))
+    val threshold = fracs.foldLeft(lit(null).cast("string")) {
+      case (acc, (value, f)) => when(col(stratCol) === value, Frame.hexThreshold(f)).otherwise(acc)
+    }
+    val thr = coalesce(threshold, Frame.hexThreshold(defaultFrac))
+    copy(df = df.filter(Frame.hashBucket(col(keyCol), salt) < thr))
+  }
+
   // ---------------------------------------------------------------------
   // §2.11 missing data
   // ---------------------------------------------------------------------

@@ -247,6 +247,24 @@ object PipelineQueries {
       },
       None),
 
+    // Stratified deterministic sampling over the documents corpus: keep
+    // 100% of low-resource languages but downsample the dominant ones —
+    // the language-rebalancing stage of a training-data pipeline, as one
+    // codegen'd content-hash filter (Frame.sampleByHashStratified).
+    Q("q157_stratified_sample",
+      (s, dir) => f(s, dir, "documents")
+        .sampleByHashStratified("doc_id", "lang",
+          Map("en" -> 0.25, "es" -> 0.5), defaultFrac = 1.0, salt = "bal1")
+        .groupby("lang").size("n_kept")
+        .sortValues(Seq(SortKey.asc("lang"))).df,
+      Some("""
+        SELECT lang, count(*) AS n_kept
+        FROM (SELECT lang, md5('bal1' || CAST(doc_id AS VARCHAR)) AS h FROM documents)
+        WHERE h < CASE lang WHEN 'en' THEN '40000000'
+                            WHEN 'es' THEN '80000000'
+                            ELSE 'g' END
+        GROUP BY lang ORDER BY lang""")),
+
     // BPE-ish token counting (GPT-2-style pre-tokenizer regex) + winnowing
     // rolling-hash fingerprints (MOSS scheme, k=7 grams / w=8 windows,
     // portable md5 order so DuckDB reproduces the exact fingerprint set).
