@@ -161,15 +161,19 @@ final case class Frame(
     * of literals — no join, no shuffle, still one codegen'd filter. */
   def sampleByHashStratified(keyCol: String, stratCol: String,
       fracs: Map[String, Double], defaultFrac: Double = 0.0,
-      salt: String = ""): Frame = {
-    (fracs.values ++ Seq(defaultFrac)).foreach(f =>
-      require(f >= 0.0 && f <= 1.0, s"frac must be in [0,1]: $f"))
-    val threshold = fracs.foldLeft(lit(null).cast("string")) {
-      case (acc, (value, f)) => when(col(stratCol) === value, Frame.hexThreshold(f)).otherwise(acc)
-    }
-    val thr = coalesce(threshold, Frame.hexThreshold(defaultFrac))
-    copy(df = df.filter(Frame.hashBucket(col(keyCol), salt) < thr))
-  }
+      salt: String = ""): Frame =
+    copy(df = df.filter(
+      Frame.stratifiedKeep(keyCol, stratCol, fracs, defaultFrac, salt)))
+
+  /** Rows NOT kept by [[sampleByHashStratified]] with the same
+    * arguments — exact partition, with NULL-key rows routed here (same
+    * contract as [[sampleByHashComplement]]: an unhashable key is never
+    * silently lost, it is just not sampled). */
+  def sampleByHashStratifiedComplement(keyCol: String, stratCol: String,
+      fracs: Map[String, Double], defaultFrac: Double = 0.0,
+      salt: String = ""): Frame =
+    copy(df = df.filter(
+      !coalesce(Frame.stratifiedKeep(keyCol, stratCol, fracs, defaultFrac, salt), lit(false))))
 
   // ---------------------------------------------------------------------
   // §2.11 missing data
@@ -370,6 +374,19 @@ object Frame {
     * behind [[Frame.sampleByHash]] (DuckDB computes the identical string). */
   private[graft] def hashBucket(key: Column, salt: String): Column =
     md5(concat(lit(salt), key.cast("string")))
+
+  /** Keep-condition behind the stratified sampler pair: hash under the
+    * stratum's threshold (NULL for a NULL key — the sample side's filter
+    * drops it, the complement's null-coalescing filter keeps it). */
+  private[graft] def stratifiedKeep(keyCol: String, stratCol: String,
+      fracs: Map[String, Double], defaultFrac: Double, salt: String): Column = {
+    (fracs.values ++ Seq(defaultFrac)).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"frac must be in [0,1]: $f"))
+    val threshold = fracs.foldLeft(lit(null).cast("string")) {
+      case (acc, (value, f)) => when(col(stratCol) === value, hexThreshold(f)).otherwise(acc)
+    }
+    hashBucket(col(keyCol), salt) < coalesce(threshold, hexThreshold(defaultFrac))
+  }
 
   /** First-8-hex-digit threshold for `frac` of the md5 space, rendered
     * lowercase and zero-padded so lexicographic hex comparison equals

@@ -155,7 +155,7 @@ object StringDateQueries {
     // base:6470, cat base:6635, idxmax(axis=1) QC:1101.
     Q("q156_findall_cat_rowwise",
       (s, dir) => {
-        val vowelsOfBrand = concat_ws(",",
+        val brandDigits = concat_ws(",",
           regexp_extract_all(col("p_brand"), lit("[0-9]"), lit(0)))
         val sliced = concat(
           substring(col("p_name"), 1, 3), lit("***"),
@@ -166,7 +166,7 @@ object StringDateQueries {
         val idxmaxRow = when(mx === a, "retail").when(mx === b, "size").otherwise("key")
         val perPart = t(s, dir, "part").select(
           col("p_partkey"), col("p_brand"),
-          vowelsOfBrand.as("brand_digits"),
+          brandDigits.as("brand_digits"),
           sliced.as("name_spliced"),
           idxmaxRow.as("rowwise_idxmax"))
         // groupwise str.cat: partkeys per brand in key order, '|'-joined

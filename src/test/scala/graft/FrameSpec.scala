@@ -102,6 +102,25 @@ class FrameSpec extends SparkSuite {
     assert(d.sampleByHashComplement("k", 0.5, "x").df.filter(col("k").isNull).count() == 2)
   }
 
+  test("sampleByHashStratified: per-stratum fracs, default fallthrough, null routing") {
+    import spark.implicits._
+    val d = Frame(Seq[(Option[Long], String)](
+      (Some(1L), "en"), (Some(2L), "en"), (Some(3L), "rare"),
+      (Some(4L), "other"), (None, "en"))
+      .toDF("k", "lang"))
+    // frac 0 for en, 1 for rare, default 0 → only the rare row survives
+    val kept = d.sampleByHashStratified("k", "lang", Map("en" -> 0.0, "rare" -> 1.0))
+      .df.collect().map(_.getString(1)).toSeq
+    assert(kept == Seq("rare"))
+    // exact partition incl. the null-key row
+    val comp = d.sampleByHashStratifiedComplement("k", "lang", Map("en" -> 0.0, "rare" -> 1.0))
+    assert(comp.df.count() == 4)
+    assert(comp.df.filter(col("k").isNull).count() == 1)
+    // default 1.0 keeps strata absent from the map
+    val all = d.sampleByHashStratified("k", "lang", Map("en" -> 1.0), defaultFrac = 1.0)
+    assert(all.df.count() == 4) // everything except the unhashable null key
+  }
+
   test("whereCol keeps where cond holds; maskCol replaces where it holds") {
     import spark.implicits._
     val d = Seq(1.0, -2.0, 3.0).toDF("x")
