@@ -38,11 +38,19 @@ object Similarity {
    * window — per-query partial top-k, no global sort. The 100 TB baseline:
    * one scan of the corpus, zero corpus shuffles before the final
    * (tiny, k-per-query) rank filter.
+   *
+   * The query set is broadcast, so it MUST be small: `maxQueries` caps it
+   * (same valve as `Frame.transpose`'s maxCells) — a clear error beats a
+   * driver OOM. For large query sets use [[topKLsh]].
    */
   def topKBruteForce(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int): DataFrame = {
+      k: Int, maxQueries: Long = 100000L): DataFrame = {
+    val nQ = queries.count()
+    require(nQ <= maxQueries,
+      s"topKBruteForce broadcasts the query set: $nQ rows > maxQueries=$maxQueries; " +
+        "raise maxQueries explicitly or use topKLsh")
     val scored = corpus.crossJoin(broadcast(queries))
       .withColumn("cosine", nativeCosine(corpus)(col(corpusVec), col(queryVec)))
     val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId).asc)
@@ -78,9 +86,15 @@ object Similarity {
    * and queries explode into one (table, bucket) key per table and join
    * on it (an equi-join Spark executes hash-partitioned — at corpus
    * scale this is the path that avoids the full cross product).
-   * Candidates found by several tables dedupe before scoring; then exact
-   * cosine + per-query top-k. Recall ≈ 1-(1-p^nPlanes)^nTables — tune
-   * nPlanes down / nTables up for recall, the reverse for cost.
+   * The bucket join is map-side (queries broadcast), and the exact cosine
+   * is scored there too — BEFORE the candidate dedup — so the only
+   * exchange in the whole plan (the distinct + the per-query top-k
+   * window) carries (queryId, corpusId, cosine) scalars, never a vector.
+   * A pair matched by several tables recomputes its cosine once per match
+   * (map-side CPU, deterministic so the distinct collapses them), which
+   * at corpus scale is far cheaper than shuffling embeddings. Recall ≈
+   * 1-(1-p^nPlanes)^nTables — tune nPlanes down / nTables up for recall,
+   * the reverse for cost.
    */
   def topKLsh(
       corpus: DataFrame, corpusId: String, corpusVec: String,
@@ -95,9 +109,9 @@ object Similarity {
     val c = banded(corpus, corpusVec)
     val q = banded(queries, queryVec)
     val candidates = c.join(broadcast(q), Seq("__table__", "__bucket__"))
-      .select(col(queryId), col(corpusId), col(corpusVec), col(queryVec))
-      .distinct() // a pair found by multiple tables scores once
-      .withColumn("cosine", nativeCosine(corpus)(col(corpusVec), col(queryVec)))
+      .select(col(queryId), col(corpusId),
+        nativeCosine(corpus)(col(corpusVec), col(queryVec)).as("cosine"))
+      .distinct() // multi-table matches collapse; cosine is deterministic
     val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId).asc)
     candidates.withColumn("__rk__", row_number().over(w))
       .filter(col("__rk__") <= k)

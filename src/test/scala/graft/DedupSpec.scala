@@ -108,6 +108,30 @@ class DedupSpec extends SparkSuite {
     assert(lsh == brute) // exact verify ⇒ precision 1; clusters ⇒ full recall
   }
 
+  test("embeddingPairsBrute refuses a corpus over its broadcast cap") {
+    import spark.implicits._
+    val d = (0L to 9L).map(i => (i, Array.fill(4)(i.toFloat + 1f))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingPairsBrute(d, "id", "vec", 0.9, maxRows = 5L).collect()
+    }
+    assert(e.getMessage.contains("embeddingPairsLsh"))
+    // the same corpus under the cap still computes (all parallel ⇒ cos 1 < 2)
+    assert(Dedup.embeddingPairsBrute(d, "id", "vec", 2.0, maxRows = 10L).count() == 0)
+  }
+
+  test("zero-norm vectors (NaN cosine) never pass a near-dup threshold") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Array(0f, 0f, 0f)), (2L, Array(0f, 0f, 0f)),
+      (3L, Array(1f, 0f, 0f)), (4L, Array(1f, 0f, 0f))).toDF("id", "vec")
+    val brute = Dedup.embeddingPairsBrute(d, "id", "vec", 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute == Set((3L, 4L))) // without the isnan guard, (1,2) et al. leak in
+    val lsh = Dedup.embeddingPairsLsh(d, "id", "vec", 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(Set((3L, 4L))))
+  }
+
   test("fingerprint canonicalizes case and punctuation runs") {
     import spark.implicits._
     val out = Seq(("A!!B  c", "a b C")).toDF("x", "y")

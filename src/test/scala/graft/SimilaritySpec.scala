@@ -46,6 +46,20 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.6, s"LSH recall $recall")
   }
 
+  test("topKBruteForce refuses a query set over its broadcast cap") {
+    val corpus = vecs(1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f))
+    val queries = vecs(1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f), 3L -> Seq(1f, 1f))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.topKBruteForce(corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 1, maxQueries = 2L).collect()
+    }
+    assert(e.getMessage.contains("topKLsh"))
+    // under the cap the same call still computes
+    assert(Similarity.topKBruteForce(corpus, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 1, maxQueries = 3L).count() == 3)
+  }
+
   test("assignCentroid preserves duplicate input rows (no window collapse)") {
     val corpus = vecs(1L -> Seq(1f, 0f), 1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f))
     val centroids = vecs(10L -> Seq(1f, 0f), 11L -> Seq(0f, 1f))
