@@ -275,14 +275,38 @@ final case class Frame(
     * broadcast path, :39-101 range-partitioning path). Spark's planner (plus
     * AQE at runtime) chooses broadcast vs sort-merge from statistics, which
     * subsumes both reference strategies; `broadcastRight` forces the hint for
-    * dimension tables known small. */
+    * dimension tables known small.
+    *
+    * `indicator` (pandas `indicator=`) adds a column of
+    * both/left_only/right_only derived from non-null presence markers
+    * attached to each side before the join — a projection, no extra
+    * shuffle. `validate` (pandas `validate=`: "1:1" | "1:m" | "m:1" |
+    * "m:m") asserts key uniqueness on the constrained side(s) before
+    * joining — eager (it runs a count job per checked side), exactly like
+    * pandas' eager MergeError. */
   def merge(
       right: Frame,
       on: Seq[String],
       how: String = "inner",
-      broadcastRight: Boolean = false): Frame = {
-    val r = if (broadcastRight) broadcast(right.df) else right.df
-    copy(df = df.join(r, on, how))
+      broadcastRight: Boolean = false,
+      indicator: Option[String] = None,
+      validate: Option[String] = None): Frame = {
+    validate.foreach(graft.ops.Joins.validateMerge(df, right.df, on, _))
+    indicator match {
+      case None =>
+        val r = if (broadcastRight) broadcast(right.df) else right.df
+        copy(df = df.join(r, on, how))
+      case Some(name) =>
+        val lf = df.withColumn("__l_present__", lit(1))
+        val rf0 = right.df.withColumn("__r_present__", lit(1))
+        val rf = if (broadcastRight) broadcast(rf0) else rf0
+        val ind = when(col("__l_present__").isNotNull && col("__r_present__").isNotNull, "both")
+          .when(col("__l_present__").isNotNull, "left_only")
+          .otherwise("right_only")
+        copy(df = lf.join(rf, on, how)
+          .withColumn(name, ind)
+          .drop("__l_present__", "__r_present__"))
+    }
   }
 
   /** pandas merge(left_on=, right_on=) — differently-named keys; also

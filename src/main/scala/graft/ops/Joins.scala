@@ -119,4 +119,27 @@ object Joins {
       d.withColumn(out, coalesce(col(lc), col(rc)))
     }
   }
+
+  /** pandas merge(validate=) (reference merge.py signature surface):
+    * asserts key uniqueness on the side(s) the spec constrains. Each check
+    * is one partial-aggregated count job that short-circuits at the first
+    * duplicate (`limit(1)`) — eager by design, matching pandas' eager
+    * MergeError, and the message text mirrors pandas'. */
+  def validateMerge(left: DataFrame, right: DataFrame, on: Seq[String], spec: String): Unit = {
+    def unique(side: DataFrame): Boolean =
+      side.groupBy(on.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).isEmpty
+    val (checkLeft, checkRight, word) = spec match {
+      case "1:1" => (true, true, "one-to-one")
+      case "1:m" => (true, false, "one-to-many")
+      case "m:1" => (false, true, "many-to-one")
+      case "m:m" => (false, false, "many-to-many")
+      case other => throw new IllegalArgumentException(
+        s""""$other" is not a valid argument. Valid arguments are: "1:1", "1:m", "m:1", "m:m"""")
+    }
+    if (checkLeft && !unique(left)) throw new IllegalArgumentException(
+      s"Merge keys are not unique in left dataset; not a $word merge")
+    if (checkRight && !unique(right)) throw new IllegalArgumentException(
+      s"Merge keys are not unique in right dataset; not a $word merge")
+  }
 }

@@ -101,4 +101,33 @@ object Resample {
         sum(col("__brk__")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__brk__")
   }
+
+  /** resample(...).apply(f) (reference resample_app_ser/resample_app_df,
+    * base QC:5879-6233): arbitrary Scala per time bin via
+    * `groupByKey.mapGroups` — the same physics as groupby.apply (one hash
+    * shuffle on the bucket key, then a streamed per-group iterator; no
+    * driver round-trip, no per-bin collect). `f` maps the bin's values to
+    * a fixed-width result row; null values are dropped before `f` (the
+    * skipna default of the pandas aggregations `apply` usually wraps).
+    * Bins are epoch-microsecond keyed through the shuffle and come back as
+    * a `bucket` timestamp_ntz column, followed by `outCols` as doubles. */
+  def applyGroups(df: DataFrame, tsCol: String, unit: String, valueCol: String,
+      outCols: Seq[String])(f: Iterator[Double] => Array[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val binned = df
+      .filter(col(valueCol).isNotNull)
+      .select(
+        unix_micros(bucket(col(tsCol), unit).cast("timestamp")).as("__bucket_us__"),
+        col(valueCol).cast("double").as("__v__"))
+      .as[(Long, Double)]
+    val applied = binned.groupByKey(_._1)
+      .mapGroups { (k, it) => (k, f(it.map(_._2)).toSeq) }
+      .toDF("__bucket_us__", "__out__")
+    val withBucket = applied.withColumn("bucket",
+      timestamp_micros(col("__bucket_us__")).cast("timestamp_ntz"))
+    outCols.zipWithIndex.foldLeft(withBucket) { case (d, (n, i)) =>
+      d.withColumn(n, col("__out__").getItem(i))
+    }.select(("bucket" +: outCols).map(col): _*)
+  }
 }

@@ -223,5 +223,37 @@ object JoinQueries {
       Some("""
         SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
         FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY c_mktsegment ORDER BY c_mktsegment""")))
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // pandas merge(indicator=, validate=) (reference merge.py signature
+    // surface): outer merge of orders against a filtered customer dim, the
+    // indicator column derived from per-side presence markers (projection
+    // only — no extra shuffle), validate='m:1' asserting right-key
+    // uniqueness eagerly. The filtered dim manufactures all three
+    // indicator values: matched orders (both), orders whose customer was
+    // filtered out (left_only), and retained customers with no orders
+    // (right_only).
+    Q("q159_merge_indicator",
+      (s, dir) => {
+        val orders = t(s, dir, "orders").filter(col("o_totalprice") > 150000)
+          .select(col("o_orderkey"), col("o_custkey"))
+        val cust = t(s, dir, "customer").filter(col("c_nationkey") < 8)
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+        Frame(orders).merge(Frame(cust), Seq("o_custkey"), how = "outer",
+            indicator = Some("merge_ind"), validate = Some("m:1"))
+          .groupby("merge_ind").agg(
+            "n" -> count(lit(1)),
+            "sum_okey" -> sum(coalesce(col("o_orderkey"), lit(0L))))
+          .sortValues(Seq(SortKey.asc("merge_ind"))).df
+      },
+      Some("""
+        WITH o AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 150000),
+             c AS (SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey < 8)
+        SELECT CASE WHEN o_orderkey IS NOT NULL AND c_custkey IS NOT NULL THEN 'both'
+                    WHEN o_orderkey IS NOT NULL THEN 'left_only'
+                    ELSE 'right_only' END AS merge_ind,
+               count(*) AS n,
+               CAST(sum(coalesce(o_orderkey, 0)) AS BIGINT) AS sum_okey
+        FROM o FULL JOIN c ON o.o_custkey = c.c_custkey
+        GROUP BY 1 ORDER BY 1""")))
 }

@@ -191,5 +191,44 @@ object ResampleExtraQueries {
                     ELSE floor((2 * (pv * 100 * (nr - pr) + (nv - pv) * 100 * (sec - pr))
                                 + (nr - pr)) / (2 * (nr - pr))) / 10000.0
                END AS v_interp
-        FROM fbv ORDER BY bucket""")))
+        FROM fbv ORDER BY bucket""")),
+
+    // resample('1h').apply(f) (reference resample_app_ser/df, base
+    // QC:5879-6233): a genuinely non-algebraic per-bin function — the
+    // 10%-trimmed sum needs the bin's sorted values, so no built-in
+    // aggregate expresses it. Runs as groupByKey.mapGroups over the hour
+    // bucket (one shuffle, streamed iterator per bin). Values go through
+    // exact 1e-4 integer units so the trim and sum are bit-identical to
+    // the oracle's window/CTE formulation.
+    Q("q158_resample_apply",
+      (s, dir) => {
+        val out = graft.ops.Resample.applyGroups(
+          t(s, dir, "events"), "ts", "hour", "value",
+          Seq("trimmed_sum4", "n_kept")) { it =>
+          val v4 = it.map(v => math.round(v * 10000)).toArray
+          java.util.Arrays.sort(v4)
+          val trim = v4.length / 10
+          var sum = 0L
+          var i = trim
+          while (i < v4.length - trim) { sum += v4(i); i += 1 }
+          Array(sum.toDouble, (v4.length - 2 * trim).toDouble)
+        }
+        Frame(out.select(col("bucket"),
+          col("trimmed_sum4").cast("long").as("trimmed_sum4"),
+          col("n_kept").cast("long").as("n_kept")))
+          .sortValues(Seq(SortKey.asc("bucket"))).df
+      },
+      Some("""
+        WITH v AS (
+          SELECT date_trunc('hour', ts) AS bucket,
+                 CAST(round(value * 10000, 0) AS BIGINT) AS v4,
+                 row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                    ORDER BY value) AS rn,
+                 count(*) OVER (PARTITION BY date_trunc('hour', ts)) AS n
+          FROM events)
+        SELECT bucket, CAST(sum(v4) AS BIGINT) AS trimmed_sum4,
+               count(*) AS n_kept
+        FROM v
+        WHERE rn > n // 10 AND rn <= n - n // 10
+        GROUP BY bucket ORDER BY bucket""")))
 }

@@ -43,6 +43,25 @@ class ErrorParitySpec extends SparkSuite {
       orders.merge(other, Seq("no_such_key"), "inner").df.schema)
   }
 
+  test("merge validate raises on duplicate keys (pandas MergeError)") {
+    val cust = Frame(table("customer"))
+    // orders:custkey is many-to-one against customer — declaring 1:1 must
+    // raise with pandas' message, eagerly (at merge call, not at action)
+    val e = intercept[IllegalArgumentException](
+      orders.merge(cust.rename("c_custkey" -> "o_custkey"),
+        Seq("o_custkey"), "inner", validate = Some("1:1")))
+    assert(e.getMessage.contains("not unique in left dataset"))
+    assert(e.getMessage.contains("one-to-one"))
+    // an unknown spec raises the pandas ValueError text
+    val bad = intercept[IllegalArgumentException](
+      orders.merge(cust.rename("c_custkey" -> "o_custkey"),
+        Seq("o_custkey"), "inner", validate = Some("2:2")))
+    assert(bad.getMessage.contains("not a valid argument"))
+    // the satisfied direction passes and still joins
+    assert(orders.merge(cust.rename("c_custkey" -> "o_custkey"),
+      Seq("o_custkey"), "inner", validate = Some("m:1")).df.columns.contains("c_name"))
+  }
+
   test("sort on a missing column raises (pandas KeyError)") {
     assertThrows[AnalysisException](
       orders.sortValues(Seq(SortKey.asc("no_such_column"))).df.schema)
