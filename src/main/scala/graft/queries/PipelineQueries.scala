@@ -379,5 +379,45 @@ object PipelineQueries {
                               ct.vec_id) AS rk
             FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) ct)
           WHERE rk = 1)
-        GROUP BY centroid_id ORDER BY centroid_id""")))
+        GROUP BY centroid_id ORDER BY centroid_id""")),
+
+    // Streaming ingestion-side dedup, oracle-checked against its batch
+    // twin: the documents fixture replayed as a file-drop stream through
+    // EventStream.dedupeByFingerprint (watermarked state, bounded), then
+    // the kept set aggregated by language. Which duplicate survives is
+    // arrival-order dependent, but no fingerprint group in the corpus
+    // mixes languages (and event time is synthesized from doc_id), so
+    // the by-lang counts are deterministic and SQL-expressible.
+    Q("q160_streaming_dedup",
+      (s, dir) => {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val stage = Paths.get(s"/tmp/graft_stream/q160_docs")
+        Files.createDirectories(stage)
+        Files.copy(Paths.get(s"$dir/documents.parquet"),
+          stage.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+          // deterministic event time: one doc per second, offset +1 s —
+          // a row AT the stream's initial watermark (epoch 0) is treated
+          // as expired by dropDuplicatesWithinWatermark and silently
+          // dropped, so doc_id=0 must not land exactly on it
+          .withColumn("__ts__", timestamp_micros((col("doc_id") + 1) * 1000000L))
+        val q = graft.streaming.EventStream.runToMemory(
+          graft.streaming.EventStream.dedupeByFingerprint(stream, "__ts__", "text"),
+          "q160_dedup_sink",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        try {
+          // memory sink rows persist after stop; aggregate the kept set
+          s.table("q160_dedup_sink")
+            .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+            .orderBy(col("lang"))
+        } finally q.stop()
+      },
+      Some("""
+        SELECT lang, count(*) AS n_kept FROM (
+          SELECT lang, row_number() OVER (
+            PARTITION BY md5(trim(regexp_replace(lower(text), '\W+', ' ', 'g')))
+            ORDER BY doc_id) AS rn
+          FROM documents) WHERE rn = 1 GROUP BY lang ORDER BY lang""")))
 }

@@ -1,12 +1,14 @@
 package graft.sources
 
-import java.io.{File, FileInputStream}
+import java.io.{File, FileInputStream, FileOutputStream}
 import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.RootAllocator
-import org.apache.arrow.vector.ipc.ArrowFileReader
+import org.apache.arrow.vector.{BigIntVector, BitVector, Float4Vector, Float8Vector, IntVector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
 import org.apache.arrow.vector.types.FloatingPointPrecision
-import org.apache.arrow.vector.types.pojo.{ArrowType, Field}
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -120,5 +122,83 @@ object ArrowIpc {
       }
     }
     spark.createDataFrame(rdd, schema)
+  }
+
+  private def toArrowField(f: StructField): Field = {
+    val t: ArrowType = f.dataType match {
+      case LongType    => new ArrowType.Int(64, true)
+      case IntegerType => new ArrowType.Int(32, true)
+      case DoubleType  => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+      case FloatType   => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+      case StringType  => ArrowType.Utf8.INSTANCE
+      case BooleanType => ArrowType.Bool.INSTANCE
+      case other => throw new UnsupportedOperationException(
+        s"spark type ${other.simpleString} not supported by ArrowIpc.write " +
+          "(bigint/int/double/float/string/boolean are)")
+    }
+    new Field(f.name, new FieldType(f.nullable, t, null), java.util.Collections.emptyList())
+  }
+
+  /**
+   * Write a DataFrame as a directory of Arrow IPC files — the engine's
+   * `to_arrow` / interchange-protocol export (reference:
+   * modin/core/dataframe/pandas/interchange/, base dataframe `__dataframe__`
+   * surface). One file per partition, written task-side, so export
+   * parallelism equals the frame's partitioning — `coalesce` first to
+   * bound the file count. Batches of `batchRows` rows bound task memory
+   * the same way the reader's batch streaming does. The path must be on a
+   * filesystem every executor can reach (local mode / NFS); same contract
+   * as the reader.
+   */
+  def write(df: DataFrame, path: String, batchRows: Int = 4096): Unit = {
+    val sparkSchema = df.schema
+    sparkSchema.foreach(toArrowField) // validate on the driver, not per task
+    val dir = new File(path)
+    require(dir.isDirectory || dir.mkdirs(), s"cannot create directory $path")
+    df.rdd.foreachPartition { rows =>
+      val part = org.apache.spark.TaskContext.getPartitionId()
+      val arrowSchema = new ArrowSchema(sparkSchema.map(toArrowField).asJava)
+      val alloc = new RootAllocator()
+      val root = VectorSchemaRoot.create(arrowSchema, alloc)
+      val out = new FileOutputStream(new File(dir, f"part-$part%05d.arrow"))
+      val writer = new ArrowFileWriter(root, null, out.getChannel)
+      try {
+        writer.start()
+        val vectors = root.getFieldVectors
+        var n = 0
+        def flush(): Unit = if (n > 0) {
+          root.setRowCount(n); writer.writeBatch(); root.allocateNew(); n = 0
+        }
+        rows.foreach { row =>
+          var j = 0
+          while (j < sparkSchema.length) {
+            val v = vectors.get(j)
+            if (row.isNullAt(j)) {
+              // setNull per concrete vector type — setSafe(null) is not a thing
+              v match {
+                case x: BigIntVector  => x.setNull(n)
+                case x: IntVector     => x.setNull(n)
+                case x: Float8Vector  => x.setNull(n)
+                case x: Float4Vector  => x.setNull(n)
+                case x: VarCharVector => x.setNull(n)
+                case x: BitVector     => x.setNull(n)
+              }
+            } else v match {
+              case x: BigIntVector  => x.setSafe(n, row.getLong(j))
+              case x: IntVector     => x.setSafe(n, row.getInt(j))
+              case x: Float8Vector  => x.setSafe(n, row.getDouble(j))
+              case x: Float4Vector  => x.setSafe(n, row.getFloat(j))
+              case x: VarCharVector => x.setSafe(n, row.getString(j).getBytes("UTF-8"))
+              case x: BitVector     => x.setSafe(n, if (row.getBoolean(j)) 1 else 0)
+            }
+            j += 1
+          }
+          n += 1
+          if (n >= batchRows) flush()
+        }
+        flush()
+        writer.end()
+      } finally { writer.close(); out.close(); root.close(); alloc.close() }
+    }
   }
 }

@@ -47,4 +47,38 @@ class ArrowIpcSpec extends SparkSuite {
     val nullRow = got.find(_.getAs[String]("name") == "bob").get
     assert(nullRow.isNullAt(nullRow.fieldIndex("id")))
   }
+
+  test("write round-trips a DataFrame through Arrow IPC, nulls and all types intact") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("n", IntegerType),
+      StructField("x", DoubleType), StructField("f", FloatType),
+      StructField("s", StringType), StructField("b", BooleanType)))
+    val rows = Seq(
+      Row(1L, 10, 1.5, 2.5f, "alpha", true),
+      Row(2L, null, null, null, null, null),
+      Row(null, 30, 3.5, 4.5f, "gamma", false))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val dir = java.nio.file.Files.createTempDirectory("graft_arrow_rt").toFile
+    dir.deleteOnExit()
+    graft.sources.ArrowIpc.write(df, dir.getAbsolutePath, batchRows = 2)
+    val back = ArrowIpc.read(spark, dir.getAbsolutePath)
+    assert(back.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      schema.map(f => (f.name, f.dataType.simpleString)))
+    // symmetric exceptAll == frame equality regardless of row/file order
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+    assert(back.count() == 3)
+  }
+
+  test("write rejects unsupported column types on the driver") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1, 2))).toDF("id", "arr")
+    val dir = java.nio.file.Files.createTempDirectory("graft_arrow_bad").toFile
+    dir.deleteOnExit()
+    intercept[UnsupportedOperationException] {
+      graft.sources.ArrowIpc.write(df, dir.getAbsolutePath)
+    }
+  }
 }

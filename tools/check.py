@@ -14,6 +14,13 @@ are diffed against committed golden fixtures in tools/golden/<name>.parquet
 instead (deterministic seeds + sorted output make them reproducible).
 Regenerate with --bless after an intentional semantic change — and say why
 in the commit.
+
+`--verify-golden` is the CI-style golden gate: run it on an untouched tree
+(`python3 tools/check.py --verify-golden`) and it hard-fails if any
+committed fixture drifts from the current engine output, if a fixture is
+stale (no query produces it any more), or if a no-oracle query has never
+been blessed. A clean pass means re-blessing would be a no-op — the
+property that guards against accidentally blessing a regression.
 """
 import argparse
 import json
@@ -104,6 +111,11 @@ def main():
     ap.add_argument("--skip-run", action="store_true")
     ap.add_argument("--bless", action="store_true",
                     help="(re)write tools/golden fixtures for no-oracle queries")
+    ap.add_argument("--verify-golden", action="store_true",
+                    help="CI-style golden gate: every committed fixture must have a "
+                         "matching, value-identical result in the dump, and every "
+                         "no-oracle query must have a fixture — both directions hard-fail. "
+                         "Guards against blessing a regression or leaving stale fixtures.")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
     golden_dir = Path(__file__).resolve().parent / "golden"
@@ -156,7 +168,12 @@ def main():
                 ok += 1
                 continue
             if not fixture.exists():
-                print(f"-- {name}: no oracle SQL and no golden fixture (rows-only op)")
+                if args.verify_golden:
+                    print(f"FAIL {name}: no-oracle query has no committed golden fixture "
+                          f"(run check.py --bless {name} and commit tools/golden/{name}.parquet)")
+                    fail += 1
+                else:
+                    print(f"-- {name}: no oracle SQL and no golden fixture (rows-only op)")
                 continue
             problems = compare(name, sdf, pd.read_parquet(fixture))
             hard = [p for p in problems if not p.startswith("dtype note")]
