@@ -367,6 +367,46 @@ final case class Frame(
     df.groupBy(c).agg(count(lit(1)).as("count"))
       .orderBy(col("count").desc, col(c).asc))
 
+  /** memory_usage (reference base QC / DataFrame.memory_usage — pandas
+    * reports per-block nbytes). There is no block model here, so the
+    * documented analog is the Tungsten UnsafeRow footprint per column:
+    * fixed-width types cost their width × rows, var-width types cost
+    * their summed byte length plus an 8-byte offset-and-length word per
+    * row (nulls cost only the word). One distributed aggregate — a
+    * single job, no collect of data rows; deep=False has no meaning
+    * (the JVM engine has no object-dtype indirection to skip). */
+  def memoryUsage(): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val aggs = df.schema.fields.map { f =>
+      val fixed: Option[Int] = f.dataType match {
+        case BooleanType | ByteType => Some(1)
+        case ShortType => Some(2)
+        case IntegerType | FloatType | DateType => Some(4)
+        case LongType | DoubleType | TimestampType | TimestampNTZType => Some(8)
+        case _ => None
+      }
+      fixed match {
+        case Some(w) => sum(lit(w)).cast("long").as(f.name)
+        case None =>
+          // octet_length covers string/binary; everything else (arrays,
+          // structs, decimals) is measured through its serialized json —
+          // an upper-bound proxy, documented as estimate
+          val bytes = f.dataType match {
+            case StringType | BinaryType => octet_length(col(f.name))
+            case _ => octet_length(to_json(struct(col(f.name))))
+          }
+          sum(coalesce(bytes.cast("long"), lit(0L)) + lit(8L)).as(f.name)
+      }
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot to the pandas shape: one row per column, (column, bytes)
+    val first = wide.collect()(0) // one row of n_cols longs — driver-safe
+    val out = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      (f.name, if (first.isNullAt(i)) 0L else first.getLong(i))
+    }
+    df.sparkSession.createDataFrame(out.toIndexedSeq).toDF("column", "bytes")
+  }
+
   // ---------------------------------------------------------------------
   // groupby entry point (§2.5) — see graft.api.GroupBy
   // ---------------------------------------------------------------------

@@ -96,6 +96,26 @@ object ExtrasQueries {
               FROM (SELECT DISTINCT o_orderpriority FROM orders)) USING (o_orderpriority)
         GROUP BY o_orderpriority, cat_code ORDER BY cat_code""")),
 
+    // memory_usage: per-column Tungsten UnsafeRow footprint (fixed width ×
+    // rows; var-width = byte sum + an 8-byte word per row) — one
+    // distributed aggregate, independently recomputable in SQL, so the
+    // engine-specific definition is oracle-pinned rather than hand-waved.
+    Q("q161_memory_usage",
+      (s, dir) => {
+        val mu = f(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+          .memoryUsage()
+        Frame(mu).sortValues(Seq(SortKey.asc("column"))).df
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT 'l_orderkey' AS "column", CAST(8*count(*) AS BIGINT) AS bytes FROM lineitem
+          UNION ALL SELECT 'l_linenumber', CAST(4*count(*) AS BIGINT) FROM lineitem
+          UNION ALL SELECT 'l_quantity', CAST(8*count(*) AS BIGINT) FROM lineitem
+          UNION ALL SELECT 'l_returnflag',
+            CAST(sum(strlen(l_returnflag)) + 8*count(*) AS BIGINT) FROM lineitem)
+        ORDER BY "column"""")),
+
     // list/struct accessors: list_len / list_getitem / slice /
     // contains + struct_field / struct_explode over derived nested cols.
     Q("q77_list_struct",

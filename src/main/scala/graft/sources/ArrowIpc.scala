@@ -124,6 +124,17 @@ object ArrowIpc {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** read_feather: Feather v2 IS the Arrow IPC file format (one frame,
+    * same footer), so the reader applies unchanged (reference:
+    * modin/core/io/io.py read_feather → pyarrow.feather, which likewise
+    * delegates to the IPC reader for v2). Feather v1 — the pre-Arrow-1.0
+    * legacy format — is not supported. */
+  def readFeather(spark: SparkSession, path: String): DataFrame = read(spark, path)
+
+  /** to_feather: uncompressed Feather v2 = Arrow IPC file. */
+  def writeFeather(df: DataFrame, path: String, batchRows: Int = 4096): Unit =
+    write(df, path, batchRows)
+
   private def toArrowField(f: StructField): Field = {
     val t: ArrowType = f.dataType match {
       case LongType    => new ArrowType.Int(64, true)

@@ -121,6 +121,17 @@ class FrameSpec extends SparkSuite {
     assert(all.df.count() == 4) // everything except the unhashable null key
   }
 
+  test("memoryUsage: fixed width × rows; var-width byte sum + 8/row, null = word only") {
+    import spark.implicits._
+    val d = Frame(Seq((1L, Some("abc")), (2L, Some("é")), (3L, None))
+      .toDF("id", "s"))
+    val got = d.memoryUsage().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("id") == 3 * 8)
+    // "abc"=3 bytes, "é"=2 bytes (utf-8), null=0; + 8-byte word each
+    assert(got("s") == (3 + 2 + 0) + 3 * 8)
+  }
+
   test("whereCol keeps where cond holds; maskCol replaces where it holds") {
     import spark.implicits._
     val d = Seq(1.0, -2.0, 3.0).toDF("x")
