@@ -381,6 +381,33 @@ object PipelineQueries {
           WHERE rk = 1)
         GROUP BY centroid_id ORDER BY centroid_id""")),
 
+    // Near-dup clustering: candidate pairs (exact cosine baseline) →
+    // connected components via hash-min label propagation — the
+    // transitive-closure step between pair generation and representative
+    // selection. Oracle = recursive-CTE reachability in DuckDB; equality
+    // means the distributed iteration found exactly the true components.
+    Q("q162_neardup_components",
+      (s, dir) => {
+        val pairs = Dedup.embeddingPairsBrute(
+          t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", threshold = 0.45)
+        Frame(Dedup.connectedComponents(pairs, "id_a", "id_b"))
+          .sortValues(Seq(SortKey.asc("id"))).df
+      },
+      Some("""
+        WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT src AS id, src AS r FROM edges
+          UNION
+          SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src)
+        SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""")),
+
     // Streaming ingestion-side dedup, oracle-checked against its batch
     // twin: the documents fixture replayed as a file-drop stream through
     // EventStream.dedupeByFingerprint (watermarked state, bounded), then

@@ -132,6 +132,28 @@ class DedupSpec extends SparkSuite {
     assert(lsh.subsetOf(Set((3L, 4L))))
   }
 
+  test("connectedComponents labels every cluster by its minimum member") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents raises rather than return partial labels at the round cap") {
+    import spark.implicits._
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, "a", "b", maxRounds = 2)
+    }
+    // and the same graph converges with headroom
+    assert(Dedup.connectedComponents(chain, "a", "b", maxRounds = 10)
+      .collect().map(_.getLong(1)).forall(_ == 1L))
+  }
+
   test("fingerprint canonicalizes case and punctuation runs") {
     import spark.implicits._
     val out = Seq(("A!!B  c", "a b C")).toDF("x", "y")
