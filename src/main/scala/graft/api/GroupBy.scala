@@ -94,15 +94,24 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
   def pctChange(c: String, as: String, order: Seq[SortKey]): Frame =
     frame.withColumn(as, (col(c) - lag(col(c), 1).over(w(order))) / lag(col(c), 1).over(w(order)))
 
-  /** reference groupby_rank (base QC:4068); pandas method='min'|'dense'|'first'. */
+  /** reference groupby_rank (base QC:4068); pandas
+    * method='min'|'dense'|'first'|'max'|'average'. average/max derive from
+    * min-rank plus the same-value tie count (one extra unordered window
+    * over (keys, value) — same partitioning, no extra shuffle):
+    * max = min + ties - 1, average = min + (ties-1)/2. */
   def rank(c: String, as: String, method: String = "min", ascending: Boolean = true): Frame = {
     val key = if (ascending) col(c).asc else col(c).desc
     val spec = Window.partitionBy(kcols: _*).orderBy(key)
+    lazy val ties = count(lit(1)).over(Window.partitionBy((kcols :+ col(c)): _*))
     val r = method match {
-      case "min"   => org.apache.spark.sql.functions.rank().over(spec)
-      case "dense" => dense_rank().over(spec)
-      case "first" => row_number().over(spec)
-      case other   => sys.error(s"rank method $other")
+      case "min"     => org.apache.spark.sql.functions.rank().over(spec)
+      case "dense"   => dense_rank().over(spec)
+      case "first"   => row_number().over(spec)
+      case "max"     => org.apache.spark.sql.functions.rank().over(spec) + ties - lit(1)
+      case "average" =>
+        org.apache.spark.sql.functions.rank().over(spec).cast("double") +
+          (ties - lit(1)).cast("double") / lit(2.0)
+      case other     => sys.error(s"rank method $other")
     }
     frame.withColumn(as, r)
   }

@@ -24,16 +24,24 @@ object Joins {
   private val Tie = "__asof_tie__"
 
   /**
-   * Distributed `merge_asof` (direction=backward, allow_exact_matches=true —
-   * the pandas defaults).
+   * Distributed `merge_asof` (reference base query_compiler.py:1713 —
+   * driver-side pandas there). Full pandas option surface: `direction`
+   * backward / forward / nearest, `allowExactMatches`, and `tolerance`.
    *
    * Strategy: tag and union both sides, then for every left row take the
-   * last non-null right payload in a running window partitioned by the `by`
-   * keys and ordered by (time, tag) — right rows sort before left rows at
-   * equal times, so exact matches are visible. One hash shuffle on the `by`
+   * nearest non-null right payload in a running window partitioned by the
+   * `by` keys and ordered by (time, tag) — the tag decides whether a right
+   * row at the SAME time is visible (exact matches) by sorting it before
+   * or after the left row, per direction. One hash shuffle on the `by`
    * keys; no global sort, no driver materialization; skewed keys are split
-   * by AQE. Ties among right rows at the same time resolve to the greatest
-   * `tieBreak` (pandas keeps the last right row).
+   * by AQE. `nearest` evaluates both one-sided windows over the same
+   * union (no second shuffle — same partitioning) and picks the smaller
+   * time distance, ties to backward (pandas rule). Ties among right rows
+   * at the same time resolve to the greatest `tieBreak` for backward
+   * (pandas keeps the last right row) and the smallest for forward.
+   * `tolerance` (µs for time keys, raw units for numeric keys) nulls the
+   * payload when the matched row is farther than the bound — the row
+   * itself is kept, as in pandas.
    *
    * @param payload columns pulled from `right` into the result.
    */
@@ -45,21 +53,31 @@ object Joins {
       leftBy: String,
       rightBy: String,
       payload: Seq[String],
-      tieBreak: Column): DataFrame = {
+      tieBreak: Column,
+      direction: String = "backward",
+      allowExactMatches: Boolean = true,
+      tolerance: Option[Long] = None): DataFrame = {
 
-    val pStruct = struct(payload.map(col): _*)
-    val pType = right.select(pStruct).schema.head.dataType
+    require(Set("backward", "forward", "nearest")(direction),
+      s"asof direction must be backward|forward|nearest: $direction")
 
     // Numeric asof keys (supported by pandas merge_asof) must NOT be cast
     // to timestamp — that would reinterpret ints as epoch seconds. Only
     // normalize date/string/ntz keys; numeric keys order on the raw type.
     import org.apache.spark.sql.types._
-    val onKey: Column => Column = left.schema(leftOn).dataType match {
-      case _: DateType | _: StringType | _: TimestampType | _: TimestampNTZType =>
-        c => c.cast("timestamp")
-      case _: NumericType => identity
-      case other => sys.error(s"asof: unsupported on-key type $other")
-    }
+    val (onKey, toNum): (Column => Column, Column => Column) =
+      left.schema(leftOn).dataType match {
+        case _: DateType | _: StringType | _: TimestampType | _: TimestampNTZType =>
+          ((c: Column) => c.cast("timestamp"), (c: Column) => unix_micros(c))
+        case _: NumericType => (identity[Column] _, (c: Column) => c.cast("double"))
+        case other => sys.error(s"asof: unsupported on-key type $other")
+      }
+
+    // matched right time rides inside the payload struct — tolerance and
+    // the nearest-side choice both need it after the window
+    val MT = "__asof_mt__"
+    val pStruct = struct((onKey(col(rightOn)).as(MT) +: payload.map(col)): _*)
+    val pType = right.select(pStruct).schema.head.dataType
 
     val r = right.select(
       col(rightBy).as(leftBy),
@@ -85,15 +103,49 @@ object Joins {
         Seq(col(leftBy), col(T), col(Tag), col(Payload), col(Tie))): _*)
 
     val unioned = lAligned.unionByName(rPadded)
-    val w = Window.partitionBy(col(leftBy))
-      .orderBy(col(T).asc, col(Tag).asc, col(Tie).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isRight = col(Tag) === 0
 
-    val matched = unioned
-      .withColumn(Payload, last(col(Payload), ignoreNulls = true).over(w))
-      .filter(col(Tag) === 1)
+    // Exact-match visibility = sort order of right vs left rows at equal T:
+    // a right row is visible to a backward window only if it sorts BEFORE
+    // the left row, and to a forward window only if it sorts AFTER.
+    def sideTag(visible: Boolean, rightFirst: Boolean): Column =
+      if (visible == rightFirst) when(isRight, 0).otherwise(1)
+      else when(isRight, 1).otherwise(0)
 
-    val out = payload.foldLeft(matched) { (d, p) =>
+    def backCol: Column = {
+      val w = Window.partitionBy(col(leftBy))
+        .orderBy(col(T).asc, sideTag(allowExactMatches, rightFirst = true).asc, col(Tie).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      last(col(Payload), ignoreNulls = true).over(w)
+    }
+    def fwdCol: Column = {
+      val w = Window.partitionBy(col(leftBy))
+        .orderBy(col(T).asc, sideTag(allowExactMatches, rightFirst = false).asc, col(Tie).asc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      first(col(Payload), ignoreNulls = true).over(w)
+    }
+
+    def withinTol(p: Column): Column = tolerance match {
+      case None => p
+      case Some(tol) =>
+        when(p.isNotNull &&
+          abs(toNum(col(T)) - toNum(p.getField(MT))) <= lit(tol.toDouble), p)
+    }
+
+    val matched = direction match {
+      case "backward" => unioned.withColumn(Payload, withinTol(backCol))
+      case "forward"  => unioned.withColumn(Payload, withinTol(fwdCol))
+      case "nearest"  =>
+        val b = withinTol(backCol)
+        val f = withinTol(fwdCol)
+        val db = toNum(col(T)) - toNum(b.getField(MT))
+        val df_ = toNum(f.getField(MT)) - toNum(col(T))
+        unioned.withColumn(Payload,
+          when(b.isNull, f).when(f.isNull, b)
+            .when(db <= df_, b).otherwise(f)) // tie → backward (pandas)
+    }
+
+    val out = payload.foldLeft(matched.filter(col(Tag) === 1)) { (d, p) =>
       d.withColumn(p, col(Payload).getField(p))
     }
     out.select((leftCols.map(col) ++ payload.map(col)): _*)

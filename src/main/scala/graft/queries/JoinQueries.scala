@@ -149,6 +149,79 @@ object JoinQueries {
           ON c.user_id = p.user_id AND c.ts >= p.ts
         ORDER BY c.event_id""")),
 
+    // merge_asof direction=forward + tolerance: each click matched to the
+    // NEXT purchase, nulled when it is more than an hour out — same
+    // union+window plan, the window just runs the other way. Tolerance is
+    // a post-predicate on the matched time carried through the window
+    // struct (µs), so it adds no shuffle.
+    Q("q163_asof_forward_tol",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("value").as("purchase_value"), col("event_id").as("p_id"))
+        val joined = Joins.asof(
+          clicks, purchases,
+          leftOn = "ts", rightOn = "p_ts",
+          leftBy = "user_id", rightBy = "p_user",
+          payload = Seq("purchase_value"),
+          tieBreak = col("p_id"),
+          direction = "forward",
+          tolerance = Some(3600L * 1000000L))
+        Frame(joined)
+          .selectExprs(col("event_id"),
+            round(col("purchase_value"), 4).as("purchase_value"))
+          .sortValues(Seq(SortKey.asc("event_id"))).df
+      },
+      Some("""
+        SELECT c.event_id,
+               round(CASE WHEN p.ts IS NULL OR p.ts > c.ts + INTERVAL 1 HOUR
+                          THEN NULL ELSE p.value END, 4) AS purchase_value
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+        ORDER BY c.event_id""")),
+
+    // merge_asof direction=nearest: closer of the previous/next purchase,
+    // distance ties to backward (the pandas rule). Both one-sided windows
+    // run over the SAME unioned, by-key-partitioned frame — nearest costs
+    // no extra exchange, only a second window pass.
+    Q("q164_asof_nearest",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("value").as("purchase_value"), col("event_id").as("p_id"))
+        val joined = Joins.asof(
+          clicks, purchases,
+          leftOn = "ts", rightOn = "p_ts",
+          leftBy = "user_id", rightBy = "p_user",
+          payload = Seq("purchase_value"),
+          tieBreak = col("p_id"),
+          direction = "nearest")
+        Frame(joined)
+          .selectExprs(col("event_id"),
+            round(col("purchase_value"), 4).as("purchase_value"))
+          .sortValues(Seq(SortKey.asc("event_id"))).df
+      },
+      Some("""
+        SELECT c.event_id, round(CASE
+            WHEN b.ts IS NULL AND f.ts IS NULL THEN NULL
+            WHEN f.ts IS NULL THEN b.value
+            WHEN b.ts IS NULL THEN f.value
+            WHEN (c.ts - b.ts) <= (f.ts - c.ts) THEN b.value
+            ELSE f.value END, 4) AS purchase_value
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') b
+          ON c.user_id = b.user_id AND c.ts >= b.ts
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') f
+          ON c.user_id = f.user_id AND c.ts <= f.ts
+        ORDER BY c.event_id""")),
+
     // combine_first (reference QC:538): patch missing acctbals from a
     // fallback table after aligning on the key.
     Q("q36_combine_first",

@@ -85,6 +85,30 @@ object WindowQueries {
                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
         FROM orders ORDER BY o_orderkey""")),
 
+    // pandas rank method='average'/'max' (the pandas DEFAULT is average —
+    // SQL rank() is pandas method='min'): min-rank + same-value tie count,
+    // both windows share one partitioning, no extra shuffle. Oracle
+    // restates the identity independently.
+    Q("q165_rank_avg_max",
+      (s, dir) => {
+        val ranked = f(s, dir, "orders").groupby("o_orderpriority")
+          .rank("o_totalprice", "avg_rnk", method = "average")
+          .groupby("o_orderpriority")
+          .rank("o_totalprice", "max_rnk", method = "max")
+        Frame(ranked.df.select(col("o_orderkey"), col("avg_rnk"),
+          col("max_rnk").cast("long").as("max_rnk")))
+          .sortValues(Seq(SortKey.asc("o_orderkey"))).df
+      },
+      Some("""
+        SELECT o_orderkey,
+               rank() OVER w + (count(*) OVER (PARTITION BY o_orderpriority, o_totalprice) - 1) / 2.0
+                 AS avg_rnk,
+               rank() OVER w + count(*) OVER (PARTITION BY o_orderpriority, o_totalprice) - 1
+                 AS max_rnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+        ORDER BY o_orderkey""")),
+
     // groupby head / nth / cumcount (reference base QC:4396,4444,3906).
     Q("q53_group_head_nth",
       (s, dir) => {

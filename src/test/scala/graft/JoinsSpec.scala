@@ -37,4 +37,43 @@ class JoinsSpec extends SparkSuite {
       .orderBy("t").collect().map(_.getAs[Double]("px"))
     assert(out.toSeq == Seq(99.0, 101.0))
   }
+
+  private def asofTags(direction: String, allowExact: Boolean,
+      tol: Option[Long] = None): Seq[(Long, Option[String])] = {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 35L)).toDF("k", "t")
+    val right = Seq((1L, 10L, "at10"), (1L, 18L, "at18"), (1L, 22L, "at22"))
+      .toDF("k", "t", "tag")
+    graft.ops.Joins.asof(left, right, "t", "t", "k", "k",
+      Seq("tag"), org.apache.spark.sql.functions.col("t"),
+      direction = direction, allowExactMatches = allowExact, tolerance = tol)
+      .orderBy("t").collect()
+      .map(r => (r.getLong(1), Option(r.getAs[String]("tag")))).toSeq
+  }
+
+  test("asof direction=forward takes the first at-or-after match") {
+    assert(asofTags("forward", allowExact = true) ==
+      Seq(10L -> Some("at10"), 20L -> Some("at22"), 35L -> None))
+  }
+
+  test("asof allow_exact_matches=false excludes same-time rows both directions") {
+    assert(asofTags("backward", allowExact = false) ==
+      Seq(10L -> None, 20L -> Some("at18"), 35L -> Some("at22")))
+    assert(asofTags("forward", allowExact = false) ==
+      Seq(10L -> Some("at18"), 20L -> Some("at22"), 35L -> None))
+  }
+
+  test("asof direction=nearest picks the closer side, ties to backward") {
+    // t=20: backward at18 (d=2) beats forward at22 (d=2 exact tie → backward)
+    assert(asofTags("nearest", allowExact = true) ==
+      Seq(10L -> Some("at10"), 20L -> Some("at18"), 35L -> Some("at22")))
+  }
+
+  test("asof tolerance nulls matches beyond the bound but keeps rows") {
+    assert(asofTags("backward", allowExact = true, tol = Some(3L)) ==
+      Seq(10L -> Some("at10"), 20L -> Some("at18"), 35L -> None))
+    // nearest under tolerance: t=35's only neighbour (at22, d=13) is out
+    assert(asofTags("nearest", allowExact = true, tol = Some(5L)) ==
+      Seq(10L -> Some("at10"), 20L -> Some("at18"), 35L -> None))
+  }
 }
