@@ -1,5 +1,7 @@
 package graft
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -70,6 +72,64 @@ class PropertySpec extends SparkSuite {
       exact.zip(approx).foreach { case (e, a) =>
         assert(math.abs(a - e.toDouble) <= math.abs(e.toDouble) * 1e-11,
           s"exact=$e approx=$a")
+      }
+    }
+  }
+
+  test("hash-min connected components equal driver union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    (1 to 6).foreach { _ =>
+      val nNodes = 2 + rnd.nextInt(30)
+      val nEdges = 1 + rnd.nextInt(40)
+      val edges = List.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // driver-side union-find oracle
+        val parent = mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+        val nodes = parent.keys.toList // snapshot: find() path-compresses
+        val want: Map[Long, Long] = nodes.groupBy(find).values.flatMap { members =>
+          val m = members.min
+          members.map(_ -> m)
+        }.toMap
+        val got = graft.ops.Dedup.connectedComponents(
+          edges.toDF("a", "b").repartition(3), "a", "b", maxRounds = 40)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"edges=$edges")
+      }
+    }
+  }
+
+  test("xlsx round-trip preserves arbitrary strings and numerics") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    // strings hostile to XML/zip: control-adjacent, unicode, quotes, blanks
+    val alphabet = "ab<>&\"'é中\t β" + "]]>"
+    (1 to 3).foreach { _ =>
+      val rows = List.tabulate(1 + rnd.nextInt(20)) { i =>
+        val s = List.fill(rnd.nextInt(12))(
+          alphabet(rnd.nextInt(alphabet.length))).mkString
+        (i.toLong, s, rnd.nextLong() % 100000, rnd.nextDouble() * 1e6 - 5e5)
+      }
+      val df = rows.toDF("id", "s", "n", "x")
+      val f = java.io.File.createTempFile("graft_xl_prop", ".xlsx")
+      f.deleteOnExit()
+      graft.sources.Excel.write(df, f.getAbsolutePath)
+      val back = graft.sources.Excel.read(spark, f.getAbsolutePath)
+      val a = back.orderBy("id").collect()
+      val b = df.orderBy("id").collect()
+      a.zip(b).foreach { case (x, y) =>
+        assert(x.getLong(0) == y.getLong(0))
+        // empty cells read back as null — pandas does the same
+        assert(Option(x.getString(1)).getOrElse("") == y.getString(1))
+        assert(x.getLong(2) == y.getLong(2))
+        assert(math.abs(x.getDouble(3) - y.getDouble(3)) < 1e-9)
       }
     }
   }
