@@ -210,7 +210,13 @@ object WindowExtraQueries {
           ordering = Seq(SortKey.desc("o_totalprice"), SortKey.asc("o_orderkey")))
         val ordered = RowOrder.withRowOrder(fr.df, fr.ordering)
         val wVal = Window.partitionBy(col("o_totalprice"))
-        val ranked = ordered.withColumn("rnk", min(col("__row_order__") + 1).over(wVal))
+        // pandas-default average ties share the value partitioning: no
+        // extra exchange for the second method
+        val ranked = ordered
+          .withColumn("rnk", min(col("__row_order__") + 1).over(wVal))
+          .withColumn("avg_rnk",
+            col("rnk").cast("double") +
+              (count(lit(1)).over(wVal) - 1).cast("double") / 2.0)
         val prev = ordered.select(
           (col("__row_order__") + 1).as("__ro_next__"),
           col("o_totalprice").as("__prev_price__"))
@@ -226,12 +232,15 @@ object WindowExtraQueries {
           .select(
             col("o_orderkey"),
             col("rnk"),
+            col("avg_rnk"),
             pct6.as("pct_change")))
           .sortValues(Seq(SortKey.asc("o_orderkey"))).df
       },
       Some("""
         SELECT o_orderkey,
                rank() OVER (ORDER BY o_totalprice DESC) AS rnk,
+               rank() OVER (ORDER BY o_totalprice DESC)
+                 + (count(*) OVER (PARTITION BY o_totalprice) - 1) / 2.0 AS avg_rnk,
                floor(((c - pc) * 2000000 + pc) / (pc * 2)) / 1000000.0 AS pct_change
         FROM (
           SELECT o_orderkey, o_totalprice,

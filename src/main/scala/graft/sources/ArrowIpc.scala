@@ -5,9 +5,9 @@ import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.RootAllocator
-import org.apache.arrow.vector.{BigIntVector, BitVector, Float4Vector, Float8Vector, IntVector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.{BigIntVector, BitVector, DateDayVector, Float4Vector, Float8Vector, IntVector, TimeStampMicroTZVector, TimeStampMicroVector, VarCharVector, VectorSchemaRoot}
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
-import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
@@ -32,8 +32,14 @@ object ArrowIpc {
       if (t.getPrecision == FloatingPointPrecision.SINGLE) FloatType else DoubleType
     case _: ArrowType.Utf8 => StringType
     case _: ArrowType.Bool => BooleanType
+    case t: ArrowType.Date if t.getUnit == DateUnit.DAY => DateType
+    case t: ArrowType.Timestamp if t.getUnit == TimeUnit.MICROSECOND =>
+      // Arrow semantics: a timezone marks an instant, its absence a
+      // wall-clock time — exactly Spark's TIMESTAMP vs TIMESTAMP_NTZ
+      if (t.getTimezone == null) TimestampNTZType else TimestampType
     case other => throw new UnsupportedOperationException(
-      s"arrow type ${other} not supported by ArrowIpc (int/float/utf8/bool are)")
+      s"arrow type ${other} not supported by ArrowIpc " +
+        "(int/float/utf8/bool/date32/timestamp[us] are)")
   }
 
   private def readSchema(path: String): StructType = {
@@ -100,7 +106,14 @@ object ArrowIpc {
                     if (v.isNull(i)) null
                     else v.getObject(i) match {
                       case t: org.apache.arrow.vector.util.Text => t.toString
-                      case x => x
+                      // arrow-java API drift: DateDay getObject has returned
+                      // both raw day counts and LocalDate across versions
+                      case d: java.lang.Integer if v.isInstanceOf[DateDayVector] =>
+                        java.time.LocalDate.ofEpochDay(d.longValue())
+                      case m: java.lang.Long if v.isInstanceOf[TimeStampMicroTZVector] =>
+                        java.time.Instant.ofEpochSecond(
+                          Math.floorDiv(m, 1000000L), Math.floorMod(m, 1000000L) * 1000L)
+                      case x => x // LocalDate / LocalDateTime pass through
                     }
                   j += 1
                 }
@@ -143,9 +156,12 @@ object ArrowIpc {
       case FloatType   => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
       case StringType  => ArrowType.Utf8.INSTANCE
       case BooleanType => ArrowType.Bool.INSTANCE
+      case DateType    => new ArrowType.Date(DateUnit.DAY)
+      case TimestampType    => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
+      case TimestampNTZType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)
       case other => throw new UnsupportedOperationException(
         s"spark type ${other.simpleString} not supported by ArrowIpc.write " +
-          "(bigint/int/double/float/string/boolean are)")
+          "(bigint/int/double/float/string/boolean/date/timestamp are)")
     }
     new Field(f.name, new FieldType(f.nullable, t, null), java.util.Collections.emptyList())
   }
@@ -193,6 +209,9 @@ object ArrowIpc {
                 case x: Float4Vector  => x.setNull(n)
                 case x: VarCharVector => x.setNull(n)
                 case x: BitVector     => x.setNull(n)
+                case x: DateDayVector => x.setNull(n)
+                case x: TimeStampMicroTZVector => x.setNull(n)
+                case x: TimeStampMicroVector   => x.setNull(n)
               }
             } else v match {
               case x: BigIntVector  => x.setSafe(n, row.getLong(j))
@@ -201,6 +220,24 @@ object ArrowIpc {
               case x: Float4Vector  => x.setSafe(n, row.getFloat(j))
               case x: VarCharVector => x.setSafe(n, row.getString(j).getBytes("UTF-8"))
               case x: BitVector     => x.setSafe(n, if (row.getBoolean(j)) 1 else 0)
+              case x: DateDayVector =>
+                // rows carry java.sql.Date or LocalDate depending on the
+                // session's java8API flag — accept both
+                val days = row.get(j) match {
+                  case d: java.sql.Date => d.toLocalDate.toEpochDay
+                  case d: java.time.LocalDate => d.toEpochDay
+                }
+                x.setSafe(n, days.toInt)
+              case x: TimeStampMicroTZVector =>
+                val inst = row.get(j) match {
+                  case t: java.sql.Timestamp => t.toInstant
+                  case t: java.time.Instant => t
+                }
+                x.setSafe(n, inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+              case x: TimeStampMicroVector =>
+                val ldt = row.get(j).asInstanceOf[java.time.LocalDateTime]
+                x.setSafe(n, ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+                  ldt.getNano / 1000L)
             }
             j += 1
           }

@@ -72,6 +72,31 @@ class ArrowIpcSpec extends SparkSuite {
     assert(back.count() == 3)
   }
 
+  test("temporal types round-trip: date32, instant timestamp, wall-clock ntz") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("d", DateType), StructField("t", TimestampType),
+      StructField("w", TimestampNTZType)))
+    val rows = Seq(
+      Row(1L, java.sql.Date.valueOf("2024-02-29"),
+        java.sql.Timestamp.valueOf("2024-02-29 12:34:56.789"),
+        java.time.LocalDateTime.parse("2024-02-29T23:59:59.000001")),
+      Row(2L, null, null, null),
+      Row(3L, java.sql.Date.valueOf("1969-07-20"), // pre-epoch
+        java.sql.Timestamp.valueOf("1969-07-20 20:17:40.0"),
+        java.time.LocalDateTime.parse("1969-07-20T20:17:40")))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val dir = java.nio.file.Files.createTempDirectory("graft_arrow_time").toFile
+    dir.deleteOnExit()
+    graft.sources.ArrowIpc.write(df, dir.getAbsolutePath)
+    val back = ArrowIpc.read(spark, dir.getAbsolutePath)
+    assert(back.schema.map(_.dataType.simpleString) ==
+      Seq("bigint", "date", "timestamp", "timestamp_ntz"))
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+  }
+
   test("write rejects unsupported column types on the driver") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 2))).toDF("id", "arr")
