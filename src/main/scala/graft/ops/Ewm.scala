@@ -22,15 +22,28 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
  */
 object Ewm {
 
+  /** alpha from pandas' alternative decay parameterizations. */
+  def alphaFromSpan(span: Double): Double = { require(span >= 1); 2.0 / (span + 1.0) }
+  def alphaFromCom(com: Double): Double = { require(com >= 0); 1.0 / (1.0 + com) }
+  def alphaFromHalflife(hl: Double): Double =
+    { require(hl > 0); 1.0 - math.exp(-math.log(2.0) / hl) }
+
   /** Adds `out` = ewm-mean of `valueCol` per `keyCol` group ordered by
     * (`orderCol` asc, tie-break `idCol` asc). Input columns must be
-    * (bigint, orderable, bigint, double). Null values follow pandas
-    * `ignore_na=False`: the weight still decays across a null row but
-    * nothing is added, and the output at a null row is the ewm of the
-    * values seen so far (NaN→null before any value). */
+    * (bigint, orderable, bigint, double). The full pandas option
+    * surface: `adjust` switches between the normalized weighted average
+    * and the recursive form; `ignoreNa=false` (the default) decays the
+    * accumulated weight across null rows while `ignoreNa=true` treats
+    * nulls as absent for weighting. Output at a null row is the running
+    * mean so far (null before any value) — pandas emits NaN only at
+    * leading positions. Semantics follow pandas' published ewma
+    * aggregation contract (old-weight decay once per row unless
+    * ignore_na skips the gap; adjust accumulates old_wt, non-adjust
+    * renormalizes to 1), EwmSpec pins all four combinations. */
   def meanByKey(
       df: DataFrame, keyCol: String, orderCol: String, idCol: String,
-      valueCol: String, alpha: Double, out: String): DataFrame = {
+      valueCol: String, alpha: Double, out: String,
+      adjust: Boolean = true, ignoreNa: Boolean = false): DataFrame = {
 
     val src = df.select(
       col(keyCol).cast("long"),
@@ -44,20 +57,23 @@ object Ewm {
     src.groupByKey(_.getLong(0))(keyEnc)
       .flatMapGroups { (_, it) =>
         val rows = it.toArray.sortBy(r => (r.getLong(1), r.getLong(2)))
-        val oneMinus = 1.0 - alpha
-        var num = 0.0
-        var den = 0.0
+        val oldWtFactor = 1.0 - alpha
+        val newWt = if (adjust) 1.0 else alpha
+        var mean = Double.NaN
+        var oldWt = 1.0
         rows.iterator.map { r =>
-          if (r.isNullAt(3)) {
-            // ignore_na=False: existing weights decay, nothing is added
-            num = oneMinus * num
-            den = oneMinus * den
-            Row.fromSeq(r.toSeq :+ (if (den == 0.0) null else num / den))
-          } else {
-            num = r.getDouble(3) + oneMinus * num
-            den = 1.0 + oneMinus * den
-            Row.fromSeq(r.toSeq :+ num / den)
-          }
+          val isObs = !r.isNullAt(3)
+          if (!mean.isNaN) {
+            if (isObs || !ignoreNa) {
+              oldWt *= oldWtFactor
+              if (isObs) {
+                val cur = r.getDouble(3)
+                if (mean != cur) mean = (oldWt * mean + newWt * cur) / (oldWt + newWt)
+                if (adjust) oldWt += newWt else oldWt = 1.0
+              }
+            }
+          } else if (isObs) mean = r.getDouble(3)
+          Row.fromSeq(r.toSeq :+ (if (mean.isNaN) null else mean))
         }
       }(enc)
   }

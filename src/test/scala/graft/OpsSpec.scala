@@ -70,6 +70,29 @@ class OpsSpec extends SparkSuite {
     assert(out(3).exists(v => math.abs(v - 32.5 / 1.25) < 1e-9))
   }
 
+  test("ewm adjust/ignore_na combinations match pandas on a gappy series") {
+    import spark.implicits._
+    // series [2, null, 4, null, null, 1, 5], alpha=0.5 — expectations
+    // generated from pandas 2.x ewm(alpha=0.5, adjust=?, ignore_na=?)
+    val d = Seq[(Long, Long, Long, java.lang.Double)](
+      (1L, 1L, 1L, 2.0), (1L, 2L, 2L, null), (1L, 3L, 3L, 4.0),
+      (1L, 4L, 4L, null), (1L, 5L, 5L, null), (1L, 6L, 6L, 1.0), (1L, 7L, 7L, 5.0))
+      .toDF("k", "o", "id", "v")
+    val expect = Map(
+      (true, true)   -> Seq(2.0, 2.0, 3.3333333333, 3.3333333333, 3.3333333333, 2.0, 3.6),
+      (true, false)  -> Seq(2.0, 2.0, 3.6, 3.6, 3.6, 1.3513513514, 3.6633663366),
+      (false, true)  -> Seq(2.0, 2.0, 3.0, 3.0, 3.0, 2.0, 3.5),
+      (false, false) -> Seq(2.0, 2.0, 3.3333333333, 3.3333333333, 3.3333333333, 1.4666666667, 3.2333333333))
+    expect.foreach { case ((adjust, ignoreNa), want) =>
+      val got = Ewm.meanByKey(d, "k", "o", "id", "v", alpha = 0.5, out = "e",
+        adjust = adjust, ignoreNa = ignoreNa)
+        .orderBy("o").collect().map(_.getAs[Double]("e")).toSeq
+      got.zip(want).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"adjust=$adjust ignoreNa=$ignoreNa: $got vs $want")
+      }
+    }
+  }
+
   test("multimodal extractFeatures survives a null payload") {
     import spark.implicits._
     val packed = Seq[(Long, Array[Byte])]((1L, "ab".getBytes("UTF-8")), (2L, null))
