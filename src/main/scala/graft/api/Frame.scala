@@ -367,6 +367,22 @@ final case class Frame(
     df.groupBy(c).agg(count(lit(1)).as("count"))
       .orderBy(col("count").desc, col(c).asc))
 
+  /** first_valid_index / last_valid_index (reference base QC — pandas
+    * scans the index for the first/last row with any valid value; here
+    * per requested column in ONE aggregate over the order column:
+    * first = min(order where col non-null), last = max. A single
+    * partial+final agg pair — no sort, no window, no collect of data
+    * rows. Returns one row with `<col>_first` / `<col>_last` per column
+    * (null when the column is all-null). */
+  def validIndexBounds(orderCol: String, cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(cols.nonEmpty, "validIndexBounds needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(min(when(col(c).isNotNull, col(orderCol))).as(s"${c}_first"),
+        max(when(col(c).isNotNull, col(orderCol))).as(s"${c}_last"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** memory_usage (reference base QC / DataFrame.memory_usage — pandas
     * reports per-block nbytes). There is no block model here, so the
     * documented analog is the Tungsten UnsafeRow footprint per column:

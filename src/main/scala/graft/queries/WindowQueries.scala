@@ -109,6 +109,41 @@ object WindowQueries {
         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
         ORDER BY o_orderkey""")),
 
+    // groupby corr / cov (reference base QC:4112,4134) — promoted from
+    // spec-only to oracle-checked: per-group Pearson corr + sample cov,
+    // one partial+final aggregate pair.
+    Q("q166_groupby_corr_cov",
+      (s, dir) => {
+        val g = f(s, dir, "lineitem").groupby("l_returnflag")
+          .corrCov("l_quantity", "l_extendedprice")
+        Frame(g.df.select(col("l_returnflag"),
+          round(col("corr"), 8).as("corr"), round(col("cov"), 4).as("cov")))
+          .sortValues(Seq(SortKey.asc("l_returnflag"))).df
+      },
+      Some("""
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 8) AS corr,
+               round(covar_samp(l_quantity, l_extendedprice), 4) AS cov
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // first/last_valid_index (fixtures are null-free, so nulls are
+    // derived identically in both engines: click rows lose their value).
+    // One aggregate pair, no sort — the min/max-where-valid formulation.
+    Q("q167_valid_index",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("v", when(col("event_type") === "click", lit(null))
+            .otherwise(col("value")))
+          .withColumn("ord", unix_micros(col("ts").cast("timestamp")))
+        Frame(ev).validIndexBounds("ord", Seq("v", "event_id"))
+      },
+      Some("""
+        SELECT min(CASE WHEN event_type <> 'click' THEN epoch_us(ts::TIMESTAMP) END) AS v_first,
+               max(CASE WHEN event_type <> 'click' THEN epoch_us(ts::TIMESTAMP) END) AS v_last,
+               min(epoch_us(ts::TIMESTAMP)) AS event_id_first,
+               max(epoch_us(ts::TIMESTAMP)) AS event_id_last
+        FROM events""")),
+
     // groupby head / nth / cumcount (reference base QC:4396,4444,3906).
     Q("q53_group_head_nth",
       (s, dir) => {

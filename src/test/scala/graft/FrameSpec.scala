@@ -121,6 +121,17 @@ class FrameSpec extends SparkSuite {
     assert(all.df.count() == 4) // everything except the unhashable null key
   }
 
+  test("validIndexBounds finds first/last non-null positions; all-null column yields nulls") {
+    import spark.implicits._
+    val d = Frame(Seq[(Long, java.lang.Double, java.lang.Double)](
+      (1L, null, null), (2L, 5.0, null), (3L, 7.0, null), (4L, null, null))
+      .toDF("i", "x", "y"))
+    val r = d.validIndexBounds("i", Seq("x", "y")).collect()(0)
+    assert(r.getLong(r.fieldIndex("x_first")) == 2L)
+    assert(r.getLong(r.fieldIndex("x_last")) == 3L)
+    assert(r.isNullAt(r.fieldIndex("y_first")) && r.isNullAt(r.fieldIndex("y_last")))
+  }
+
   test("memoryUsage: fixed width × rows; var-width byte sum + 8/row, null = word only") {
     import spark.implicits._
     val d = Frame(Seq((1L, Some("abc")), (2L, Some("é")), (3L, None))
