@@ -72,6 +72,39 @@ object EventStream {
       }
   }
 
+  /** One enrichment row: key = the by-key, micros = event time, isRight
+    * marks state-carrying rows (e.g. purchases), id identifies left rows. */
+  final case class EnrichInput(key: Long, micros: Long, isRight: Boolean,
+      value: Double, id: Long)
+  final case class EnrichOut(id: Long, value: Option[Double])
+
+  /** Streaming merge_asof(direction=backward): left rows are enriched
+    * with the LATEST right value at-or-before their event time, as keyed
+    * state — the streaming twin of [[graft.ops.Joins.asof]] and the
+    * standard stream-enrichment shape (clicks stamped with the user's
+    * last purchase). State per key is one double (constant size; an
+    * event-time timeout would evict idle keys in production). Within a
+    * micro-batch, rows process in (time, right-before-left, id) order,
+    * so an exact-time right row is visible to the left row — the same
+    * allow_exact_matches=true visibility rule the batch plan encodes in
+    * its window sort. Same cross-batch ordering contract as
+    * [[sessionize]]: per-key-ordered arrival. */
+  def enrichLatest(ds: Dataset[EnrichInput]): Dataset[EnrichOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Double, EnrichOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, batch, state: GroupState[Double]) =>
+          val rows = batch.toArray.sortBy(r => (r.micros, if (r.isRight) 0 else 1, r.id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[EnrichOut]
+          rows.foreach { r =>
+            if (r.isRight) state.update(r.value)
+            else out += EnrichOut(r.id, state.getOption)
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup on a canonicalized content fingerprint — the
     * streaming twin of [[graft.ops.Dedup.exact]] and the ingestion-side
     * dedup stage of a training-data pipeline (drop re-crawled/duplicate

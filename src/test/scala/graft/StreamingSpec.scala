@@ -73,6 +73,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming latest-value enrichment equals the batch merge_asof") {
+    import spark.implicits._
+    val stream = rawStream()
+      .select(col("user_id").as("key"),
+        unix_micros(col("ts").cast("timestamp")).as("micros"),
+        (col("event_type") === "purchase").as("isRight"),
+        coalesce(col("value"), lit(0.0)).as("value"),
+        col("event_id").as("id"))
+      .as[EventStream.EnrichInput]
+    val q = EventStream.runToMemory(
+      EventStream.enrichLatest(stream), "enrich_stream", OutputMode.Append())
+    try {
+      // streaming emits ALL non-purchase rows; restrict both sides to clicks
+      val ev = table("events")
+      val clickIds = ev.filter(col("event_type") === "click").select(col("event_id"))
+      val es = spark.table("enrich_stream")
+      val streamed = es.join(clickIds, es("id") === clickIds("event_id"))
+        .select(col("id"), round(col("value"), 6).as("v"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("value").as("pv"), col("event_id").as("p_id"))
+      val batch = graft.ops.Joins.asof(clicks, purchases,
+        leftOn = "ts", rightOn = "p_ts", leftBy = "user_id", rightBy = "p_user",
+        payload = Seq("pv"), tieBreak = col("p_id"))
+        .select(col("event_id").as("id"), round(col("pv"), 6).as("v"))
+      assertParity(streamed, batch)
+    } finally q.stop()
+  }
+
   test("stateful sessionization matches the batch gap-session count") {
     val stream = rawStream()
     val q = EventStream.runToMemory(
