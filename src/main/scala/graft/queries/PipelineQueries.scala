@@ -408,6 +408,35 @@ object PipelineQueries {
           SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src)
         SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""")),
 
+    // End-to-end near-dup removal: cosine pairs → components → keep each
+    // cluster's min-id representative + all singletons. The corpus-side
+    // anti join is the only touch on the full table.
+    Q("q168_neardup_dedup",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val pairs = Dedup.embeddingPairsBrute(emb, "vec_id", "embedding", threshold = 0.45)
+        Frame(Dedup.dropNearDuplicates(
+          emb.select(col("vec_id")), "vec_id", pairs, "id_a", "id_b"))
+          .sortValues(Seq(SortKey.asc("vec_id"))).df
+      },
+      Some("""
+        WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT src AS id, src AS r FROM edges
+          UNION
+          SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src),
+        losers AS (
+          SELECT id FROM reach GROUP BY id HAVING id <> min(r))
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT id FROM losers)
+        ORDER BY vec_id""")),
+
     // Streaming ingestion-side dedup, oracle-checked against its batch
     // twin: the documents fixture replayed as a file-drop stream through
     // EventStream.dedupeByFingerprint (watermarked state, bounded), then

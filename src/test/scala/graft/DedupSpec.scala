@@ -154,6 +154,16 @@ class DedupSpec extends SparkSuite {
       .collect().map(_.getLong(1)).forall(_ == 1L))
   }
 
+  test("dropNearDuplicates keeps cluster minima and untouched singletons") {
+    import spark.implicits._
+    val corpus = (1L to 8L).toDF("id")
+    // clusters {1,2,3} and {5,6}; 4,7,8 are singletons
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDuplicates(corpus, "id", pairs, "id_a", "id_b")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L, 7L, 8L))
+  }
+
   test("fingerprint canonicalizes case and punctuation runs") {
     import spark.implicits._
     val out = Seq(("A!!B  c", "a b C")).toDF("x", "y")
