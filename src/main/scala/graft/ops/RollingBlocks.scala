@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.api.{Frame, SortKey}
+
+/**
+ * GLOBAL bounded rolling windows without a single-partition sort.
+ *
+ * pandas `df.rolling(w).agg(...)` over the whole frame (reference
+ * modin/pandas/window.py:99 — per-partition pandas there, with the same
+ * positional order problem). The naive Spark plan —
+ * `agg.over(Window.orderBy(...).rowsBetween(-(w-1), 0))` with no
+ * partition key — funnels the entire table through ONE task (Spark even
+ * warns). The grouped rolling (q55/q115) avoids it with the group key;
+ * this operator solves the ungrouped case with the block-overlap trick:
+ *
+ *   1. global row order (RowOrder — range partition + two light jobs);
+ *   2. block id = rowOrder / B with B ≥ w (default max(w, n/shuffle
+ *      partitions)): each window spans at most two blocks;
+ *   3. rows in a block's last w-1 positions are DUPLICATED as ghosts
+ *      into the next block — ghost volume = (w-1)/B of the corpus,
+ *      tunable toward 0 with bigger blocks;
+ *   4. one hash shuffle on the block id, in-partition sort, the plain
+ *      bounded window per block, ghosts filtered out.
+ *
+ * Result = exactly the single-partition plan's answer, at full
+ * parallelism. `minPeriods` follows pandas (default = window): output is
+ * null until the window holds that many rows — the first block has no
+ * ghosts, so leading-edge counts are naturally correct.
+ */
+object RollingBlocks {
+
+  private val Blk = "__blk__"
+  private val Ghost = "__ghost__"
+
+  /**
+   * @param aggs (sourceCol, aggName, outCol); aggName ∈ sum|mean|min|max|
+   *             count|stddev|variance — window-composable Spark aggregates.
+   */
+  def rollingAgg(
+      df: DataFrame, order: Seq[SortKey], window: Int,
+      aggs: Seq[(String, String, String)],
+      minPeriods: Option[Int] = None,
+      blockSize: Option[Long] = None): DataFrame = {
+
+    require(window >= 1, s"window must be >= 1: $window")
+    val minP = minPeriods.getOrElse(window)
+    val ordered = RowOrder.withRowOrder(df, order)
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toLong
+    // size blocks off the materialized count (a cheap metadata read on the
+    // checkpointed frame) so parallelism survives even tiny shuffle confs
+    val n = ordered.count()
+    val b = blockSize.getOrElse(math.max(window.toLong, (n + parts - 1) / parts))
+
+    val ro = col(Frame.RowOrder)
+    val own = ordered
+      .withColumn(Blk, (ro / b).cast("long"))
+      .withColumn(Ghost, lit(false))
+    // last (w-1) rows of each block shadow into the following block
+    val ghosts = ordered
+      .filter(ro % b >= b - (window - 1))
+      .withColumn(Blk, (ro / b).cast("long") + 1)
+      .withColumn(Ghost, lit(true))
+    val unioned = if (window == 1) own else own.unionByName(ghosts)
+
+    val w = Window.partitionBy(col(Blk)).orderBy(ro.asc)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val out = aggs.foldLeft(unioned) { case (d, (src, how, as)) =>
+      // pandas min_periods counts valid (non-null) observations of the
+      // aggregated series, not window width
+      val vcnt = count(col(src)).over(w)
+      val a: Column = how match {
+        case "sum"      => sum(col(src)).over(w)
+        case "mean"     => avg(col(src)).over(w)
+        case "min"      => min(col(src)).over(w)
+        case "max"      => max(col(src)).over(w)
+        case "count"    => vcnt.cast("long")
+        case "stddev"   => stddev_samp(col(src)).over(w)
+        case "variance" => var_samp(col(src)).over(w)
+        case other => sys.error(s"rollingAgg: unsupported agg $other")
+      }
+      d.withColumn(as, when(vcnt >= minP, a))
+    }
+    out.filter(!col(Ghost)).drop(Blk, Ghost)
+  }
+}

@@ -198,6 +198,37 @@ object WindowExtraQueries {
         GROUP BY a.event_id
         ORDER BY a.event_id""")),
 
+    // GLOBAL bounded rolling with NO unpartitioned window: block-overlap
+    // (ops/RollingBlocks) — row order → block id → ghost the last w-1
+    // rows into the next block → per-block bounded window. One hash
+    // shuffle; ghost volume (w-1)/B of the corpus. The oracle runs the
+    // formulation this plan exists to avoid.
+    Q("q169_global_rolling",
+      (s, dir) => {
+        val src = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        Frame(graft.ops.RollingBlocks.rollingAgg(
+          src, Seq(SortKey.asc("o_orderkey")), window = 20,
+          Seq(("o_totalprice", "sum", "rsum"), ("o_totalprice", "mean", "rmean"),
+            ("o_totalprice", "count", "rcnt")))
+          .select(col("o_orderkey"), round(col("rsum"), 2).as("rsum"),
+            round(col("rmean"), 4).as("rmean"), col("rcnt")))
+          .sortValues(Seq(SortKey.asc("o_orderkey"))).df
+      },
+      Some("""
+        SELECT o_orderkey,
+               CASE WHEN cnt >= 20 THEN round(s, 2) END AS rsum,
+               CASE WHEN cnt >= 20 THEN round(m, 4) END AS rmean,
+               CASE WHEN cnt >= 20 THEN cnt END AS rcnt
+        FROM (
+          SELECT o_orderkey,
+                 sum(o_totalprice) OVER w AS s,
+                 avg(o_totalprice) OVER w AS m,
+                 count(o_totalprice) OVER w AS cnt
+          FROM orders
+          WINDOW w AS (ORDER BY o_orderkey ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        ORDER BY o_orderkey""")),
+
     // GLOBAL rank + pct_change with NO unpartitioned window: materialize
     // __row_order__ with the two-pass block-offset plan (ops.RowOrder),
     // then rank(ties=min) = min row-number per value (a value-partitioned

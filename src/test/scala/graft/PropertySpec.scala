@@ -76,6 +76,26 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("block-overlap global rolling equals the single-partition window on random data") {
+    import spark.implicits._
+    cases(seed = 41, n = 5).foreach { case (rows, parts) =>
+      val df = spark.createDataset(rows).toDF("id", "v").repartition(parts)
+      val window = 1 + new scala.util.Random(rows.size).nextInt(7)
+      val fast = graft.ops.RollingBlocks.rollingAgg(
+        df, Seq(SortKey.asc("id")), window,
+        Seq(("v", "sum", "rs"), ("v", "mean", "rm"), ("v", "count", "rc")),
+        blockSize = Some(math.max(window.toLong, 5L))) // tiny blocks: force many ghosts
+        .select(col("id"), round(col("rs"), 6).as("rs"),
+          round(col("rm"), 6).as("rm"), col("rc"))
+      val w = Window.orderBy(col("id")).rowsBetween(-(window - 1), Window.currentRow)
+      val naive = df.select(col("id"),
+        when(count(col("v")).over(w) >= window, round(sum(col("v")).over(w), 6)).as("rs"),
+        when(count(col("v")).over(w) >= window, round(avg(col("v")).over(w), 6)).as("rm"),
+        when(count(col("v")).over(w) >= window, count(col("v")).over(w)).as("rc"))
+      assertParity(fast, naive)
+    }
+  }
+
   test("hash-min connected components equal driver union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(53)
