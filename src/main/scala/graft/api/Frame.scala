@@ -362,10 +362,23 @@ final case class Frame(
   }
 
   /** value_counts (reference modin/pandas/general.py:398 — groupby size +
-    * sort). Deterministic tie-break on the value itself. */
-  def valueCounts(c: String): Frame = Frame(
-    df.groupBy(c).agg(count(lit(1)).as("count"))
-      .orderBy(col("count").desc, col(c).asc))
+    * sort). Deterministic tie-break on the value itself. `normalize`
+    * divides by the total via a window over the AGGREGATED output
+    * (|distinct| rows — the single-partition exchange there is on group
+    * counts, never the corpus). `dropna=false` keeps the null bucket
+    * (pandas default drops it). `ascending` flips the count order. */
+  def valueCounts(c: String, normalize: Boolean = false,
+      dropna: Boolean = true, ascending: Boolean = false): Frame = {
+    val base = (if (dropna) df.filter(col(c).isNotNull) else df)
+      .groupBy(c).agg(count(lit(1)).as("count"))
+    val valued =
+      if (!normalize) base
+      else base.withColumn("proportion",
+        col("count") / sum(col("count")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+    Frame(valued.orderBy(
+      (if (ascending) col("count").asc else col("count").desc), col(c).asc))
+  }
 
   /** first_valid_index / last_valid_index (reference base QC — pandas
     * scans the index for the first/last row with any valid value; here

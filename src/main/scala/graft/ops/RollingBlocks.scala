@@ -79,6 +79,17 @@ object RollingBlocks {
         case "count"    => vcnt.cast("long")
         case "stddev"   => stddev_samp(col(src)).over(w)
         case "variance" => var_samp(col(src)).over(w)
+        case "median"   =>
+          // exact rolling median: Spark has no percentile-over-rows-window,
+          // so sort the (bounded, ≤ w values) window explicitly — same
+          // trick as the grouped q116 rolling lambda, O(w log w) per row
+          val vals = sort_array(filter(
+            collect_list(col(src)).over(w), v => v.isNotNull))
+          val m = size(vals)
+          val half = floor(m / lit(2)).cast("int") // Column./ is double division
+          when(m % 2 === 1, element_at(vals, half + 1).cast("double"))
+            .otherwise((element_at(vals, half).cast("double") +
+              element_at(vals, half + 1).cast("double")) / 2.0)
         case other => sys.error(s"rollingAgg: unsupported agg $other")
       }
       d.withColumn(as, when(vcnt >= minP, a))

@@ -107,6 +107,21 @@ object AggQueries {
         FROM orders GROUP BY o_orderpriority
         ORDER BY count DESC, o_orderpriority ASC""")),
 
+    // value_counts(normalize=True, ascending=True) — proportions divide by
+    // the total via a window over the aggregated (|distinct|-row) output.
+    Q("q170_value_counts_norm",
+      (s, dir) => {
+        val vc = f(s, dir, "documents")
+          .valueCounts("lang", normalize = true, ascending = true)
+        Frame(vc.df.select(col("lang"), col("count"),
+          round(col("proportion"), 6).as("proportion"))).df
+      },
+      Some("""
+        SELECT lang, count(*) AS count,
+               round(count(*) / (sum(count(*)) OVER ()), 6) AS proportion
+        FROM documents GROUP BY lang
+        ORDER BY count ASC, lang ASC""")),
+
     // drop_duplicates keep-first under deterministic order (reference QC:2231).
     Q("q05_drop_duplicates",
       (s, dir) => f(s, dir, "lineitem")

@@ -83,15 +83,22 @@ class PropertySpec extends SparkSuite {
       val window = 1 + new scala.util.Random(rows.size).nextInt(7)
       val fast = graft.ops.RollingBlocks.rollingAgg(
         df, Seq(SortKey.asc("id")), window,
-        Seq(("v", "sum", "rs"), ("v", "mean", "rm"), ("v", "count", "rc")),
+        Seq(("v", "sum", "rs"), ("v", "mean", "rm"), ("v", "count", "rc"),
+          ("v", "median", "rmed")),
         blockSize = Some(math.max(window.toLong, 5L))) // tiny blocks: force many ghosts
         .select(col("id"), round(col("rs"), 6).as("rs"),
-          round(col("rm"), 6).as("rm"), col("rc"))
+          round(col("rm"), 6).as("rm"), col("rc"), round(col("rmed"), 6).as("rmed"))
       val w = Window.orderBy(col("id")).rowsBetween(-(window - 1), Window.currentRow)
+      val sorted = sort_array(collect_list(col("v")).over(w))
+      val m = size(sorted)
+      val half = floor(m / lit(2)).cast("int")
+      val med = when(m % 2 === 1, element_at(sorted, half + 1))
+        .otherwise((element_at(sorted, half) + element_at(sorted, half + 1)) / 2.0)
       val naive = df.select(col("id"),
         when(count(col("v")).over(w) >= window, round(sum(col("v")).over(w), 6)).as("rs"),
         when(count(col("v")).over(w) >= window, round(avg(col("v")).over(w), 6)).as("rm"),
-        when(count(col("v")).over(w) >= window, count(col("v")).over(w)).as("rc"))
+        when(count(col("v")).over(w) >= window, count(col("v")).over(w)).as("rc"),
+        when(count(col("v")).over(w) >= window, round(med, 6)).as("rmed"))
       assertParity(fast, naive)
     }
   }
