@@ -380,6 +380,15 @@ final case class Frame(
       (if (ascending) col("count").asc else col("count").desc), col(c).asc))
   }
 
+  /** pandas `df.rolling(window, min_periods)` over the frame's declared
+    * ordering — the fluent face of [[graft.ops.RollingBlocks]] (global
+    * bounded windows at full parallelism, no single-partition sort).
+    * Requires a declared ordering, like [[tail]]. */
+  def rolling(window: Int, minPeriods: Option[Int] = None): Rolling = {
+    require(ordering.nonEmpty, "rolling requires a declared ordering (sortValues first)")
+    Rolling(this, window, minPeriods)
+  }
+
   /** first_valid_index / last_valid_index (reference base QC — pandas
     * scans the index for the first/last row with any valid value; here
     * per requested column in ONE aggregate over the order column:

@@ -33,6 +33,20 @@ class ErrorParitySpec extends SparkSuite {
     intercept[Exception](orders.queryPandas("o_orderkey ==").df.schema)
   }
 
+  test("rolling without a declared ordering raises; bad agg and direction raise") {
+    import org.apache.spark.sql.functions.col
+    intercept[IllegalArgumentException](orders.rolling(5))
+    intercept[RuntimeException] {
+      orders.sortValues(Seq(SortKey.asc("o_orderkey")))
+        .rolling(5).agg(("o_totalprice", "no_such_agg", "x")).df.schema
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Joins.asof(orders.df, orders.df, "o_orderkey", "o_orderkey",
+        "o_custkey", "o_custkey", Seq("o_totalprice"), col("o_orderkey"),
+        direction = "sideways")
+    }
+  }
+
   test("astype to a nonexistent type raises (pandas TypeError)") {
     intercept[Exception](orders.astype("o_orderkey" -> "not_a_type").df.schema)
   }

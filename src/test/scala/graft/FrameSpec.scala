@@ -121,6 +121,19 @@ class FrameSpec extends SparkSuite {
     assert(all.df.count() == 4) // everything except the unhashable null key
   }
 
+  test("fluent rolling computes windowed means over the declared ordering") {
+    import spark.implicits._
+    val d = Frame(Seq((1L, 2.0), (2L, 4.0), (3L, 6.0), (4L, 8.0)).toDF("i", "v"))
+      .sortValues(Seq(SortKey.asc("i")))
+    val got = d.rolling(2).mean("v", "m").df
+      .orderBy("i").collect().map(r => Option(r.getAs[java.lang.Double]("m")))
+    assert(got.toSeq == Seq(None, Some(3.0), Some(5.0), Some(7.0)))
+    // min_periods=1 fills the leading edge
+    val mp = d.rolling(2, minPeriods = Some(1)).mean("v", "m").df
+      .orderBy("i").collect().map(_.getAs[Double]("m"))
+    assert(mp.toSeq == Seq(2.0, 3.0, 5.0, 7.0))
+  }
+
   test("validIndexBounds finds first/last non-null positions; all-null column yields nulls") {
     import spark.implicits._
     val d = Frame(Seq[(Long, java.lang.Double, java.lang.Double)](
