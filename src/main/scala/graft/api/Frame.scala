@@ -389,6 +389,13 @@ final case class Frame(
     Rolling(this, window, minPeriods)
   }
 
+  /** pandas `df.expanding(min_periods)` over the frame's declared
+    * ordering — composes the two-phase parallel prefix ([[Expanding]]). */
+  def expanding(minPeriods: Int = 1): Expanding = {
+    require(ordering.nonEmpty, "expanding requires a declared ordering (sortValues first)")
+    Expanding(this, minPeriods)
+  }
+
   /** first_valid_index / last_valid_index (reference base QC — pandas
     * scans the index for the first/last row with any valid value; here
     * per requested column in ONE aggregate over the order column:

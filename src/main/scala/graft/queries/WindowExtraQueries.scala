@@ -198,6 +198,38 @@ object WindowExtraQueries {
         GROUP BY a.event_id
         ORDER BY a.event_id""")),
 
+    // GLOBAL expanding through the fluent API — parallel-prefix running
+    // sums (value + validity) in one pass, min_periods gate, no
+    // unpartitioned window. Oracle = the single-partition formulation.
+    Q("q171_expanding_fluent",
+      (s, dir) => {
+        // exact-cents running sum: the sum-then-divide mean hits last-ulp
+        // rounding ties vs the oracle's avg(), so the mean is derived
+        // half-up from exact integers (the q117 discipline)
+        val fr = Frame(t(s, dir, "orders").select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents")))
+          .sortValues(Seq(SortKey.asc("o_orderkey")))
+        val withS = fr.expanding(minPeriods = 10).sum("cents", "s")
+          .expanding(minPeriods = 10).count("cents", "c")
+        // round(mean,4) half-up = floor((2·s·100 + c)/(2c)) / 1e4 — exact
+        // in double while the numerator < 2^53
+        val mean4 = floor((col("s") * 200 + col("c")) / (col("c") * 2)) / 10000.0
+        Frame(withS.df.select(col("o_orderkey"), mean4.as("exp_mean")))
+          .sortValues(Seq(SortKey.asc("o_orderkey"))).df
+      },
+      Some("""
+        SELECT o_orderkey,
+               CASE WHEN c >= 10 THEN floor((s * 200 + c) / (c * 2)) / 10000.0 END AS exp_mean
+        FROM (
+          SELECT o_orderkey,
+                 sum(cents) OVER w AS s,
+                 count(cents) OVER w AS c
+          FROM (SELECT o_orderkey,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                FROM orders)
+          WINDOW w AS (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        ORDER BY o_orderkey""")),
+
     // GLOBAL bounded rolling with NO unpartitioned window: block-overlap
     // (ops/RollingBlocks) — row order → block id → ghost the last w-1
     // rows into the next block → per-block bounded window. One hash

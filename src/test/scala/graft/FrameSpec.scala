@@ -134,6 +134,20 @@ class FrameSpec extends SparkSuite {
     assert(mp.toSeq == Seq(2.0, 3.0, 5.0, 7.0))
   }
 
+  test("fluent expanding mean/sum/count skip nulls and honor min_periods") {
+    import spark.implicits._
+    val d = Frame(Seq[(Long, java.lang.Double)](
+      (1L, 2.0), (2L, null), (3L, 4.0), (4L, 6.0)).toDF("i", "v"))
+      .sortValues(Seq(SortKey.asc("i")))
+    val m = d.expanding(minPeriods = 2).mean("v", "m").df
+      .orderBy("i").collect().map(r => Option(r.getAs[java.lang.Double]("m")).map(_.toDouble))
+    // valid counts run 1,1,2,3 → first two rows below min_periods
+    assert(m.toSeq == Seq(None, None, Some(3.0), Some(4.0)))
+    val mx = d.expanding().max("v", "x").df
+      .orderBy("i").collect().map(_.getAs[Double]("x"))
+    assert(mx.toSeq == Seq(2.0, 2.0, 4.0, 6.0))
+  }
+
   test("validIndexBounds finds first/last non-null positions; all-null column yields nulls") {
     import spark.implicits._
     val d = Frame(Seq[(Long, java.lang.Double, java.lang.Double)](
