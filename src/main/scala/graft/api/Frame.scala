@@ -153,6 +153,20 @@ final case class Frame(
       !coalesce(Frame.hashBucket(col(keyCol), salt) < Frame.hexThreshold(frac), lit(false))))
   }
 
+  /** pandas `sample(n=...)`: EXACTLY n rows, deterministic for a given
+    * salt, engine-portable (the same md5 order any engine reproduces).
+    * Ordering by the content hash and taking n plans as TakeOrdered —
+    * per-partition top-n then a driver-side merge of n candidates per
+    * partition, never a global sort. NULL keys sort after every hash
+    * (hash NULL → orders last), so they are picked only when fewer than
+    * n hashable rows exist. */
+  def sampleN(keyCol: String, n: Int, salt: String = ""): Frame = {
+    require(n >= 0, s"n must be >= 0: $n")
+    copy(df = df
+      .orderBy(Frame.hashBucket(col(keyCol), salt).asc_nulls_last, col(keyCol).asc)
+      .limit(n))
+  }
+
   /** Stratified deterministic sampling: a different keep-fraction per
     * value of `stratCol` (corpus balancing — e.g. keep 10% of English
     * but 100% of a low-resource language). Same content-hash mechanics

@@ -79,6 +79,20 @@ object SelectQueries {
     // the train flag is md5(salt+key) under an 8-hex threshold, so the
     // SAME row lands in the same split on any engine/cluster/run, and
     // sample + complement partition the table exactly.
+    // sample(n=...): exactly n rows by content-hash order — a TakeOrdered
+    // plan (per-partition top-n + driver merge of n·partitions candidates,
+    // no global sort). The same md5 order reproduces in any engine.
+    Q("q172_sample_n",
+      (s, dir) => f(s, dir, "documents")
+        .sampleN("doc_id", 50, salt = "sn1")
+        .select("doc_id", "lang")
+        .sortValues(Seq(SortKey.asc("doc_id"))).df,
+      Some("""
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang FROM documents
+          ORDER BY md5('sn1' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 50)
+        ORDER BY doc_id""")),
+
     Q("q155_deterministic_sample",
       (s, dir) => {
         // single-pass conditional aggregation over the split flag — an
