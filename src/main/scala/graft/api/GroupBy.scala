@@ -232,6 +232,16 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
     frame.withColumn(as, last(col(c), ignoreNulls = true).over(running(order)))
 
   /** reference groupby_get_group (base QC:4300). */
+  /** pandas `groupby(...).rolling(window, min_periods)` — the grouped
+    * bounded window is natively parallel (partitioned by the group key;
+    * q55/q115's formulation behind a fluent surface). min_periods counts
+    * valid observations, as in pandas. */
+  def rolling(window: Int, order: Seq[SortKey],
+      minPeriods: Option[Int] = None): GroupedRolling = {
+    require(window >= 1, s"window must be >= 1: $window")
+    GroupedRolling(frame, keys, window, order, minPeriods.getOrElse(window))
+  }
+
   def getGroup(values: Seq[Any]): Frame = frame.copy(
     df = keys.zip(values).foldLeft(df) { case (d, (k, v)) => d.filter(col(k) === lit(v)) })
 }

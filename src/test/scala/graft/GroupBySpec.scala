@@ -107,4 +107,15 @@ class GroupBySpec extends SparkSuite {
     assert(r.getAs[Long]("idxmin") == 3L) // smallest label among ties
     assert(r.getAs[Long]("idxmax") == 7L)
   }
+
+  test("fluent grouped rolling gates on min_periods per group") {
+    import spark.implicits._
+    val d = Frame(Seq((1L, 1L, 2.0), (1L, 2L, 4.0), (1L, 3L, 6.0),
+      (2L, 1L, 10.0)).toDF("k", "o", "v"))
+    val got = d.groupby("k").rolling(2, Seq(SortKey.asc("o"))).mean("v", "m")
+      .df.orderBy("k", "o").collect()
+      .map(r => Option(r.getAs[java.lang.Double]("m")).map(_.toDouble))
+    // group 1 warms up then rolls: null, 3, 5; group 2 restarts: null
+    assert(got.toSeq == Seq(None, Some(3.0), Some(5.0), None))
+  }
 }
