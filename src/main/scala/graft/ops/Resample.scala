@@ -20,10 +20,32 @@ object Resample {
     * month/quarter/year (date_trunc semantics — identical in DuckDB). */
   def bucket(ts: Column, unit: String): Column = date_trunc(unit, ts)
 
+  /** pandas `closed=`/`label=` bucket variants. `closed='right'` puts a
+    * point sitting exactly on a boundary into the EARLIER bin (bin =
+    * (H-1u, H]): truncate ts−1µs so boundary points shift down.
+    * `label='right'` stamps the bin with its upper edge (+1 unit).
+    * Both are per-row expression arithmetic — the groupBy shape (one
+    * partial+final agg pair) is unchanged. */
+  def bucketWith(ts: Column, unit: String,
+      closed: String = "left", label: String = "left"): Column = {
+    require(Set("left", "right")(closed) && Set("left", "right")(label),
+      s"closed/label must be left|right: $closed/$label")
+    val edge =
+      if (closed == "left") date_trunc(unit, ts)
+      else date_trunc(unit, ts - expr("INTERVAL 1 MICROSECOND"))
+    if (label == "left") edge
+    else edge + expr(s"INTERVAL 1 $unit")
+  }
+
   /** Downsample: tumbling-window aggregate (resample_sum/mean/…,
     * base QC:5879+). */
   def downsample(df: DataFrame, tsCol: String, unit: String, aggs: (String, Column)*): DataFrame =
-    df.groupBy(bucket(col(tsCol), unit).as("bucket"))
+    downsampleWith(df, tsCol, unit, "left", "left", aggs: _*)
+
+  /** Downsample with pandas closed/label control. */
+  def downsampleWith(df: DataFrame, tsCol: String, unit: String,
+      closed: String, label: String, aggs: (String, Column)*): DataFrame =
+    df.groupBy(bucketWith(col(tsCol), unit, closed, label).as("bucket"))
       .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
 
   /** Upsample / asfreq (reference resample_asfreq base QC:5879): build a

@@ -29,6 +29,23 @@ object ResampleQueries {
         FROM events GROUP BY 1 ORDER BY 1"""),
       headline = true),
 
+    // resample closed='right', label='right' (pandas bin-edge options):
+    // boundary points shift into the earlier (H-1h, H] bin via a 1µs
+    // nudge before truncation; the label stamps the upper edge. Same
+    // one-exchange groupBy shape as q90.
+    Q("q173_resample_closed_right",
+      (s, dir) => Frame(Resample.downsampleWith(
+        t(s, dir, "events"), "ts", "hour", closed = "right", label = "right",
+        "n" -> count(lit(1)),
+        "sum_value" -> round(sum(col("value")), 4)))
+        .sortValues(Seq(SortKey.asc("bucket"))).df,
+      Some("""
+        SELECT date_trunc('hour', ts::TIMESTAMP - INTERVAL 1 MICROSECOND)
+                 + INTERVAL 1 HOUR AS bucket,
+               count(*) AS n,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
     // resample('1d').asfreq + fill 0 (reference resample_asfreq QC:5879):
     // dense daily spine generated inside the plan, left-joined.
     Q("q91_asfreq_daily",
