@@ -96,4 +96,60 @@ object RollingBlocks {
     }
     out.filter(!col(Ghost)).drop(Blk, Ghost)
   }
+
+  /**
+   * GLOBAL time-based rolling (pandas `rolling('1h')`) — the range-window
+   * sibling of [[rollingAgg]]. Window of row t = rows with time in
+   * (t − windowSec, t], so ties need no tie-break (all rows at one
+   * instant share a window — deterministic by construction). Blocks are
+   * TIME slices of width ≥ the window duration: block id =
+   * epochµs / blockDur, rows in a block's trailing window-width ghost
+   * into the next block, then the plain `rangeBetween` window runs per
+   * block. One hash shuffle; ghost volume ≈ window/blockDur of the
+   * corpus. Block duration defaults to the span/parallelism split,
+   * floored at the window width.
+   */
+  def rollingTimeAgg(
+      df: DataFrame, tsCol: String, windowSec: Long,
+      aggs: Seq[(String, String, String)],
+      blockDurationSec: Option[Long] = None): DataFrame = {
+
+    require(windowSec >= 1, s"windowSec must be >= 1: $windowSec")
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val winUs = windowSec * 1000000L
+
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toLong
+    val blockUs = blockDurationSec.map(_ * 1000000L).getOrElse {
+      val Seq(lo, hi) = df.agg(min(us), max(us)).collect()(0)
+        .toSeq.map(_.asInstanceOf[Long]): @unchecked
+      math.max(winUs, (hi - lo) / math.max(parts, 1L) + 1L)
+    }
+    require(blockUs >= winUs, s"block duration $blockUs µs < window $winUs µs")
+
+    val T = "__tus__"
+    val base = df.withColumn(T, us)
+    val own = base
+      .withColumn(Blk, (col(T) / blockUs).cast("long"))
+      .withColumn(Ghost, lit(false))
+    val ghosts = base
+      .filter(col(T) % blockUs > blockUs - winUs)
+      .withColumn(Blk, (col(T) / blockUs).cast("long") + 1)
+      .withColumn(Ghost, lit(true))
+    val unioned = own.unionByName(ghosts)
+
+    val w = Window.partitionBy(col(Blk)).orderBy(col(T).asc)
+      .rangeBetween(-(winUs - 1), Window.currentRow)
+    val out = aggs.foldLeft(unioned) { case (d, (src, how, as)) =>
+      val a: Column = how match {
+        case "sum"   => sum(col(src)).over(w)
+        case "mean"  => avg(col(src)).over(w)
+        case "min"   => min(col(src)).over(w)
+        case "max"   => max(col(src)).over(w)
+        case "count" => count(col(src)).over(w).cast("long")
+        case other => sys.error(s"rollingTimeAgg: unsupported agg $other")
+      }
+      d.withColumn(as, a)
+    }
+    out.filter(!col(Ghost)).drop(Blk, Ghost, T)
+  }
 }

@@ -198,6 +198,27 @@ object WindowExtraQueries {
         GROUP BY a.event_id
         ORDER BY a.event_id""")),
 
+    // GLOBAL time-based rolling ((t-1h, t] per row, ties share windows)
+    // via time-sliced block overlap — no unpartitioned range window.
+    // Oracle runs the single-partition formulation on epoch µs.
+    Q("q174_global_time_rolling",
+      (s, dir) => {
+        val src = t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
+        Frame(graft.ops.RollingBlocks.rollingTimeAgg(
+          src, "ts", windowSec = 3600L,
+          Seq(("value", "count", "n_1h"), ("value", "sum", "sum_1h")))
+          .select(col("event_id"), col("n_1h"), round(col("sum_1h"), 4).as("sum_1h")))
+          .sortValues(Seq(SortKey.asc("event_id"))).df
+      },
+      Some("""
+        SELECT event_id, n_1h, round(s, 4) AS sum_1h FROM (
+          SELECT event_id,
+                 count(value) OVER w AS n_1h,
+                 sum(value) OVER w AS s
+          FROM (SELECT event_id, epoch_us(ts::TIMESTAMP) AS tus, value FROM events)
+          WINDOW w AS (ORDER BY tus RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW))
+        ORDER BY event_id""")),
+
     // GLOBAL expanding through the fluent API — parallel-prefix running
     // sums (value + validity) in one pass, min_periods gate, no
     // unpartitioned window. Oracle = the single-partition formulation.

@@ -103,6 +103,31 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("block-overlap time rolling equals the single-partition range window on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    (1 to 4).foreach { _ =>
+      val size = 5 + rnd.nextInt(60)
+      // clustered timestamps (seconds) with deliberate exact ties
+      val rows = List.tabulate(size)(i =>
+        (i.toLong, (rnd.nextInt(40) * 7).toLong, rnd.nextInt(20).toDouble))
+      val df = spark.createDataset(rows).toDF("id", "sec", "v")
+        .withColumn("ts", timestamp_seconds(col("sec")))
+        .repartition(1 + rnd.nextInt(4))
+      val winSec = 5 + rnd.nextInt(30)
+      val fast = graft.ops.RollingBlocks.rollingTimeAgg(
+        df, "ts", winSec, Seq(("v", "sum", "s"), ("v", "count", "c")),
+        blockDurationSec = Some(winSec.toLong)) // minimum blocks: max ghosts
+        .select(col("id"), round(col("s"), 6).as("s"), col("c"))
+      val w = Window.orderBy(unix_micros(col("ts")))
+        .rangeBetween(-(winSec * 1000000L - 1), Window.currentRow)
+      val naive = df.select(col("id"),
+        round(sum(col("v")).over(w), 6).as("s"),
+        count(col("v")).over(w).cast("long").as("c"))
+      assertParity(fast, naive)
+    }
+  }
+
   test("hash-min connected components equal driver union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(53)
