@@ -151,6 +151,48 @@ object Joins {
     out.select((leftCols.map(col) ++ payload.map(col)): _*)
   }
 
+  /**
+   * Scalable range join: points to enclosing intervals (`lo ≤ t ≤ hi`).
+   * Spark's native plan for an inequality-only join is
+   * BroadcastNestedLoop (or cartesian) — O(|points|·|intervals|), the
+   * first thing to die at corpus scale. This formulation turns it into
+   * an EQUI-join: slice the number line into buckets of `bucketWidth`,
+   * explode each interval to the buckets it overlaps (`sequence()` — in
+   * plan, no driver work), map each point to its single bucket, hash-join
+   * on the bucket id, then apply the exact range predicate as a residual
+   * filter. Cost is linear in points + interval-bucket expansions
+   * (≈ len/bucketWidth + 1 per interval) — pick bucketWidth near the
+   * typical interval length so expansion stays O(1) per interval. Skewed
+   * buckets (hot time ranges) split under AQE like any equi-join.
+   *
+   * All three columns are numeric longs (cast timestamps to epoch µs
+   * first); `maxBucketsPerInterval` guards runaway expansion from one
+   * pathological interval (fail fast, not OOM).
+   */
+  def rangeJoin(
+      points: DataFrame, tCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Long, maxBucketsPerInterval: Long = 10000L): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1: $bucketWidth")
+    val B = "__rj_b__"
+    val loB = floor(col(loCol) / bucketWidth).cast("long")
+    val hiB = floor(col(hiCol) / bucketWidth).cast("long")
+    val guarded = intervals.filter(col(loCol) <= col(hiCol))
+    // fail fast on runaway expansion — one bad interval must not OOM a task
+    val expanded = guarded
+      .withColumn("__rj_n__", hiB - loB + 1)
+      .withColumn(B, explode(when(col("__rj_n__") <= maxBucketsPerInterval,
+        sequence(loB, hiB))
+        .otherwise(raise_error(concat(lit("rangeJoin: interval spans "),
+          col("__rj_n__"), lit(s" buckets > cap $maxBucketsPerInterval; " +
+            "raise bucketWidth or the cap"))))))
+      .drop("__rj_n__")
+    val bucketedPoints = points.withColumn(B, floor(col(tCol) / bucketWidth).cast("long"))
+    bucketedPoints.join(expanded, Seq(B))
+      .filter(col(tCol) >= col(loCol) && col(tCol) <= col(hiCol))
+      .drop(B)
+  }
+
   /** merge_ordered (reference base QC:1682 — single-node there): ordered
     * full-outer merge on a key column, optionally forward-filling. Here a
     * plain full outer join; the ordering is declarative. */

@@ -222,6 +222,34 @@ object JoinQueries {
           ON c.user_id = f.user_id AND c.ts <= f.ts
         ORDER BY c.event_id""")),
 
+    // Range join as an equi-join: clicks inside ±30 min of any purchase.
+    // Buckets sized at the interval width → ≤ 2 bucket rows per interval;
+    // the oracle runs the inequality join Spark would have planned as a
+    // nested loop.
+    Q("q175_range_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("tus", unix_micros(col("ts").cast("timestamp")))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("tus"))
+        val intervals = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            (col("tus") - 1800L * 1000000L).as("lo"),
+            (col("tus") + 1800L * 1000000L).as("hi"))
+        Frame(Joins.rangeJoin(clicks, "tus", intervals, "lo", "hi",
+          bucketWidth = 3600L * 1000000L)
+          .select(col("click_id"), col("purchase_id")))
+          .sortValues(Seq(SortKey.asc("click_id"), SortKey.asc("purchase_id"))).df
+      },
+      Some("""
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        FROM (SELECT event_id, epoch_us(ts::TIMESTAMP) AS t FROM events
+              WHERE event_type = 'click') c
+        JOIN (SELECT event_id, epoch_us(ts::TIMESTAMP) AS t FROM events
+              WHERE event_type = 'purchase') p
+          ON c.t >= p.t - 1800000000 AND c.t <= p.t + 1800000000
+        ORDER BY click_id, purchase_id""")),
+
     // combine_first (reference QC:538): patch missing acctbals from a
     // fallback table after aligning on the key.
     Q("q36_combine_first",

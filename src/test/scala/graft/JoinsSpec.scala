@@ -51,6 +51,27 @@ class JoinsSpec extends SparkSuite {
       .map(r => (r.getLong(1), Option(r.getAs[String]("tag")))).toSeq
   }
 
+  test("rangeJoin matches points to enclosing intervals without duplicates") {
+    import spark.implicits._
+    val pts = Seq((1L, 5L), (2L, 10L), (3L, 25L), (4L, 99L)).toDF("pid", "t")
+    val ivs = Seq((10L, 0L, 10L), (20L, 8L, 30L), (30L, 40L, 50L))
+      .toDF("iid", "lo", "hi")
+    val got = graft.ops.Joins.rangeJoin(pts, "t", ivs, "lo", "hi", bucketWidth = 7L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // t=5 ∈ [0,10]; t=10 ∈ [0,10] and [8,30]; t=25 ∈ [8,30]; t=99 nowhere
+    assert(got == Set((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L)))
+  }
+
+  test("rangeJoin fails fast on an interval exceeding the bucket-expansion cap") {
+    import spark.implicits._
+    val pts = Seq((1L, 5L)).toDF("pid", "t")
+    val ivs = Seq((10L, 0L, 1000000L)).toDF("iid", "lo", "hi")
+    intercept[Exception] {
+      graft.ops.Joins.rangeJoin(pts, "t", ivs, "lo", "hi",
+        bucketWidth = 1L, maxBucketsPerInterval = 100L).collect()
+    }
+  }
+
   test("asof direction=forward takes the first at-or-after match") {
     assert(asofTags("forward", allowExact = true) ==
       Seq(10L -> Some("at10"), 20L -> Some("at22"), 35L -> None))
