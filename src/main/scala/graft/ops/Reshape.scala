@@ -50,6 +50,16 @@ object Reshape {
         when(cond, lit(label)).otherwise(acc)
     }
 
+  /** pandas `cut(right=False)`: left-closed bins `[lo, hi)` — the mirror
+    * of the default. The last bin stays half-open (pandas drops the max
+    * unless the edge list covers it); same when-chain, still one
+    * codegen'd expression. */
+  def cutLeftClosed(c: Column, bins: Seq[Double]): Column =
+    bins.sliding(2).foldLeft(lit(null).cast("string")) {
+      case (acc, Seq(lo, hi)) =>
+        when(c >= lo && c < hi, lit(s"[$lo, $hi)")).otherwise(acc)
+    }
+
   /** qcut: quantile bin edges via one exact-percentile aggregate (a handful
     * of doubles to the driver — same contract as the reference, which
     * computes bins driver-side), then a cut. */
@@ -65,4 +75,27 @@ object Reshape {
     * count. */
   def crosstab(df: DataFrame, rowCol: String, colCol: String, colValues: Seq[String]): DataFrame =
     pivotTable(df, Seq(rowCol), colCol, colValues, count(lit(1)))
+
+  /** pandas `crosstab(normalize=)`: 'index' divides each cell by its row
+    * total, 'columns' by its column total, 'all' by the grand total. The
+    * division runs over the PIVOTED output (|rows| × |cols| cells — tiny
+    * relative to the corpus), so the corpus-side plan is identical to
+    * [[crosstab]]; the empty-frame windows for columns/all shuffle only
+    * that small table. Missing cells normalize as 0 (pandas). */
+  def crosstabNormalized(df: DataFrame, rowCol: String, colCol: String,
+      colValues: Seq[String], normalize: String): DataFrame = {
+    require(Set("index", "columns", "all")(normalize),
+      s"normalize must be index|columns|all: $normalize")
+    val counts = crosstab(df, rowCol, colCol, colValues)
+    val cells = colValues.map(v => coalesce(col(s"`$v`"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val denom: Seq[Column] = normalize match {
+      case "index"   => val rt = cells.reduce(_ + _); colValues.map(_ => rt)
+      case "columns" => cells.map(c => sum(c).over(w))
+      case "all"     => val gt = sum(cells.reduce(_ + _)).over(w); colValues.map(_ => gt)
+    }
+    counts.select(col(rowCol) +: colValues.zip(cells).zip(denom).map {
+      case ((v, c), d) => (c.cast("double") / d).as(v)
+    }: _*)
+  }
 }

@@ -89,6 +89,19 @@ object ReshapeQueries {
                END AS qty_bin, count(*) AS n
         FROM lineitem GROUP BY 1 ORDER BY 1 NULLS FIRST""")),
 
+    // cut(right=False): left-closed [lo, hi) bins — the boundary mirror.
+    Q("q176_cut_left_closed",
+      (s, dir) => Frame(t(s, dir, "lineitem")
+        .withColumn("qty_bin", Reshape.cutLeftClosed(col("l_quantity"), Seq(0.0, 10.0, 25.0, 50.0)))
+        .groupBy(col("qty_bin")).agg(count(lit(1)).as("n")))
+        .sortValues(Seq(SortKey(col("qty_bin"), asc = true, nullsFirst = true))).df,
+      Some("""
+        SELECT CASE WHEN l_quantity >= 0.0 AND l_quantity < 10.0 THEN '[0.0, 10.0)'
+                    WHEN l_quantity >= 10.0 AND l_quantity < 25.0 THEN '[10.0, 25.0)'
+                    WHEN l_quantity >= 25.0 AND l_quantity < 50.0 THEN '[25.0, 50.0)'
+               END AS qty_bin, count(*) AS n
+        FROM lineitem GROUP BY 1 ORDER BY 1 NULLS FIRST""")),
+
     // explode (reference QC:3461): word frequencies over documents.
     Q("q84_explode",
       (s, dir) => Frame(t(s, dir, "documents")
@@ -113,6 +126,35 @@ object ReshapeQueries {
                count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
                count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
                count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
-        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // crosstab(normalize='index'): row proportions — corpus-side plan
+    // unchanged, division over the tiny pivoted table.
+    Q("q177_crosstab_norm",
+      (s, dir) => {
+        val ct = Reshape.crosstabNormalized(
+          t(s, dir, "orders"), "o_orderstatus", "o_orderpriority", priorities,
+          normalize = "index")
+        Frame(ct.select(col("o_orderstatus") +:
+          priorities.map(p => round(col(s"`$p`"), 6).as(p)): _*))
+          .sortValues(Seq(SortKey.asc("o_orderstatus"))).df
+      },
+      Some("""
+        SELECT o_orderstatus,
+               round("1-URGENT" / t, 6) AS "1-URGENT",
+               round("2-HIGH" / t, 6) AS "2-HIGH",
+               round("3-MEDIUM" / t, 6) AS "3-MEDIUM",
+               round("4-NOT SPECIFIED" / t, 6) AS "4-NOT SPECIFIED",
+               round("5-LOW" / t, 6) AS "5-LOW"
+        FROM (
+          SELECT o_orderstatus,
+                 count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+                 count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+                 count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+                 count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+                 count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW",
+                 count(*) AS t
+          FROM orders GROUP BY o_orderstatus)
+        ORDER BY o_orderstatus"""))
   )
 }
