@@ -354,25 +354,47 @@ final case class Frame(
   // §2.4 duplicates
   // ---------------------------------------------------------------------
 
-  /** drop_duplicates keep='first' under a deterministic order (reference
-    * QC:2231 — range-partition shuffle keep-first; here one hash shuffle on
-    * the subset keys + per-group min — same physics, AQE-skew-aware). */
-  def dropDuplicates(subset: Seq[String], firstBy: Seq[SortKey]): Frame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(subset.map(col): _*)
-      .orderBy(firstBy.map(_.toColumn): _*)
-    copy(df = df
-      .withColumn(RowNum, row_number().over(w))
-      .filter(col(RowNum) === 1)
-      .drop(RowNum))
+  /** drop_duplicates under a deterministic order (reference QC:2231 —
+    * range-partition shuffle keep-first; here one hash shuffle on the
+    * subset keys + per-group rank — same physics, AQE-skew-aware).
+    * `keep` ∈ first | last | none (pandas keep=False: drop every member
+    * of any duplicated group). last = first under the reversed order;
+    * none = per-group count filter, no ordered window at all. */
+  def dropDuplicates(subset: Seq[String], firstBy: Seq[SortKey],
+      keep: String = "first"): Frame = keep match {
+    case "first" | "last" =>
+      val order = if (keep == "first") firstBy else firstBy.map(_.reversed)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(subset.map(col): _*)
+        .orderBy(order.map(_.toColumn): _*)
+      copy(df = df
+        .withColumn(RowNum, row_number().over(w))
+        .filter(col(RowNum) === 1)
+        .drop(RowNum))
+    case "none" =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(subset.map(col): _*)
+      copy(df = df
+        .withColumn(RowNum, count(lit(1)).over(w))
+        .filter(col(RowNum) === 1)
+        .drop(RowNum))
+    case other => sys.error(s"dropDuplicates keep must be first|last|none: $other")
   }
 
-  /** duplicated flag (reference QC:3346). */
-  def duplicated(subset: Seq[String], firstBy: Seq[SortKey]): Frame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(subset.map(col): _*)
-      .orderBy(firstBy.map(_.toColumn): _*)
-    copy(df = df.withColumn("duplicated", row_number().over(w) > 1))
+  /** duplicated flag (reference QC:3346); same `keep` contract as
+    * [[dropDuplicates]] — keep='none' marks every member of a
+    * duplicated group. */
+  def duplicated(subset: Seq[String], firstBy: Seq[SortKey],
+      keep: String = "first"): Frame = keep match {
+    case "first" | "last" =>
+      val order = if (keep == "first") firstBy else firstBy.map(_.reversed)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(subset.map(col): _*)
+        .orderBy(order.map(_.toColumn): _*)
+      copy(df = df.withColumn("duplicated", row_number().over(w) > 1))
+    case "none" =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(subset.map(col): _*)
+      copy(df = df.withColumn("duplicated", count(lit(1)).over(w) > 1))
+    case other => sys.error(s"duplicated keep must be first|last|none: $other")
   }
 
   /** value_counts (reference modin/pandas/general.py:398 — groupby size +

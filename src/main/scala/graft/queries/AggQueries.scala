@@ -122,6 +122,27 @@ object AggQueries {
         FROM documents GROUP BY lang
         ORDER BY count ASC, lang ASC""")),
 
+    // drop_duplicates keep='last' / keep=False (pandas keep options):
+    // last = keep-first under the reversed order; none = per-group count
+    // filter (no ordered window). Checked via group-max / singleton sums.
+    Q("q178_dedup_keep_variants",
+      (s, dir) => {
+        val fr = f(s, dir, "orders")
+        val ord = Seq(SortKey.asc("o_orderkey"))
+        val last = fr.dropDuplicates(Seq("o_custkey"), ord, keep = "last").df
+          .agg(sum(col("o_orderkey")).as("s_last"), count(lit(1)).as("n_last"))
+        val none = fr.dropDuplicates(Seq("o_custkey"), ord, keep = "none").df
+          .agg(sum(col("o_orderkey")).as("s_none"), count(lit(1)).as("n_none"))
+        last.crossJoin(none)
+      },
+      Some("""
+        SELECT
+          CAST((SELECT sum(mx) FROM (SELECT max(o_orderkey) AS mx FROM orders GROUP BY o_custkey)) AS BIGINT) AS s_last,
+          (SELECT count(*) FROM (SELECT 1 FROM orders GROUP BY o_custkey)) AS n_last,
+          CAST((SELECT sum(mx) FROM (SELECT max(o_orderkey) AS mx, count(*) AS c
+                                     FROM orders GROUP BY o_custkey) WHERE c = 1) AS BIGINT) AS s_none,
+          (SELECT count(*) FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey) WHERE c = 1) AS n_none""")),
+
     // drop_duplicates keep-first under deterministic order (reference QC:2231).
     Q("q05_drop_duplicates",
       (s, dir) => f(s, dir, "lineitem")
