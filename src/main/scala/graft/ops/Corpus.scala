@@ -1,0 +1,216 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-preparation operators a large-scale training-data pipeline needs
+ * beyond near-dup detection: passage-level dedup (CCNet/Dolma-style),
+ * Gopher-style repetition signals, benchmark decontamination, TF-IDF
+ * keyword extraction, and context-length packing.
+ *
+ * Scale discipline shared by every operator here:
+ *   - candidate/bucket keys are equi-join or hash-partition keys (AQE
+ *     skew-split applies; no all-pairs, no driver materialization);
+ *   - per-document signals are pure codegen'd column expressions — the
+ *     plan is a map over the scan with zero exchanges;
+ *   - global structure (packing offsets) reuses the two-phase parallel
+ *     prefix from [[Cumulative]] — no single-partition window.
+ */
+object Corpus {
+
+  /** Whitespace tokens, case preserved; empty strings filtered so an
+    * empty/blank document yields [] (matching `regexp_extract_all(text,
+    * '\S+')` in the oracle, where split-on-whitespace would yield [""]). */
+  def wsTokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= lit(""))
+
+  /** Lowercased whitespace tokens (the near-dup / decontamination key). */
+  def wsTokensLower(text: Column): Column = wsTokens(lower(text))
+
+  /** Fixed-width word segments: consecutive `segWords`-token chunks,
+    * space-joined (the final chunk may be shorter). Pure column
+    * expression — segmentation never shuffles. */
+  def segments(text: Column, segWords: Int): Column = {
+    val toks = wsTokens(text)
+    when(size(toks) > 0,
+      transform(sequence(lit(0), ((size(toks) - 1) / segWords).cast("int")),
+        i => array_join(slice(toks, i * segWords + 1, lit(segWords)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Word n-grams (space-joined), [] when the document has fewer than
+    * `n` tokens. `sequence(0, size-n)` is guarded because Spark's
+    * sequence DESCENDS when stop < start instead of returning []. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = wsTokensLower(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /**
+   * Corpus-wide passage-level exact dedup (the CCNet/Dolma shape): split
+   * every document into `segWords`-token segments, keep only the FIRST
+   * occurrence of each distinct segment corpus-wide (first = smallest
+   * (id, segment-position)), and reassemble each document from its kept
+   * segments in original order. Documents whose every segment already
+   * appeared elsewhere vanish from the output.
+   *
+   * Plan shape: segmentation is a map over the scan (no shuffle); the
+   * keep-first decision is ONE hash exchange partitioned by the segment
+   * text (row_number per segment group — skewed hot segments split under
+   * AQE because the duplicate copies are pure win-by-rank, any partition
+   * order works); reassembly is ONE exchange partitioned by id
+   * (collect_list + array_sort on (seg_idx, seg) structs). Each
+   * segment's bytes cross an exchange at most twice — linear in corpus
+   * size at any scale.
+   */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      segWords: Int = 10): DataFrame = {
+    require(segWords > 0, s"segWords must be positive: $segWords")
+    val segs = df
+      .select(col(idCol), posexplode(segments(col(textCol), segWords)))
+      .withColumnRenamed("pos", "__seg_idx__")
+      .withColumnRenamed("col", "__seg__")
+    val w = Window.partitionBy(col("__seg__"))
+      .orderBy(col(idCol).asc, col("__seg_idx__").asc)
+    segs.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__seg_idx__"), col("__seg__")))),
+            s => s.getField("__seg__")),
+          " ").as("text_dedup"))
+  }
+
+  /**
+   * Gopher-style per-document repetition signals: duplicate-word
+   * fraction, top-word fraction, duplicate-bigram fraction, top-bigram
+   * fraction (Rae et al. 2021, "Scaling Language Models" §A1.1 quality
+   * heuristics). Tokens are lowercased whitespace words.
+   *
+   * Entirely map-side: the frequency scan is a higher-order `transform`
+   * over `array_distinct` (O(tokens × distinct) per document — bounded
+   * for natural documents, and embarrassingly parallel with ZERO
+   * exchanges, which at corpus scale beats the explode + two-level
+   * aggregate formulation that shuffles every token twice).
+   */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def stats(arr: Column, prefix: String): Seq[Column] = {
+      val total = size(arr)
+      val dis = size(array_distinct(arr))
+      val top = when(total > 0,
+        array_max(transform(array_distinct(arr), x => size(filter(arr, y => y === x)))))
+        .otherwise(lit(0))
+      Seq(
+        round(when(total > 0, lit(1.0) - dis.cast("double") / total.cast("double"))
+          .otherwise(lit(0.0)), 6).as(s"dup_${prefix}_frac"),
+        round(when(total > 0, top.cast("double") / total.cast("double"))
+          .otherwise(lit(0.0)), 6).as(s"top_${prefix}_frac"))
+    }
+    val toks = wsTokensLower(col(textCol))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol) +: (stats(toks, "word") ++ stats(bigrams, "bigram")): _*)
+  }
+
+  /**
+   * Benchmark decontamination: flag corpus documents sharing at least
+   * one word `n`-gram with any benchmark document (the train/test
+   * overlap check every LLM data pipeline runs before training).
+   *
+   * The benchmark side is collapsed to its DISTINCT n-gram set and
+   * broadcast — benchmarks are small by construction (thousands of
+   * documents), so the corpus side streams map-only through a broadcast
+   * hash join: no corpus shuffle at all until the tiny per-hit
+   * aggregation on (id, n_grams). Corpus n-grams are de-duplicated
+   * per-document BEFORE the join, so overlap counts distinct
+   * contaminated n-grams.
+   */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(array_distinct(wordNgrams(col(textCol), n))).as("__g__"))
+      .distinct()
+    val corpusGrams = corpus
+      .select(col(idCol),
+        array_distinct(wordNgrams(col(textCol), n)).as("__gs__"))
+      .select(col(idCol), size(col("__gs__")).as("n_grams"),
+        explode(col("__gs__")).as("__g__"))
+    corpusGrams
+      .join(broadcast(benchGrams), Seq("__g__"))
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col(idCol), col("n_hits"), col("n_grams"),
+        round(col("n_hits").cast("double") / col("n_grams").cast("double"), 6)
+          .as("hit_frac"))
+  }
+
+  /**
+   * Per-document top-k keywords by smoothed TF-IDF
+   * (idf = ln((1+N)/(1+df)) + 1, the sklearn smooth_idf variant).
+   * Terms are `\w+` word tokens, lowercased.
+   *
+   * Plan: token explode → (doc, term) count (ONE exchange, partial
+   * aggregation map-side) → document frequency from that same table
+   * (second small exchange on term) → joined back on term (shuffle
+   * join — the term table is NOT broadcast because vocabulary grows
+   * with corpus size) → per-document top-k window (partitioned by doc).
+   * N rides along as a 1-row broadcast cross join, never a driver
+   * round-trip inside the plan.
+   */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val terms = df.select(col(idCol),
+      explode(regexp_extract_all(lower(col(textCol)), lit("\\w+"), lit(0))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("__n__"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * (log((lit(1) + col("__n__")) / (lit(1) + col("df"))) + lit(1.0)))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("long").as("rank"), col("term"),
+        col("tf"), col("df"), round(col("score"), 6).as("score"))
+  }
+
+  /**
+   * Context-length packing: concatenate documents in `orderCol` order
+   * and assign each to the fixed-`budget`-token chunk where it STARTS
+   * (greedy sequential fill, splitting disallowed, overflow allowed —
+   * the deterministic packing used when sequence order must be
+   * reproducible). Returns per-chunk stats.
+   *
+   * The running token offset is [[Cumulative.globalRunning]]'s two-phase
+   * parallel prefix — per-partition windows plus a broadcast of
+   * partition totals — so there is no single-partition sort at any
+   * scale; the chunk aggregation is one hash exchange on chunk_id.
+   */
+  def packChunks(df: DataFrame, orderCol: String, textCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val withTok = df.select(col(orderCol),
+      size(wsTokens(col(textCol))).cast("long").as("__tok__"))
+    val running = Cumulative.globalRunning(
+      withTok, Seq(graft.api.SortKey.asc(orderCol)), "sum", Seq(("__tok__", "__cum__")))
+    running
+      .withColumn("chunk_id", ((col("__cum__") - col("__tok__")) / budget).cast("long"))
+      .groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok__")).as("n_tokens"),
+        min(col(orderCol)).as("first_doc"),
+        max(col(orderCol)).as("last_doc"))
+  }
+}

@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.api.{Frame, SortKey}
+import graft.ops.Corpus
+import QueryKit._
+
+/**
+ * Corpus-preparation operators (ops/Corpus): passage-level dedup,
+ * Gopher repetition signals, benchmark decontamination, TF-IDF keyword
+ * extraction, and context-length packing — the pipeline stages between
+ * near-dup removal (q104–q106/q168) and training-shard write-out.
+ *
+ * Oracles mirror the Spark semantics exactly: whitespace tokens are
+ * `regexp_extract_all(text, '\S+')` in DuckDB vs a filtered
+ * `split(trim(text), "\\s+")` in Spark (both yield [] on blank text),
+ * and token ordinals come from DuckDB's zipped unnest +
+ * generate_subscripts.
+ */
+object CorpusQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Passage-level exact dedup (CCNet/Dolma shape): 10-word segments,
+    // keep-first corpus-wide, reassemble documents from kept segments.
+    // One exchange on the segment text + one on doc_id.
+    Q("q179_segment_dedup",
+      (s, dir) => Frame(Corpus.segmentDedup(t(s, dir, "documents"), "doc_id", "text", 10))
+        .sortValues(Seq(SortKey.asc("doc_id"))).df,
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS ord
+          FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS l FROM documents)
+        ),
+        segs AS (
+          SELECT doc_id, (ord-1)//10 AS seg_idx, string_agg(tok, ' ' ORDER BY ord) AS seg
+          FROM toks GROUP BY 1,2
+        ),
+        kept AS (
+          SELECT doc_id, seg_idx, seg,
+                 row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+          FROM segs
+        )
+        SELECT doc_id, count(*) AS n_kept, string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup
+        FROM kept WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Gopher-style repetition signals — zero-exchange map over the scan
+    // (higher-order array functions, no explode/shuffle).
+    Q("q180_repetition_stats",
+      (s, dir) => Frame(Corpus.repetitionStats(t(s, dir, "documents"), "doc_id", "text"))
+        .sortValues(Seq(SortKey.asc("doc_id"))).df,
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(l) AS tok, generate_subscripts(l,1) AS ord
+          FROM (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS l FROM documents)
+        ),
+        wc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1,2),
+        ws AS (SELECT doc_id, sum(c) AS total, count(*) AS dis, max(c) AS topc FROM wc GROUP BY 1),
+        bg AS (SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS g,
+                      lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS nxt FROM toks),
+        bc AS (SELECT doc_id, g, count(*) AS c FROM bg WHERE nxt IS NOT NULL GROUP BY 1,2),
+        bs AS (SELECT doc_id, sum(c) AS total, count(*) AS dis, max(c) AS topc FROM bc GROUP BY 1)
+        SELECT d.doc_id,
+          round(coalesce(1.0 - ws.dis / CAST(ws.total AS DOUBLE), 0.0), 6) AS dup_word_frac,
+          round(coalesce(ws.topc / CAST(ws.total AS DOUBLE), 0.0), 6) AS top_word_frac,
+          round(coalesce(1.0 - bs.dis / CAST(bs.total AS DOUBLE), 0.0), 6) AS dup_bigram_frac,
+          round(coalesce(bs.topc / CAST(bs.total AS DOUBLE), 0.0), 6) AS top_bigram_frac
+        FROM documents d LEFT JOIN ws USING (doc_id) LEFT JOIN bs USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // Benchmark decontamination: docs sharing any lowercased word
+    // 3-gram with the held-out set (doc_id % 97 = 0 stands in for the
+    // benchmark). Benchmark gram set broadcast; corpus side map-only
+    // until the per-doc hit aggregation.
+    Q("q181_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Frame(Corpus.decontaminate(
+            docs.filter(col("doc_id") % 97 =!= 0),
+            docs.filter(col("doc_id") % 97 === 0),
+            "doc_id", "text", n = 3)
+          .select(col("doc_id"), col("n_hits"),
+            col("n_grams").cast("long").as("n_grams"), col("hit_frac")))
+          .sortValues(Seq(SortKey.asc("doc_id"))).df
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(l) AS tok, generate_subscripts(l,1) AS ord
+          FROM (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS l FROM documents)
+        ),
+        grams AS (
+          SELECT doc_id,
+                 array_to_string(list(tok) OVER (PARTITION BY doc_id ORDER BY ord
+                   ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING), ' ') AS g,
+                 count(*) OVER (PARTITION BY doc_id ORDER BY ord
+                   ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS wn
+          FROM toks
+        ),
+        dg AS (SELECT DISTINCT doc_id, g FROM grams WHERE wn = 3),
+        bench AS (SELECT DISTINCT g FROM dg WHERE doc_id % 97 = 0),
+        corp AS (SELECT doc_id, g FROM dg WHERE doc_id % 97 <> 0),
+        tot AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY 1)
+        SELECT c.doc_id, count(*) AS n_hits, any_value(t.n_grams) AS n_grams,
+               round(count(*) / CAST(any_value(t.n_grams) AS DOUBLE), 6) AS hit_frac
+        FROM corp c JOIN bench b USING (g) JOIN tot t ON c.doc_id = t.doc_id
+        GROUP BY c.doc_id ORDER BY c.doc_id""")),
+
+    // Per-document top-3 keywords by smoothed TF-IDF. Token explode →
+    // (doc,term) count → term document-frequency → shuffle join on term
+    // (vocabulary scales with the corpus: NOT broadcast) → top-k window.
+    Q("q182_tfidf_topk",
+      (s, dir) => Frame(Corpus.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", 3))
+        .sortValues(Seq(SortKey.asc("doc_id"), SortKey.asc("rank"))).df,
+      Some("""
+        WITH terms AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1,2),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                 tf.tf * (ln((1 + n.n) / CAST(1 + dfq.df AS DOUBLE)) + 1.0) AS score
+          FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+                   FROM scored)
+        SELECT doc_id, rank, term, tf, df, round(score, 6) AS score
+        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // Context-length packing: docs concatenated in id order, each
+    // assigned to the 1000-token chunk where it starts. Running offset =
+    // two-phase parallel prefix (no single-partition window).
+    Q("q183_pack_chunks",
+      (s, dir) => Frame(Corpus.packChunks(t(s, dir, "documents"), "doc_id", "text", 1000L))
+        .sortValues(Seq(SortKey.asc("chunk_id"))).df,
+      Some("""
+        WITH tok AS (SELECT doc_id, len(regexp_extract_all(trim(text), '\S+')) AS t FROM documents),
+        run AS (SELECT doc_id, t,
+                       sum(t) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM tok)
+        SELECT CAST((cum - t) // 1000 AS BIGINT) AS chunk_id, count(*) AS n_docs,
+               CAST(sum(t) AS BIGINT) AS n_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM run GROUP BY 1 ORDER BY 1"""))
+  )
+}

@@ -23,7 +23,8 @@ object Registry {
     GroupByExtraQueries.all,
     MissingQueries.all,
     UdfQueries.all,
-    PipelineQueries.all
+    PipelineQueries.all,
+    CorpusQueries.all
   )
 
   lazy val all: Seq[Q] = {

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Corpus
+
+/** Corpus-preparation semantics: passage dedup keep-first + reassembly,
+  * repetition signal edge cases, decontamination distinct-gram counting,
+  * and packing boundary placement. */
+class CorpusSpec extends SparkSuite {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "text")
+  }
+
+  test("segmentDedup keeps the first occurrence and reassembles in order") {
+    val d = docs(
+      1L -> "a b c d e f",  // segs (w=3): "a b c", "d e f"
+      2L -> "a b c x y z",  // "a b c" already seen at doc 1 → only "x y z" kept
+      3L -> "a b c d e f")  // both segs duplicated → doc vanishes
+    val out = Corpus.segmentDedup(d, "id", "text", segWords = 3)
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out(0).getAs[String]("text_dedup") == "a b c d e f")
+    assert(out(0).getAs[Long]("n_kept") == 2L)
+    assert(out(1).getAs[String]("text_dedup") == "x y z")
+    assert(out(1).getAs[Long]("n_kept") == 1L)
+  }
+
+  test("segmentDedup first-occurrence ties break by (id, position)") {
+    // "p q r" appears twice inside doc 1: position 0 wins, position 1 drops.
+    val d = docs(1L -> "p q r p q r s t u")
+    val out = Corpus.segmentDedup(d, "id", "text", segWords = 3).collect()
+    assert(out.head.getAs[String]("text_dedup") == "p q r s t u")
+  }
+
+  test("repetitionStats on all-distinct and all-same documents") {
+    val d = docs(
+      1L -> "w x y z",      // no repetition at all
+      2L -> "w w w w",      // total repetition: 1 distinct word, 1 distinct bigram
+      3L -> "solo")         // single token: bigram stats must be 0, not null/NaN
+    val rows = Corpus.repetitionStats(d, "id", "text")
+      .orderBy("id").collect()
+    assert(rows(0).getDouble(1) == 0.0 && rows(0).getDouble(3) == 0.0)
+    assert(rows(1).getDouble(1) == 0.75)       // 1 - 1/4
+    assert(rows(1).getDouble(2) == 1.0)        // top word = all words
+    assert(rows(1).getDouble(3) == Math.round((1.0 - 1.0 / 3.0) * 1e6) / 1e6)
+    assert(rows(2).getDouble(3) == 0.0 && rows(2).getDouble(4) == 0.0)
+  }
+
+  test("decontaminate counts distinct overlapping n-grams per document") {
+    val bench = docs(100L -> "alpha beta gamma delta")
+    val corpus = docs(
+      1L -> "alpha beta gamma epsilon alpha beta gamma", // "alpha beta gamma" ×2 → 1 distinct hit
+      2L -> "nothing shared here at all")
+    val out = Corpus.decontaminate(corpus, bench, "id", "text", n = 3).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getAs[Long]("n_hits") == 1L)
+  }
+
+  test("packChunks assigns each doc to the chunk where it starts") {
+    // token counts: 4, 4, 4 with budget 6 → offsets 0,4,8 → chunks 0,0,1
+    val d = docs(1L -> "a b c d", 2L -> "e f g h", 3L -> "i j k l")
+    val out = Corpus.packChunks(d, "id", "text", budget = 6L)
+      .orderBy("chunk_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_docs") == 2L && out(0).getAs[Long]("n_tokens") == 8L)
+    assert(out(1).getAs[Long]("first_doc") == 3L)
+  }
+
+  test("blank text yields zero tokens, zero segments, zero grams") {
+    val d = docs(1L -> "   ", 2L -> "one two three")
+    assert(Corpus.segmentDedup(d, "id", "text", 2).count() == 1)
+    val rep = Corpus.repetitionStats(d, "id", "text").orderBy("id").collect()
+    assert(rep(0).getDouble(1) == 0.0 && rep(0).getDouble(2) == 0.0)
+    assert(Corpus.decontaminate(d.filter(col("id") === 2), d.filter(col("id") === 1),
+      "id", "text", 2).count() == 0)
+  }
+}
