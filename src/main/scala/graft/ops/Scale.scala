@@ -55,6 +55,77 @@ object Scale {
     probeSalted.join(buildSalted, on :+ salt, how).drop(salt)
   }
 
+  /**
+   * Z-order (Morton-curve) clustered write — multi-dimensional data
+   * skipping for the 100 TB layout. Sorting by one column makes parquet
+   * min/max stats selective for THAT column only; interleaving the bits
+   * of several columns' bucket indices orders the data along a
+   * space-filling curve, so every file/row-group covers a narrow range in
+   * EVERY z-dimension and a predicate on any of them prunes.
+   *
+   * Pipeline (all distributed; the only driver state is the boundary
+   * arrays, ≤ 2^bitsPerDim doubles per dimension):
+   *   1. per-dimension equi-depth bucket boundaries via `approxQuantile`
+   *      (quantile buckets, not min/max ranges — skewed columns still
+   *      spread across the full bucket space);
+   *   2. per-row bucket index = codegen'd fold counting boundaries ≤ x
+   *      (O(2^bitsPerDim) comparisons per row, no shuffle);
+   *   3. bit-interleave the bucket indices into one long z-value;
+   *   4. `repartitionByRange` + `sortWithinPartitions` on z (the TeraSort
+   *      primitive — sampled pivots, no global funnel) and write.
+   *
+   * The resulting files each span a small hyper-rectangle of the key
+   * space (ZOrderSpec pins per-file bucket spans ≪ the global span), so
+   * scans with pushed-down predicates on the z-columns decode a fraction
+   * of the row groups. Null bucket index is 0 (nulls cluster first,
+   * matching NULLS FIRST scan pruning).
+   */
+  def zValue(df: DataFrame, zCols: Seq[String], bitsPerDim: Int = 8): Column = {
+    require(zCols.nonEmpty, "zValue: need at least one column")
+    require(bitsPerDim >= 1 && zCols.size * bitsPerDim <= 63,
+      s"zValue: ${zCols.size} dims x $bitsPerDim bits must fit a positive long")
+    val nBuckets = 1 << bitsPerDim
+    // interior boundaries only (nBuckets-1 of them); approxQuantile skips
+    // nulls and its error bound just shifts bucket edges, never ordering
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val boundaries = zCols.map { c =>
+      df.select(col(c).cast("double").as(c)).stat.approxQuantile(c, probs, 0.001)
+    }
+    val bucketCols = zCols.zip(boundaries).map { case (c, bs) =>
+      // distinct boundary values only — duplicate quantiles (heavy hitters)
+      // would otherwise skip bucket ids, wasting z-space bits
+      val uniq = bs.distinct.sorted
+      aggregate(
+        lit(uniq),
+        lit(0),
+        (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
+    }
+    val interleaved = for {
+      (bucket, d) <- bucketCols.zipWithIndex
+      i <- 0 until bitsPerDim
+    } yield shiftleft(
+      shiftright(bucket.cast("long"), i).bitwiseAND(lit(1L)),
+      i * zCols.size + d)
+    interleaved.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Write `df` as parquet clustered along the z-curve of `zCols`. See
+    * [[zValue]] for the skipping rationale. `numFiles` bounds the output
+    * file count (defaults to spark.sql.shuffle.partitions). */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      bitsPerDim: Int = 8, numFiles: Option[Int] = None): Unit = {
+    val n = numFiles.getOrElse(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val z = "__z__"
+    df.withColumn(z, zValue(df, zCols, bitsPerDim))
+      .repartitionByRange(n, col(z))
+      .sortWithinPartitions(col(z))
+      // projection preserves the per-partition sort; the written files
+      // keep z-order without persisting the synthetic column
+      .drop(z)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Two-stage (salted) aggregation for algebraic functions: partial
     * aggregate on (keys ++ salt), final on keys. Spark's hash aggregate
     * already map-side-combines, but when one key dominates a whole

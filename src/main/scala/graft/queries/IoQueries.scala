@@ -189,5 +189,31 @@ object IoQueries {
       Some("""
         SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
                count(*) AS n, min(n_name) AS first_name
-        FROM nation GROUP BY 1 ORDER BY 1""")))
+        FROM nation GROUP BY 1 ORDER BY 1""")),
+
+    // Z-order clustered write + predicate read-back (the Delta/Iceberg
+    // OPTIMIZE ZORDER idea re-expressed as a plain parquet layout tool —
+    // ops/Scale.writeZOrdered). Content round-trips exactly; ZOrderSpec
+    // separately pins the layout property (per-file span in EVERY
+    // z-dimension ≪ global span) that makes the pushed-down min/max
+    // predicates below actually skip row groups at 100 TB.
+    Q("q184_zorder_roundtrip",
+      (s, dir) => {
+        val src = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+            col("l_extendedprice"))
+        val path = tmp(s, "lineitem_zorder")
+        graft.ops.Scale.writeZOrdered(src, path, Seq("l_orderkey", "l_partkey"),
+          bitsPerDim = 8, numFiles = Some(8))
+        val back = s.read.parquet(path)
+          .filter(col("l_orderkey") < 15000 && col("l_partkey") < 1000)
+        Frame(back.groupBy((col("l_orderkey") % 10).as("okey_mod"))
+          .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("rev")))
+          .sortValues(Seq(SortKey.asc("okey_mod"))).df
+      },
+      Some("""
+        SELECT l_orderkey % 10 AS okey_mod, count(*) AS n,
+               round(sum(l_extendedprice), 2) AS rev
+        FROM lineitem WHERE l_orderkey < 15000 AND l_partkey < 1000
+        GROUP BY 1 ORDER BY 1""")))
 }

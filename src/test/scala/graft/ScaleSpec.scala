@@ -60,4 +60,51 @@ class ScaleSpec extends SparkSuite {
       ("max", "mx", col("l_extendedprice")))
     assertParity(staged, direct)
   }
+
+  test("writeZOrdered round-trips content exactly") {
+    val src = table("lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    val path = "/tmp/graft_zorder_roundtrip"
+    Scale.writeZOrdered(src, path, Seq("l_orderkey", "l_partkey"),
+      bitsPerDim = 6, numFiles = Some(4))
+    assertParity(spark.read.parquet(path), src)
+  }
+
+  test("writeZOrdered clusters every z-dimension (narrow per-file spans)") {
+    val src = table("lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    val zPath = "/tmp/graft_zorder_layout"
+    val sortPath = "/tmp/graft_singlesort_layout"
+    Scale.writeZOrdered(src, zPath, Seq("l_orderkey", "l_partkey"),
+      bitsPerDim = 8, numFiles = Some(16))
+    // the single-column baseline: perfectly clustered on l_orderkey,
+    // unclustered on l_partkey
+    src.repartitionByRange(16, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(sortPath)
+
+    // average per-file normalized span of a dimension = the fraction of
+    // that dimension's value range a file's min/max stats cover — the
+    // quantity parquet row-group pruning keys off
+    def avgSpan(path: String, dim: String): Double = {
+      val stats = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(dim)).as("lo"), max(col(dim)).as("hi"))
+        .collect()
+      val glo = stats.map(_.getAs[Long]("lo")).min.toDouble
+      val ghi = stats.map(_.getAs[Long]("hi")).max.toDouble
+      stats.map(r => (r.getAs[Long]("hi") - r.getAs[Long]("lo")) / (ghi - glo)).sum / stats.length
+    }
+
+    // 16 z-files fix the top 2 bucket bits of BOTH dims: each file spans
+    // ~1/4 of each dimension (+ range-sampling slop)
+    val zOrder = avgSpan(zPath, "l_orderkey")
+    val zPart = avgSpan(zPath, "l_partkey")
+    assert(zOrder < 0.5, s"z-order l_orderkey avg span $zOrder should be < 0.5")
+    assert(zPart < 0.5, s"z-order l_partkey avg span $zPart should be < 0.5")
+    // the baseline is clustered on l_orderkey only; its l_partkey spans
+    // are ~the full range, and z-order must beat it decisively there
+    val sortPart = avgSpan(sortPath, "l_partkey")
+    assert(zPart < 0.6 * sortPart,
+      s"z-order l_partkey span $zPart should be well under single-sort $sortPart")
+  }
 }
