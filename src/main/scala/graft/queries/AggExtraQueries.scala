@@ -109,5 +109,45 @@ object AggExtraQueries {
                coalesce(o_orderpriority, 'ALL') AS priority,
                count(*) AS n, round(sum(o_totalprice), 2) AS total
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-        ORDER BY status, priority""")))
+        ORDER BY status, priority""")),
+
+    // corr(method='spearman') + Series.autocorr (reference defaults both
+    // to single-node pandas). Spearman = Pearson over average ranks;
+    // ranks come from the distinct-value-count + parallel-prefix plan
+    // (ops/Rank — no unpartitioned rank window), autocorr shifts via the
+    // block-offset row order. Oracle restates average rank with the
+    // q165 window identity.
+    Q("q185_spearman_autocorr",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val sp = graft.ops.Rank.spearman(
+          li, "l_quantity", Seq("l_extendedprice", "l_discount"))
+          .select(round(col("spearman_l_extendedprice"), 8).as("sp_price"),
+            round(col("spearman_l_discount"), 8).as("sp_disc"))
+        val ac = graft.ops.Rank.autocorr(
+          t(s, dir, "orders"), Seq(SortKey.asc("o_orderkey")),
+          "o_totalprice", Seq(1, 5))
+          .select(round(col("autocorr_1"), 8).as("ac1"),
+            round(col("autocorr_5"), 8).as("ac5"))
+        sp.crossJoin(ac)
+      },
+      Some("""
+        SELECT round(corr(rq, rp), 8) AS sp_price,
+               round(corr(rq, rd), 8) AS sp_disc,
+               (SELECT round(corr(x, x1), 8) FROM (
+                  SELECT o_totalprice AS x,
+                         lead(o_totalprice, 1) OVER (ORDER BY o_orderkey) AS x1
+                  FROM orders)) AS ac1,
+               (SELECT round(corr(x, x5), 8) FROM (
+                  SELECT o_totalprice AS x,
+                         lead(o_totalprice, 5) OVER (ORDER BY o_orderkey) AS x5
+                  FROM orders)) AS ac5
+        FROM (
+          SELECT rank() OVER (ORDER BY l_quantity)
+                   + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rq,
+                 rank() OVER (ORDER BY l_extendedprice)
+                   + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS rp,
+                 rank() OVER (ORDER BY l_discount)
+                   + (count(*) OVER (PARTITION BY l_discount) - 1) / 2.0 AS rd
+          FROM lineitem)""")))
 }

@@ -129,4 +129,33 @@ class OpsSpec extends SparkSuite {
       .orderBy("i").collect().map(r => Option(r.getAs[java.lang.Double]("vi")).map(_.toDouble)).toSeq
     assert(out == Seq(None, Some(10.0), Some(12.0), Some(14.0), Some(16.0), Some(16.0)))
   }
+
+  test("withAvgRank matches the rank-window identity, nulls keep null") {
+    import spark.implicits._
+    val d = Seq[(Long, java.lang.Double)](
+      (1L, 10.0), (2L, 20.0), (3L, 20.0), (4L, null), (5L, 5.0), (6L, 20.0))
+      .toDF("id", "v")
+    val got = graft.ops.Rank.withAvgRank(d, "v", "rk")
+      .orderBy("id").collect()
+      .map(r => Option(r.getAs[java.lang.Double]("rk")).map(_.toDouble)).toSeq
+    // sorted non-nulls: 5,10,20,20,20 -> ranks 1,2,(3+4+5)/3=4
+    assert(got == Seq(Some(2.0), Some(4.0), Some(4.0), None, Some(1.0), Some(4.0)))
+  }
+
+  test("spearman is exactly ±1 on monotone transforms, matches window oracle") {
+    val li = table("lineitem")
+      .select(col("l_orderkey"), col("l_quantity"),
+        (col("l_quantity") * 2 + 1).as("up"), (-col("l_quantity")).as("down"))
+    val r = graft.ops.Rank.spearman(li, "l_quantity", Seq("up", "down")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-12)
+  }
+
+  test("autocorr is 1 on a strictly increasing series") {
+    import spark.implicits._
+    val d = (1 to 200).map(i => (i.toLong, i.toDouble * 3 + 7)).toDF("i", "x")
+    val r = graft.ops.Rank.autocorr(d, Seq(SortKey.asc("i")), "x", Seq(1, 3)).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
+  }
 }
