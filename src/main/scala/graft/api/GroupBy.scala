@@ -237,9 +237,18 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
     * q55/q115's formulation behind a fluent surface). min_periods counts
     * valid observations, as in pandas. */
   def rolling(window: Int, order: Seq[SortKey],
-      minPeriods: Option[Int] = None): GroupedRolling = {
+      minPeriods: Option[Int] = None, center: Boolean = false): GroupedRolling = {
     require(window >= 1, s"window must be >= 1: $window")
-    GroupedRolling(frame, keys, window, order, minPeriods.getOrElse(window))
+    GroupedRolling(frame, keys, window, order, minPeriods.getOrElse(window), center)
+  }
+
+  /** pandas `groupby(...).rolling('<freq>', closed=...)` — time-based
+    * rolling over an integer-microsecond order column; see
+    * [[GroupedTimeRolling]] for the exact closed-interval bounds. */
+  def rollingTime(windowMicros: Long, orderMicrosCol: String,
+      closed: String = "right", minPeriods: Int = 1): GroupedTimeRolling = {
+    require(windowMicros >= 1, s"windowMicros must be >= 1: $windowMicros")
+    GroupedTimeRolling(frame, keys, windowMicros, orderMicrosCol, closed, minPeriods)
   }
 
   def getGroup(values: Seq[Any]): Frame = frame.copy(

@@ -379,5 +379,63 @@ object WindowExtraQueries {
                          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
                  we AS (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        ORDER BY event_id""")))
+        ORDER BY event_id""")),
+
+    // rolling(center=True) — odd AND even windows (the even case pins
+    // pandas' extra-row-on-the-past-side offset rule) — plus time-based
+    // rolling closed='left'/'both' as exact integer µs range bounds
+    // (api/GroupedRolling, GroupedTimeRolling). Same one-shuffle window
+    // plans as q55/q115; only the frame bounds move.
+    Q("q186_rolling_center_closed",
+      (s, dir) => {
+        val ord = Seq(SortKey.asc("o_orderkey"))
+        val centered = f(s, dir, "orders")
+          .groupby("o_orderpriority").rolling(5, ord, center = true)
+          .mean("o_totalprice", "c5_mean")
+          .groupby("o_orderpriority").rolling(4, ord, center = true)
+          .sum("o_totalprice", "c4_sum")
+        val ev = Frame(t(s, dir, "events").select(
+          col("event_id"), col("user_id"), col("value"),
+          unix_micros(col("ts").cast("timestamp")).as("us")))
+        val hour = 3600L * 1000000L
+        val timed = ev.groupby("user_id").rollingTime(hour, "us", closed = "left")
+          .sum("value", "sum_left")
+          .groupby("user_id").rollingTime(hour, "us", closed = "both")
+          .count("value", "n_both")
+        val a = Frame(centered.df.select(col("o_orderkey").as("k"),
+          round(col("c5_mean"), 4).as("c5_mean"), round(col("c4_sum"), 2).as("c4_sum"))
+          .filter(col("k") <= 4000))
+        val b = timed.df.select(col("event_id").as("k"),
+          round(col("sum_left"), 4).as("sum_left"), col("n_both"))
+          .filter(col("k") <= 1000)
+        Frame(a.df.join(b, Seq("k"), "full_outer"))
+          .sortValues(Seq(SortKey.asc("k"))).df
+      },
+      Some("""
+        WITH c AS (
+          SELECT o_orderkey AS k,
+                 CASE WHEN count(o_totalprice) OVER w5 >= 5
+                      THEN round(avg(o_totalprice) OVER w5, 4) END AS c5_mean,
+                 CASE WHEN count(o_totalprice) OVER w4 >= 4
+                      THEN round(sum(o_totalprice) OVER w4, 2) END AS c4_sum
+          FROM orders
+          WINDOW w5 AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING),
+                 w4 AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING)),
+        t AS (
+          SELECT event_id AS k,
+                 CASE WHEN count(value) OVER wl >= 1
+                      THEN round(sum(value) OVER wl, 4) END AS sum_left,
+                 count(value) OVER wb AS n_both
+          FROM (SELECT event_id, user_id, value, epoch_us(ts::TIMESTAMP) AS us
+                FROM events)
+          WINDOW wl AS (PARTITION BY user_id ORDER BY us
+                        RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING),
+                 wb AS (PARTITION BY user_id ORDER BY us
+                        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+        SELECT coalesce(c.k, t.k) AS k, c5_mean, c4_sum, sum_left, n_both
+        FROM (SELECT * FROM c WHERE k <= 4000) c
+        FULL OUTER JOIN (SELECT * FROM t WHERE k <= 1000) t ON c.k = t.k
+        ORDER BY 1""")))
 }

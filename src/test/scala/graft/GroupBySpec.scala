@@ -118,4 +118,30 @@ class GroupBySpec extends SparkSuite {
     // group 1 warms up then rolls: null, 3, 5; group 2 restarts: null
     assert(got.toSeq == Seq(None, Some(3.0), Some(5.0), None))
   }
+
+  test("rolling center=true uses pandas even-window offsets (extra row on past side)") {
+    import spark.implicits._
+    val d = Frame((1L to 6L).map(i => (1L, i, i.toDouble)).toDF("k", "o", "v"))
+    val got = d.groupby("k").rolling(4, Seq(SortKey.asc("o")), center = true)
+      .sum("v", "s").df.orderBy("o").collect()
+      .map(r => Option(r.getAs[java.lang.Double]("s")).map(_.toDouble))
+    // pandas: rolling(4, center=True) frame at i = [i-2, i+1]; full frames
+    // only at positions 3..5 (1-based): 1+2+3+4, 2+3+4+5, 3+4+5+6
+    assert(got.toSeq == Seq(None, None, Some(10.0), Some(14.0), Some(18.0), None))
+  }
+
+  test("rollingTime closed variants pin exact interval edges and empty windows") {
+    import spark.implicits._
+    // rows at t = 0, 100, 200µs with window 100µs
+    val d = Frame(Seq((1L, 0L, 1.0), (1L, 100L, 2.0), (1L, 200L, 4.0))
+      .toDF("k", "us", "v"))
+    def sums(closed: String): Seq[Option[Double]] =
+      d.groupby("k").rollingTime(100L, "us", closed = closed).sum("v", "s")
+        .df.orderBy("us").collect()
+        .map(r => Option(r.getAs[java.lang.Double]("s")).map(_.toDouble)).toSeq
+    assert(sums("right") == Seq(Some(1.0), Some(2.0), Some(4.0)))   // (t-w, t] — t-w itself excluded
+    assert(sums("both") == Seq(Some(1.0), Some(3.0), Some(6.0)))    // [t-w, t]
+    assert(sums("left") == Seq(None, Some(1.0), Some(2.0)))         // [t-w, t): first row empty
+    assert(sums("neither") == Seq(None, None, None))                // (t-w, t): all empty
+  }
 }
