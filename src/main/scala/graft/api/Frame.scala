@@ -489,6 +489,67 @@ final case class Frame(
   }
 
   // ---------------------------------------------------------------------
+  // axis=1 (row-wise) reductions and transforms (reference base QC axis=1
+  // paths — pandas folds across the block grid; here each is ONE pure
+  // projection over an array of the row's values: zero shuffles, stays in
+  // whole-stage codegen at any row count).
+  // ---------------------------------------------------------------------
+
+  // Frame.filter (the row filter) shadows functions.filter inside this
+  // class — alias the array higher-order function.
+  private def arrFilter(a: Column, f: Column => Column): Column =
+    org.apache.spark.sql.functions.filter(a, f)
+
+  private def rowArr(cols: Seq[String]): Column =
+    array(cols.map(c => col(c).cast("double")): _*)
+
+  /** pandas `df[cols].sum(axis=1)` — skipna: nulls drop out; an all-null
+    * row sums to 0.0 (the pandas contract). */
+  def sumAxis1(cols: Seq[String], as: String): Frame = withColumn(as,
+    aggregate(arrFilter(rowArr(cols), _.isNotNull), lit(0.0), (acc, x) => acc + x))
+
+  /** pandas `df[cols].mean(axis=1)` — skipna; all-null row → null (NaN). */
+  def meanAxis1(cols: Seq[String], as: String): Frame = {
+    val valid = arrFilter(rowArr(cols), _.isNotNull)
+    withColumn(as, when(size(valid) > 0,
+      aggregate(valid, lit(0.0), (acc, x) => acc + x) / size(valid)))
+  }
+
+  /** pandas `df.cumsum(axis=1)`: left-to-right running sum; a null cell
+    * stays null but does not break the carry (pandas skipna). Adds one
+    * `<col><suffix>` output per input column. */
+  def cumsumAxis1(cols: Seq[String], suffix: String = "_cs"): Frame = {
+    val f = cols.indices.foldLeft(this) { case (fr, i) =>
+      val prefix = cols.take(i + 1)
+      fr.withColumn(cols(i) + suffix, when(col(cols(i)).isNotNull,
+        aggregate(arrFilter(rowArr(prefix), _.isNotNull), lit(0.0), (acc, x) => acc + x)))
+    }
+    f
+  }
+
+  /** pandas `df.diff(axis=1)`: col minus the previous col; the first
+    * column is all null. */
+  def diffAxis1(cols: Seq[String], suffix: String = "_d"): Frame =
+    cols.indices.foldLeft(this) { case (fr, i) =>
+      fr.withColumn(cols(i) + suffix,
+        if (i == 0) lit(null).cast("double")
+        else col(cols(i)).cast("double") - col(cols(i - 1)).cast("double"))
+    }
+
+  /** pandas `df.rank(axis=1, method='average')`: rank of each cell among
+    * the row's non-null values — (#smaller) + (#equal + 1)/2; null cells
+    * rank null. */
+  def rankAxis1(cols: Seq[String], suffix: String = "_rk"): Frame = {
+    val arr = rowArr(cols)
+    cols.indices.foldLeft(this) { case (fr, i) =>
+      val v = col(cols(i)).cast("double")
+      fr.withColumn(cols(i) + suffix, when(v.isNotNull,
+        size(arrFilter(arr, x => x.isNotNull && x < v)) +
+          (size(arrFilter(arr, x => x.isNotNull && x === v)) + 1) / 2.0))
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // groupby entry point (§2.5) — see graft.api.GroupBy
   // ---------------------------------------------------------------------
 

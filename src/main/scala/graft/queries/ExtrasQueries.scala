@@ -146,5 +146,65 @@ object ExtrasQueries {
         FROM (SELECT doc_id, lang, text,
                      regexp_extract_all(trim(text), '\S+') AS w
               FROM documents)
-        ORDER BY doc_id""")))
+        ORDER BY doc_id""")),
+
+    // axis=1 (row-wise) family: sum/mean skipna, diff, cumsum with null
+    // skip, rank(method='average') with ties — each ONE codegen'd
+    // projection over an array of the row's values (Frame.sumAxis1 et
+    // al.), zero shuffles. The c column is nulled on line 1 to pin the
+    // skipna contracts; b/c share the 0..59 range so rank ties occur.
+    Q("q187_axis1_ops",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("a"),
+          pmod(col("l_partkey"), lit(60)).cast("double").as("b"),
+          when(col("l_linenumber") === 1, lit(null))
+            .otherwise(pmod(col("l_suppkey"), lit(60))).cast("double").as("c"))
+        val fr = Frame(li)
+          .sumAxis1(Seq("a", "b", "c"), "rsum")
+          .meanAxis1(Seq("a", "b", "c"), "rmean")
+          .diffAxis1(Seq("a", "b", "c"))
+          .rankAxis1(Seq("a", "b", "c"))
+          .cumsumAxis1(Seq("a", "b", "c"))
+        Frame(fr.df.select(col("l_orderkey"), col("l_linenumber"),
+          col("rsum"), round(col("rmean"), 6).as("rmean"),
+          col("b_d"), col("c_d"),
+          col("a_rk"), col("b_rk"), col("c_rk"),
+          col("b_cs"), col("c_cs")))
+          .sortValues(Seq(SortKey.asc("l_orderkey"), SortKey.asc("l_linenumber"))).df
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               a + b + coalesce(c, 0) AS rsum,
+               round((a + b + coalesce(c, 0))
+                     / (2 + CASE WHEN c IS NULL THEN 0 ELSE 1 END), 6) AS rmean,
+               b - a AS b_d,
+               c - b AS c_d,
+               CAST((CASE WHEN b < a THEN 1 ELSE 0 END)
+                  + (CASE WHEN c IS NOT NULL AND c < a THEN 1 ELSE 0 END) AS DOUBLE)
+                 + (1 + (CASE WHEN b = a THEN 1 ELSE 0 END)
+                      + (CASE WHEN c IS NOT NULL AND c = a THEN 1 ELSE 0 END) + 1) / 2.0
+                 AS a_rk,
+               CAST((CASE WHEN a < b THEN 1 ELSE 0 END)
+                  + (CASE WHEN c IS NOT NULL AND c < b THEN 1 ELSE 0 END) AS DOUBLE)
+                 + (1 + (CASE WHEN a = b THEN 1 ELSE 0 END)
+                      + (CASE WHEN c IS NOT NULL AND c = b THEN 1 ELSE 0 END) + 1) / 2.0
+                 AS b_rk,
+               CASE WHEN c IS NOT NULL THEN
+                 CAST((CASE WHEN a < c THEN 1 ELSE 0 END)
+                    + (CASE WHEN b < c THEN 1 ELSE 0 END) AS DOUBLE)
+                   + (1 + (CASE WHEN a = c THEN 1 ELSE 0 END)
+                        + (CASE WHEN b = c THEN 1 ELSE 0 END) + 1) / 2.0
+               END AS c_rk,
+               a + b AS b_cs,
+               CASE WHEN c IS NOT NULL THEN a + b + c END AS c_cs
+        FROM (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(l_quantity AS DOUBLE) AS a,
+                 CAST(l_partkey % 60 AS DOUBLE) AS b,
+                 CASE WHEN l_linenumber = 1 THEN NULL
+                      ELSE CAST(l_suppkey % 60 AS DOUBLE) END AS c
+          FROM lineitem)
+        ORDER BY l_orderkey, l_linenumber""")))
 }
