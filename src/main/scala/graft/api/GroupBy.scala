@@ -90,9 +90,15 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
   def diff(c: String, as: String, order: Seq[SortKey]): Frame =
     frame.withColumn(as, col(c) - lag(col(c), 1).over(w(order)))
 
-  /** reference groupby_pct_change (base QC:4260). */
-  def pctChange(c: String, as: String, order: Seq[SortKey]): Frame =
-    frame.withColumn(as, (col(c) - lag(col(c), 1).over(w(order))) / lag(col(c), 1).over(w(order)))
+  /** reference groupby_pct_change (base QC:4260); `periods` may be
+    * negative (compare against a FUTURE row, pandas semantics). */
+  def pctChange(c: String, as: String, order: Seq[SortKey], periods: Int = 1): Frame = {
+    val base =
+      if (periods >= 0) lag(col(c), periods).over(w(order))
+      else lead(col(c), -periods).over(w(order))
+    frame.withColumn(as, (col(c) - base) / base)
+  }
+
 
   /** reference groupby_rank (base QC:4068); pandas
     * method='min'|'dense'|'first'|'max'|'average'. average/max derive from

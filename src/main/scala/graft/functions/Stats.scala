@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
  */
 object Stats {
 
+  /** pandas `sum(min_count=k)` gate: null when fewer than `minCount`
+    * valid values (pandas default min_count=0 makes an all-null sum 0;
+    * min_count=1 restores null). Same contract for any aggregate —
+    * pass the aggregate expression in. */
+  def withMinCount(c: Column, agg: Column, minCount: Int): Column =
+    when(count(c) >= minCount, agg)
+
   /** Adjusted Fisher–Pearson sample skewness
     * G1 = g1 * sqrt(n(n-1))/(n-2), where g1 = m3/m2^1.5 (Spark `skewness`). */
   def sampleSkew(c: Column): Column = {

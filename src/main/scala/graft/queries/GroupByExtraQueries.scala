@@ -119,5 +119,46 @@ object GroupByExtraQueries {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS price_ffill
         FROM orders
-        ORDER BY o_orderkey""")))
+        ORDER BY o_orderkey""")),
+
+    // sum/mean(min_count=) gating (Stats.withMinCount — null when the
+    // group has fewer valid values than min_count; pandas nan-prop rule)
+    // + pct_change(periods=2) and a negative periods=-1 (future-row
+    // base). The v column is nulled for low-tax rows so min_count
+    // actually bites on small orders.
+    Q("q188_min_count_pct_periods",
+      (s, dir) => {
+        // l_linenumber ties within an order in this data — the
+        // extendedprice tiebreak makes the lead/lag neighbor unique (and
+        // equal-price ties are self-neutralizing for pct_change)
+        val ord = Seq(SortKey.asc("l_linenumber"), SortKey.asc("l_extendedprice"))
+        val base = f(s, dir, "lineitem")
+          .withColumn("v", when(col("l_tax") > 0.03, col("l_quantity")))
+        val pct = base.groupby("l_orderkey")
+          .pctChange("l_extendedprice", "pct2", ord, periods = 2)
+          .groupby("l_orderkey")
+          .pctChange("l_extendedprice", "pctm1", ord, periods = -1)
+        val agged = pct.groupby("l_orderkey").agg(
+          "s3" -> graft.functions.Stats.withMinCount(col("v"), sum(col("v")), 3),
+          "m5" -> round(graft.functions.Stats.withMinCount(col("v"), avg(col("v")), 5), 6),
+          "mx_pct2" -> round(max(col("pct2")), 8),
+          "mn_pctm1" -> round(min(col("pctm1")), 8))
+        agged.sortValues(Seq(SortKey.asc("l_orderkey"))).df
+      },
+      Some("""
+        SELECT l_orderkey,
+               CASE WHEN count(v) >= 3 THEN sum(v) END AS s3,
+               CASE WHEN count(v) >= 5 THEN round(avg(v), 6) END AS m5,
+               round(max(pct2), 8) AS mx_pct2,
+               round(min(pctm1), 8) AS mn_pctm1
+        FROM (
+          SELECT l_orderkey,
+                 CASE WHEN l_tax > 0.03 THEN l_quantity END AS v,
+                 (l_extendedprice - lag(l_extendedprice, 2) OVER w)
+                   / lag(l_extendedprice, 2) OVER w AS pct2,
+                 (l_extendedprice - lead(l_extendedprice, 1) OVER w)
+                   / lead(l_extendedprice, 1) OVER w AS pctm1
+          FROM lineitem
+          WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice))
+        GROUP BY l_orderkey ORDER BY l_orderkey""")))
 }
