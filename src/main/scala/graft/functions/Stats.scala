@@ -18,6 +18,22 @@ import org.apache.spark.sql.functions._
  */
 object Stats {
 
+  /** The 100 TB sketch path for nunique: HLL++ with relative standard
+    * deviation `rsd`. Exact `countDistinct` shuffles every distinct value
+    * to a single reducer per group; the sketch is a fixed-size partial
+    * aggregate (map-side combined, bytes per group independent of
+    * cardinality). Use when the answer tolerates ±rsd — the exact path
+    * (q02) stays the default. */
+  def nuniqueApprox(c: Column, rsd: Double = 0.05): Column =
+    approx_count_distinct(c, rsd)
+
+  /** The 100 TB sketch path for quantiles: Greenwald-Khanna with
+    * `accuracy` (error ≤ 1/accuracy of the rank). Exact `percentile`
+    * buffers each group's values; the sketch is a bounded-size partial
+    * aggregate. q07's exact percentile stays the correctness oracle. */
+  def quantileApprox(c: Column, p: Double, accuracy: Int = 10000): Column =
+    percentile_approx(c, lit(p), lit(accuracy))
+
   /** pandas `sum(min_count=k)` gate: null when fewer than `minCount`
     * valid values (pandas default min_count=0 makes an all-null sum 0;
     * min_count=1 restores null). Same contract for any aggregate —

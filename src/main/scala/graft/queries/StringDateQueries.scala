@@ -503,5 +503,27 @@ object StringDateQueries {
                CAST(date_trunc('month', CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH)
                     AS TIMESTAMP) - INTERVAL 1 MICROSECOND AS m_end_time,
                date_trunc('quarter', o_orderdate) AS q_start_time
-        FROM orders ORDER BY o_orderkey""")))
+        FROM orders ORDER BY o_orderkey""")),
+
+    // str.extractall (reference str accessor family — one row per regex
+    // match with the pandas 0-based match index). regexp_extract_all is
+    // a codegen'd map over the scan; posexplode expands matches without
+    // any shuffle, and non-matching rows drop (extractall contract).
+    Q("q189_extractall",
+      (s, dir) => {
+        val ms = t(s, dir, "documents").select(
+          col("doc_id"),
+          regexp_extract_all(col("text"), lit("([a-z]{7,})"), lit(1)).as("ms"))
+        Frame(ms.select(col("doc_id"), posexplode(col("ms")))
+          .select(col("doc_id"), col("pos").cast("long").as("match_no"),
+            col("col").as("m")))
+          .sortValues(Seq(SortKey.asc("doc_id"), SortKey.asc("match_no"))).df
+      },
+      Some("""
+        SELECT doc_id,
+               unnest(range(0, len(ms))) AS match_no,
+               unnest(ms) AS m
+        FROM (SELECT doc_id, regexp_extract_all(text, '([a-z]{7,})', 1) AS ms
+              FROM documents)
+        ORDER BY doc_id, match_no""")))
 }

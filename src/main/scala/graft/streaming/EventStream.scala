@@ -122,6 +122,32 @@ object EventStream {
       .dropDuplicatesWithinWatermark("__fp__")
       .drop("__fp__")
 
+  /** Watermarked stream-stream interval join: each left event (e.g. a
+    * click) pairs with every right event (e.g. a view) of the SAME user
+    * within `lookbackSeconds` BEFORE it. The event-time bound plus both
+    * watermarks let Spark evict buffered rows once the watermark passes
+    * `lookback + delay` — bounded state on an infinite stream, the
+    * property a raw stream-stream join lacks. Inner join: unmatched rows
+    * drop (Spark requires the time bound for outer variants too; same
+    * shape). The batch twin is a plain self-join with the identical
+    * range predicate (StreamingSpec pins equality). */
+  def joinRecent(events: DataFrame, leftType: String, rightType: String,
+      lookbackSeconds: Long, delay: String = "2 hours"): DataFrame = {
+    val left = events.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"), col("value").as("l_value"))
+      .withWatermark("l_ts", delay)
+    val right = events.filter(col("event_type") === rightType)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"), col("value").as("r_value"))
+      .withWatermark("r_ts", delay)
+    left.join(right,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $lookbackSeconds SECONDS") &&
+        col("r_ts") < col("l_ts"))
+      .select(col("user_id"), col("l_id"), col("r_id"), col("l_value"), col("r_value"))
+  }
+
   /** Run a stream to a named in-memory sink until all source files are
     * consumed; returns the query (caller reads `spark.table(name)`). */
   def runToMemory(df: Dataset[_], name: String, outputMode: OutputMode): StreamingQuery = {

@@ -151,6 +151,24 @@ class OpsSpec extends SparkSuite {
     assert(math.abs(r.getDouble(1) + 1.0) < 1e-12)
   }
 
+  test("sketch aggregates land within tolerance of the exact answers") {
+    import graft.functions.Stats
+    val li = table("lineitem")
+    val r = li.agg(
+      Stats.nuniqueApprox(col("l_partkey"), rsd = 0.02).as("nd"),
+      countDistinct(col("l_partkey")).as("nd_exact"),
+      Stats.quantileApprox(col("l_extendedprice"), 0.5, accuracy = 10000).as("q50"),
+      expr("percentile(l_extendedprice, 0.5)").as("q50_exact")).collect()(0)
+    val nd = r.getAs[Long]("nd").toDouble
+    val ndExact = r.getAs[Long]("nd_exact").toDouble
+    assert(math.abs(nd - ndExact) / ndExact < 0.05,
+      s"HLL distinct $nd should be within 5% of exact $ndExact")
+    val q50 = r.getAs[Double]("q50")
+    val q50Exact = r.getAs[Double]("q50_exact")
+    assert(math.abs(q50 - q50Exact) / q50Exact < 0.02,
+      s"approx median $q50 should be within 2% of exact $q50Exact")
+  }
+
   test("autocorr is 1 on a strictly increasing series") {
     import spark.implicits._
     val d = (1 to 200).map(i => (i.toLong, i.toDouble * 3 + 7)).toDF("i", "x")

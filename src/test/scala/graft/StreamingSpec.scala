@@ -104,6 +104,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch range self-join") {
+    val stream = rawStream()
+    val q = EventStream.runToMemory(
+      EventStream.joinRecent(stream, "click", "view", lookbackSeconds = 3600),
+      "joined_stream", OutputMode.Append())
+    try {
+      val streamed = spark.table("joined_stream")
+        .select(col("user_id"), col("l_id"), col("r_id"))
+      val ev = table("events")
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+      val r = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+          col("event_id").as("r_id"))
+      val batch = l.join(r,
+        col("user_id") === col("r_user") &&
+          col("r_ts") >= col("l_ts") - expr("INTERVAL 3600 SECONDS") &&
+          col("r_ts") < col("l_ts"))
+        .select(col("user_id"), col("l_id"), col("r_id"))
+      assert(batch.count() > 0, "fixture should produce at least one join pair")
+      assertParity(streamed, batch)
+    } finally q.stop()
+  }
+
   test("stateful sessionization matches the batch gap-session count") {
     val stream = rawStream()
     val q = EventStream.runToMemory(
