@@ -33,6 +33,33 @@ object Text {
   /** Distinct word tokens. */
   def wordTokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
+  // PII scrubbing (corpus-prep stage: mask contact data before training).
+  // ASCII-only character classes and non-capturing groups so the patterns
+  // mean the same thing in Java regex and RE2 (the DuckDB oracle).
+  // Replacement order matters: emails first (their local part can look
+  // like a phone), then IPv4 (dotted digit runs would otherwise match the
+  // phone pattern), then phones over what remains.
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private[graft] val PhoneRe = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+  /** Mask emails / IPv4 addresses / phone-like digit runs with typed
+    * placeholder tokens. A pure codegen'd regexp_replace chain — linear
+    * scan, zero shuffles, so it composes into any corpus pipeline stage. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-document PII hit counts (audit view of [[scrubPii]]). */
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))),
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))),
+    size(regexp_extract_all(regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+      Ipv4Re, "<IP>"), lit(PhoneRe), lit(0))))
+
   /** Average token length. */
   def avgTokenLen(text: Column): Column =
     (length(regexp_replace(text, "\\s+", "")).cast("double") / tokenCountWs(text))

@@ -140,6 +140,48 @@ object CorpusQueries {
         SELECT CAST((cum - t) // 1000 AS BIGINT) AS chunk_id, count(*) AS n_docs,
                CAST(sum(t) AS BIGINT) AS n_tokens,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        FROM run GROUP BY 1 ORDER BY 1"""))
-  )
+        FROM run GROUP BY 1 ORDER BY 1""")),
+
+    // PII scrubbing (functions/Text.scrubPii): emails → <EMAIL>, IPv4 →
+    // <IP>, phone-like digit runs → <PHONE>, as a codegen'd
+    // regexp_replace chain over the scan. The fixture text is synthetic,
+    // so deterministic PII is injected from doc fields (same construction
+    // in the oracle); the md5 of the scrubbed text pins the full output
+    // byte-for-byte, the counts pin the audit view.
+    Q("q190_pii_scrub",
+      (s, dir) => {
+        val withPii = t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +1 555 10"),
+            pmod(col("doc_id"), lit(100)).cast("string"), lit(" at 10.0."),
+            pmod(col("doc_id"), lit(256)).cast("string"), lit(".7")).as("text"))
+        val (ne, ni, np) = graft.functions.Text.piiCounts(col("text"))
+        Frame(withPii.select(col("doc_id"),
+          ne.cast("long").as("n_email"), ni.cast("long").as("n_ip"),
+          np.cast("long").as("n_phone"),
+          md5(graft.functions.Text.scrubPii(col("text"))).as("scrub_md5")))
+          .sortValues(Seq(SortKey.asc("doc_id"))).df
+      },
+      Some("""
+        WITH pii AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id || '@example.com or +1 555 10'
+                      || doc_id % 100 || ' at 10.0.' || doc_id % 256 || '.7' AS text
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text,
+                 '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+               CAST(len(regexp_extract_all(
+                 regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                 '\+?[0-9][0-9 ()-]{6,}[0-9]')) AS BIGINT) AS n_phone,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                 '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g')) AS scrub_md5
+        FROM pii ORDER BY doc_id""")))
 }
