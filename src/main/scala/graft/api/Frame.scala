@@ -536,6 +536,36 @@ final case class Frame(
         else col(cols(i)).cast("double") - col(cols(i - 1)).cast("double"))
     }
 
+  /** pandas `df[cols].count(axis=1)`: valid (non-null) values per row. */
+  def countAxis1(cols: Seq[String], as: String): Frame =
+    withColumn(as, size(arrFilter(rowArr(cols), _.isNotNull)).cast("long"))
+
+  /** pandas `df.nunique(axis=1)`: distinct non-null values per row. */
+  def nuniqueAxis1(cols: Seq[String], as: String): Frame =
+    withColumn(as,
+      size(array_distinct(arrFilter(rowArr(cols), _.isNotNull))).cast("long"))
+
+  /** pandas `df.any(axis=1)` / `df.all(axis=1)` with skipna: nonzero is
+    * truthy, null cells are skipped (an all-null row is any=false,
+    * all=true — the pandas empty-reduction contract). */
+  def anyAxis1(cols: Seq[String], as: String): Frame =
+    withColumn(as, exists(rowArr(cols), x => x.isNotNull && x =!= 0.0))
+
+  def allAxis1(cols: Seq[String], as: String): Frame =
+    withColumn(as, forall(rowArr(cols), x => x.isNull || x =!= 0.0))
+
+  /** pandas `Series.str.get_dummies(sep)` with EXPLICIT categories (the
+    * q80 discipline — no distinct-scan job; the caller names the label
+    * set). One indicator column per category, pure projection. */
+  def strGetDummies(c: String, sep: String, categories: Seq[String],
+      prefix: String = ""): Frame =
+    categories.foldLeft(this) { case (fr, cat) =>
+      fr.withColumn(s"$prefix$cat",
+        when(col(c).isNotNull,
+          array_contains(split(col(c), java.util.regex.Pattern.quote(sep)), cat)
+            .cast("int")))
+    }
+
   /** pandas `df.rank(axis=1, method='average')`: rank of each cell among
     * the row's non-null values — (#smaller) + (#equal + 1)/2; null cells
     * rank null. */

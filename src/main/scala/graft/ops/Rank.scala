@@ -62,6 +62,56 @@ object Rank {
       }: _*)
   }
 
+  /** corr(method='kendall') — tau-b, EXACT, via the joint contingency
+    * table (reference defaults kendall to single-node pandas, which is
+    * O(n log n) but driver-bound).
+    *
+    * All-pairs concordance over n rows is O(n²) and unshippable; but
+    * concordant/discordant/tied pair counts depend only on the JOINT
+    * VALUE DISTRIBUTION. So: one distributed `groupBy(x, y).count()`
+    * (linear, map-side combined), then a self-join of the contingency
+    * cells (cells², on a table of |X|·|Y| cells, not n rows) scoring
+    * sign(x2-x1)·sign(y2-y1) weighted by n1·n2. Exact for any data;
+    * efficient when the columns are discrete-ish (|cells| ≪ n — the
+    * common case for ratings/categories/quantities). `maxCells` fails
+    * fast past that regime rather than degrading to a silent n²-like
+    * join (same valve discipline as transpose/embeddingPairsBrute).
+    *
+    * tau_b = (C - D) / sqrt((n0 - n1)(n0 - n2)) with n0 = n(n-1)/2,
+    * n1/n2 = tied-pair counts per column. Null rows drop (pandas). */
+  def kendall(df: DataFrame, xCol: String, yCol: String,
+      maxCells: Long = 100000L): DataFrame = {
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("n"))
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"kendall contingency has $nCells cells > maxCells=$maxCells — " +
+        "near-continuous columns make the cell self-join quadratic; " +
+        "bucket the values first or raise maxCells explicitly")
+    val a = cells.select(col("x").as("x1"), col("y").as("y1"), col("n").as("n1"))
+    val b = cells.select(col("x").as("x2"), col("y").as("y2"), col("n").as("n2"))
+    // each unordered cell pair once (strict x order; x-ties contribute
+    // no concordance sign and are handled by the tie terms)
+    val pairs = a.join(b, col("x1") < col("x2"))
+      .agg(
+        sum(when(col("y1") < col("y2"), col("n1") * col("n2")).otherwise(0L)).as("conc"),
+        sum(when(col("y1") > col("y2"), col("n1") * col("n2")).otherwise(0L)).as("disc"))
+    val marginals = cells.agg(
+      sum(col("n")).as("ntot"),
+      sum(col("n") * (col("n") - 1) / 2).as("joint_ties"))
+    val xTies = cells.groupBy(col("x")).agg(sum(col("n")).as("nx"))
+      .agg(sum(col("nx") * (col("nx") - 1) / 2).as("n1ties"))
+    val yTies = cells.groupBy(col("y")).agg(sum(col("n")).as("ny"))
+      .agg(sum(col("ny") * (col("ny") - 1) / 2).as("n2ties"))
+    pairs.crossJoin(marginals).crossJoin(xTies).crossJoin(yTies)
+      .select(
+        ((col("conc") - col("disc")).cast("double") /
+          sqrt((col("ntot") * (col("ntot") - 1) / 2 - col("n1ties")).cast("double") *
+            (col("ntot") * (col("ntot") - 1) / 2 - col("n2ties")).cast("double")))
+          .as("tau_b"))
+  }
+
   /** pandas `Series.autocorr(lag)`: Pearson corr of the value column with
     * itself shifted by `lag` positions under the declared order. The
     * shift is an equi-join on adjacent positions of the materialized

@@ -149,5 +149,33 @@ object AggExtraQueries {
                    + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS rp,
                  rank() OVER (ORDER BY l_discount)
                    + (count(*) OVER (PARTITION BY l_discount) - 1) / 2.0 AS rd
-          FROM lineitem)""")))
+          FROM lineitem)""")),
+
+    // corr(method='kendall') — exact tau-b from the joint contingency
+    // (ops/Rank.kendall): one distributed groupBy(x,y).count, then a
+    // cells² self-join (550 cells here, NOT 60k² rows). The oracle
+    // restates the same identity independently in SQL.
+    Q("q192_kendall",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        graft.ops.Rank.kendall(li, "l_quantity", "l_discount")
+          .select(round(col("tau_b"), 8).as("tau_qty_disc"))
+      },
+      Some("""
+        WITH cells AS (
+          SELECT l_quantity AS x, l_discount AS y, count(*) AS n
+          FROM lineitem GROUP BY 1, 2),
+        pairs AS (
+          SELECT sum(CASE WHEN a.y < b.y THEN a.n * b.n ELSE 0 END) AS conc,
+                 sum(CASE WHEN a.y > b.y THEN a.n * b.n ELSE 0 END) AS disc
+          FROM cells a JOIN cells b ON a.x < b.x),
+        m AS (SELECT sum(n) AS ntot FROM cells),
+        tx AS (SELECT sum(nx * (nx - 1) / 2.0) AS n1t
+               FROM (SELECT sum(n) AS nx FROM cells GROUP BY x)),
+        ty AS (SELECT sum(ny * (ny - 1) / 2.0) AS n2t
+               FROM (SELECT sum(n) AS ny FROM cells GROUP BY y))
+        SELECT round((conc - disc) /
+                 sqrt((ntot * (ntot - 1) / 2.0 - n1t)
+                    * (ntot * (ntot - 1) / 2.0 - n2t)), 8) AS tau_qty_disc
+        FROM pairs, m, tx, ty""")))
 }

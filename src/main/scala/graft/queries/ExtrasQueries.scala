@@ -172,7 +172,10 @@ object ExtrasQueries {
           col("b_d"), col("c_d"),
           col("a_rk"), col("b_rk"), col("c_rk"),
           col("b_cs"), col("c_cs")))
-          .sortValues(Seq(SortKey.asc("l_orderkey"), SortKey.asc("l_linenumber"))).df
+          // duplicate (l_orderkey, l_linenumber) rows exist: rsum/b_d/c_d
+          // pin the tie so both engines emit identical row order
+          .sortValues(Seq(SortKey.asc("l_orderkey"), SortKey.asc("l_linenumber"),
+            SortKey.asc("rsum"), SortKey.asc("b_d"), SortKey.asc("c_d"))).df
       },
       Some("""
         SELECT l_orderkey, l_linenumber,
@@ -206,5 +209,76 @@ object ExtrasQueries {
                  CASE WHEN l_linenumber = 1 THEN NULL
                       ELSE CAST(l_suppkey % 60 AS DOUBLE) END AS c
           FROM lineitem)
-        ORDER BY l_orderkey, l_linenumber""")))
+        ORDER BY l_orderkey, l_linenumber, rsum, b_d, c_d""")),
+
+    // axis=1 reductions (count/nunique/any/all with the pandas skipna and
+    // empty-reduction contracts) + str.get_dummies with explicit
+    // categories (no distinct-scan job). b/c hit zero on the %60
+    // residues so any/all actually vary; dummies run over a composed
+    // 'source|lang' tag string.
+    Q("q191_axis1_extras_dummies",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("a"),
+          pmod(col("l_partkey"), lit(60)).cast("double").as("b"),
+          when(col("l_linenumber") === 1, lit(null))
+            .otherwise(pmod(col("l_suppkey"), lit(60))).cast("double").as("c"))
+        val ax = Frame(li)
+          .countAxis1(Seq("a", "b", "c"), "cnt")
+          .nuniqueAxis1(Seq("a", "b", "c"), "nun")
+          .anyAxis1(Seq("b", "c"), "anybc")
+          .allAxis1(Seq("b", "c"), "allbc")
+        val axOut = ax.df.select(col("l_orderkey"), col("l_linenumber"),
+          col("cnt"), col("nun"), col("anybc"), col("allbc"))
+          .filter(col("l_orderkey") <= 30000)
+        val dm = Frame(t(s, dir, "documents").select(col("doc_id"),
+          concat(col("source"), lit("|"), col("lang")).as("tag")))
+          .strGetDummies("tag", "|", Seq("en", "zh", "src4", "src15"), prefix = "is_")
+        val dmOut = dm.df.select(col("doc_id"), col("is_en"), col("is_zh"),
+          col("is_src4"), col("is_src15"))
+        // coalesce the sparse indicators to a -1 sentinel: nullable-int
+        // columns survive pandas round-trips with dtype-dependent NaN
+        // sort positions, which desyncs the harness row sort
+        val joined = axOut.join(dmOut,
+          axOut("l_orderkey") === dmOut("doc_id"), "left").drop("doc_id")
+        val filled = Seq("is_en", "is_zh", "is_src4", "is_src15")
+          .foldLeft(joined)((d, c) => d.withColumn(c, coalesce(col(c), lit(-1))))
+        // (l_orderkey, l_linenumber) duplicates exist in the fixture —
+        // sort on every output column so tied rows land identically in
+        // both engines (the harness compares in order)
+        Frame(filled)
+          .sortValues(Seq(SortKey.asc("l_orderkey"), SortKey.asc("l_linenumber"),
+            SortKey.asc("cnt"), SortKey.asc("nun"),
+            SortKey.asc("anybc"), SortKey.asc("allbc"))).df
+      },
+      Some("""
+        WITH ax AS (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(2 + CASE WHEN c IS NULL THEN 0 ELSE 1 END AS BIGINT) AS cnt,
+                 CAST(1 + CASE WHEN b <> a THEN 1 ELSE 0 END
+                        + CASE WHEN c IS NOT NULL AND c <> a AND c <> b
+                               THEN 1 ELSE 0 END AS BIGINT) AS nun,
+                 (b <> 0 OR coalesce(c <> 0, false)) AS anybc,
+                 (b <> 0 AND coalesce(c <> 0, true)) AS allbc
+          FROM (SELECT l_orderkey, l_linenumber,
+                       CAST(l_quantity AS DOUBLE) AS a,
+                       CAST(l_partkey % 60 AS DOUBLE) AS b,
+                       CASE WHEN l_linenumber = 1 THEN NULL
+                            ELSE CAST(l_suppkey % 60 AS DOUBLE) END AS c
+                FROM lineitem)
+          WHERE l_orderkey <= 30000),
+        dm AS (
+          SELECT doc_id,
+                 CAST(list_contains(string_split(tag, '|'), 'en') AS INT) AS is_en,
+                 CAST(list_contains(string_split(tag, '|'), 'zh') AS INT) AS is_zh,
+                 CAST(list_contains(string_split(tag, '|'), 'src4') AS INT) AS is_src4,
+                 CAST(list_contains(string_split(tag, '|'), 'src15') AS INT) AS is_src15
+          FROM (SELECT doc_id, source || '|' || lang AS tag FROM documents))
+        SELECT ax.*, coalesce(dm.is_en, -1) AS is_en,
+               coalesce(dm.is_zh, -1) AS is_zh,
+               coalesce(dm.is_src4, -1) AS is_src4,
+               coalesce(dm.is_src15, -1) AS is_src15
+        FROM ax LEFT JOIN dm ON ax.l_orderkey = dm.doc_id
+        ORDER BY l_orderkey, l_linenumber, cnt, nun, anybc, allbc""")))
 }

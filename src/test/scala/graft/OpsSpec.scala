@@ -169,6 +169,16 @@ class OpsSpec extends SparkSuite {
       s"approx median $q50 should be within 2% of exact $q50Exact")
   }
 
+  test("kendall tau-b is ±1 on monotone data and guards high-cardinality cells") {
+    import spark.implicits._
+    val d = (1 to 100).map(i => (i.toLong, i.toLong * 2, -i.toLong)).toDF("x", "up", "down")
+    assert(math.abs(graft.ops.Rank.kendall(d, "x", "up").collect()(0).getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(graft.ops.Rank.kendall(d, "x", "down").collect()(0).getDouble(0) + 1.0) < 1e-12)
+    intercept[IllegalArgumentException] {
+      graft.ops.Rank.kendall(d, "x", "up", maxCells = 10)
+    }
+  }
+
   test("autocorr is 1 on a strictly increasing series") {
     import spark.implicits._
     val d = (1 to 200).map(i => (i.toLong, i.toDouble * 3 + 7)).toDF("i", "x")
