@@ -31,14 +31,17 @@ object SelectQueries {
         // Spark's HALF_UP-on-BigDecimal and DuckDB's scaled-double path.
         .selectExprs(col("l_orderkey"), col("l_linenumber"),
           (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-        .sortValues(Seq(SortKey.asc("l_orderkey"), SortKey.asc("l_linenumber"))).df,
+        // revenue tiebreak: (l_orderkey, l_linenumber) duplicates exist in
+        // the fixture and the harness compares in row order
+        .sortValues(Seq(SortKey.asc("l_orderkey"), SortKey.asc("l_linenumber"),
+          SortKey.asc("revenue"))).df,
       Some("""
         SELECT l_orderkey, l_linenumber,
                l_extendedprice * (1 - l_discount) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate < TIMESTAMP '1997-04-01' AND l_discount > 0.05
-        ORDER BY l_orderkey, l_linenumber"""),
+        ORDER BY l_orderkey, l_linenumber, revenue"""),
       headline = true),
 
     // string-expression filter (reference rowwise_query/eval QC:3585).
