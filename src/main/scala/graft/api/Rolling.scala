@@ -24,6 +24,7 @@ final case class Rolling(frame: Frame, window: Int, minPeriods: Option[Int]) {
   def std(c: String, as: String): Frame = run((c, "stddev", as))
   def variance(c: String, as: String): Frame = run((c, "variance", as))
   def median(c: String, as: String): Frame = run((c, "median", as))
+  def quantile(c: String, q: Double, as: String): Frame = run((c, s"quantile:$q", as))
 
   /** Several aggregates in one pass (one shuffle, one window stage). */
   def agg(specs: (String, String, String)*): Frame = run(specs: _*)

@@ -213,4 +213,52 @@ object Corpus {
         min(col(orderCol)).as("first_doc"),
         max(col(orderCol)).as("last_doc"))
   }
+
+  /**
+   * Gopher/C4 heuristic quality flags (Rae et al. 2021 §A.1.1; Raffel
+   * et al. 2020 C4) — the standard pre-training text filters, each a
+   * pure codegen'd expression over the scan (zero shuffles, composes
+   * with any pipeline stage):
+   *
+   *   - alpha_word_ratio: fraction of whitespace words containing at
+   *     least one ASCII letter (Gopher keeps ≥ 0.8);
+   *   - mean_word_len: mean whitespace-word length (Gopher keeps 3–10);
+   *   - bullet_line_ratio / ellipsis_line_ratio: fraction of lines
+   *     starting with a bullet / ending with an ellipsis (Gopher drops
+   *     > 0.9 bullets, > 0.3 ellipses);
+   *   - has_lorem / has_brace: C4's boilerplate ("lorem ipsum") and
+   *     code ("{") markers.
+   *
+   * `keep` applies the conjunction at the cited thresholds. ASCII-only
+   * regex classes so the DuckDB oracle computes identical flags.
+   */
+  def qualityFlags(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = wsTokens(col(textCol))
+    val lines = split(col(textCol), "\n")
+    val nWords = greatest(size(words), lit(1)).cast("double")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val alphaRatio =
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nWords
+    val meanLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / nWords
+    val bulletRatio =
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("double") / nLines
+    val ellipsisRatio =
+      size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).cast("double") / nLines
+    val hasLorem = lower(col(textCol)).contains("lorem ipsum")
+    val hasBrace = col(textCol).contains("{")
+    df.select(col(idCol),
+      alphaRatio.as("alpha_word_ratio"),
+      meanLen.as("mean_word_len"),
+      bulletRatio.as("bullet_line_ratio"),
+      ellipsisRatio.as("ellipsis_line_ratio"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"))
+      .withColumn("keep",
+        col("alpha_word_ratio") >= 0.8 &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("bullet_line_ratio") <= 0.9 &&
+          col("ellipsis_line_ratio") <= 0.3 &&
+          !col("has_lorem") && !col("has_brace"))
+  }
 }

@@ -90,6 +90,10 @@ object RollingBlocks {
           when(m % 2 === 1, element_at(vals, half + 1).cast("double"))
             .otherwise((element_at(vals, half).cast("double") +
               element_at(vals, half + 1).cast("double")) / 2.0)
+        case q if q.startsWith("quantile:") =>
+          // exact linear-interpolation quantile (pandas rolling.quantile
+          // default); percentile-over-rows-window skips nulls natively
+          percentile(col(src), lit(q.stripPrefix("quantile:").toDouble)).over(w)
         case other => sys.error(s"rollingAgg: unsupported agg $other")
       }
       d.withColumn(as, when(vcnt >= minP, a))

@@ -183,5 +183,63 @@ object CorpusQueries {
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                  '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
                  '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g')) AS scrub_md5
-        FROM pii ORDER BY doc_id""")))
+        FROM pii ORDER BY doc_id""")),
+
+    // Gopher/C4 quality flags (ops/Corpus.qualityFlags): alpha-word
+    // ratio, mean word length, bullet/ellipsis line ratios, boilerplate
+    // markers, and the keep conjunction at the published thresholds —
+    // all zero-exchange expressions over the scan. Structure is injected
+    // deterministically (the fixture is single-line prose) so every flag
+    // actually varies; the oracle rebuilds the identical text.
+    Q("q194_quality_flags",
+      (s, dir) => {
+        val structured = t(s, dir, "documents").select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(col("text"), lit("\n- bullet one\n- bullet two...\nlorem ipsum {")))
+            .when(pmod(col("doc_id"), lit(3)) === 1,
+              concat(col("text"), lit("\nplain closing line...")))
+            .otherwise(col("text")).as("text"))
+        val flags = graft.ops.Corpus.qualityFlags(structured, "doc_id", "text")
+        Frame(flags.select(col("doc_id"),
+          round(col("alpha_word_ratio"), 6).as("alpha_word_ratio"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("bullet_line_ratio"), 6).as("bullet_line_ratio"),
+          round(col("ellipsis_line_ratio"), 6).as("ellipsis_line_ratio"),
+          col("has_lorem"), col("has_brace"), col("keep")))
+          .sortValues(Seq(SortKey.asc("doc_id"))).df
+      },
+      Some("""
+        WITH structured AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || '- bullet one'
+                        || chr(10) || '- bullet two...' || chr(10) || 'lorem ipsum {'
+                      WHEN doc_id % 3 = 1 THEN text || chr(10) || 'plain closing line...'
+                      ELSE text END AS text
+          FROM documents),
+        f AS (
+          SELECT doc_id,
+                 len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                   / greatest(len(w), 1) AS alpha_word_ratio,
+                 coalesce(list_sum(list_transform(w, x -> strlen(x))), 0)
+                   / greatest(len(w), 1) AS mean_word_len,
+                 len(list_filter(l, x -> regexp_matches(x, '^\s*[-*•]')))
+                   / greatest(len(l), 1) AS bullet_line_ratio,
+                 len(list_filter(l, x -> regexp_matches(x, '\.\.\.\s*$')))
+                   / greatest(len(l), 1) AS ellipsis_line_ratio,
+                 contains(lower(text), 'lorem ipsum') AS has_lorem,
+                 contains(text, '{') AS has_brace
+          FROM (SELECT doc_id, text,
+                       regexp_extract_all(trim(text), '\S+') AS w,
+                       string_split(text, chr(10)) AS l
+                FROM structured))
+        SELECT doc_id,
+               round(alpha_word_ratio, 6) AS alpha_word_ratio,
+               round(mean_word_len, 6) AS mean_word_len,
+               round(bullet_line_ratio, 6) AS bullet_line_ratio,
+               round(ellipsis_line_ratio, 6) AS ellipsis_line_ratio,
+               has_lorem, has_brace,
+               (alpha_word_ratio >= 0.8 AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND bullet_line_ratio <= 0.9 AND ellipsis_line_ratio <= 0.3
+                AND NOT has_lorem AND NOT has_brace) AS keep
+        FROM f ORDER BY doc_id""")))
 }

@@ -437,5 +437,46 @@ object WindowExtraQueries {
         SELECT coalesce(c.k, t.k) AS k, c5_mean, c4_sum, sum_left, n_both
         FROM (SELECT * FROM c WHERE k <= 4000) c
         FULL OUTER JOIN (SELECT * FROM t WHERE k <= 1000) t ON c.k = t.k
+        ORDER BY 1""")),
+
+    // rolling.quantile at arbitrary q — grouped (native bounded window)
+    // AND global (the block-overlap plan, no unpartitioned window; the
+    // oracle runs the single-window formulation the plan exists to
+    // avoid). Exact linear interpolation = DuckDB quantile_cont.
+    Q("q193_rolling_quantile",
+      (s, dir) => {
+        val wG = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc).rowsBetween(-6, 0)
+        val cntG = count(col("value")).over(wG)
+        val grouped = t(s, dir, "events").select(
+          col("event_id").as("k"),
+          when(cntG >= 7, round(percentile(col("value"), lit(0.25)).over(wG), 4)).as("g_q25"),
+          when(cntG >= 7, round(percentile(col("value"), lit(0.75)).over(wG), 4)).as("g_q75"))
+        val global = Frame(t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")))
+          .sortValues(Seq(SortKey.asc("o_orderkey")))
+          .rolling(20).quantile("o_totalprice", 0.9, "r_q90")
+        val globalOut = global.df.select(col("o_orderkey").as("k"),
+          round(col("r_q90"), 4).as("r_q90"))
+        Frame(grouped.join(globalOut, Seq("k"), "full_outer"))
+          .sortValues(Seq(SortKey.asc("k"))).df
+      },
+      Some("""
+        WITH g AS (
+          SELECT event_id AS k,
+                 CASE WHEN count(value) OVER w >= 7
+                      THEN round(quantile_cont(value, 0.25) OVER w, 4) END AS g_q25,
+                 CASE WHEN count(value) OVER w >= 7
+                      THEN round(quantile_cont(value, 0.75) OVER w, 4) END AS g_q75
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        r AS (
+          SELECT o_orderkey AS k,
+                 CASE WHEN count(o_totalprice) OVER w >= 20
+                      THEN round(quantile_cont(o_totalprice, 0.9) OVER w, 4) END AS r_q90
+          FROM orders
+          WINDOW w AS (ORDER BY o_orderkey ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        SELECT coalesce(g.k, r.k) AS k, g_q25, g_q75, r_q90
+        FROM g FULL OUTER JOIN r ON g.k = r.k
         ORDER BY 1""")))
 }
