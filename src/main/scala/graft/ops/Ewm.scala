@@ -28,6 +28,60 @@ object Ewm {
   def alphaFromHalflife(hl: Double): Double =
     { require(hl > 0); 1.0 - math.exp(-math.log(2.0) / hl) }
 
+  /** Adds `out` = pandas `ewm(alpha).var(bias=False)` (and `<out>_std` =
+    * its sqrt) per `keyCol` group, adjust=True semantics. Maintains the
+    * four decayed power sums Σw, Σw², Σw·x, Σw·x² with the O(1)-per-row
+    * update (each step scales old weights by (1-α) and adds weight 1),
+    * then var = [Σw²/((Σw)²−Σw²)]⁻¹-style Bessel debias:
+    * var = ((Σw)²/((Σw)²−Σw²)) · (Σwx²/Σw − (Σwx/Σw)²). Null until two
+    * observations exist (the debias denominator is zero — pandas NaN).
+    * Same distribution shape as [[meanByKey]]: one hash shuffle, then a
+    * sequential per-group recurrence; `ignoreNa=false` decays weights
+    * across null rows without adding an observation. */
+  def varByKey(
+      df: DataFrame, keyCol: String, orderCol: String, idCol: String,
+      valueCol: String, alpha: Double, out: String,
+      ignoreNa: Boolean = false): DataFrame = {
+
+    val src = df.select(
+      col(keyCol).cast("long"),
+      col(orderCol).cast("long").as(orderCol),
+      col(idCol).cast("long"),
+      col(valueCol).cast("double"))
+    val outSchema = StructType(src.schema.fields :+
+      StructField(out, DoubleType) :+ StructField(s"${out}_std", DoubleType))
+    val enc = Encoders.row(outSchema)
+
+    src.groupByKey(_.getLong(0))(Encoders.scalaLong)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(r => (r.getLong(1), r.getLong(2)))
+        val d = 1.0 - alpha
+        var sw = 0.0; var sw2 = 0.0; var swx = 0.0; var swx2 = 0.0
+        var nObs = 0L
+        rows.iterator.map { r =>
+          val isObs = !r.isNullAt(3)
+          if (isObs || (!ignoreNa && nObs > 0)) {
+            sw *= d; sw2 *= d * d; swx *= d; swx2 *= d
+          }
+          if (isObs) {
+            val x = r.getDouble(3)
+            sw += 1.0; sw2 += 1.0; swx += x; swx2 += x * x
+            nObs += 1
+          }
+          val denom = sw * sw - sw2
+          val v: Any =
+            if (nObs >= 2 && denom > 0) {
+              val mean = swx / sw
+              val vb = swx2 / sw - mean * mean
+              // clamp fp residue on constant runs: variance is >= 0
+              math.max((sw * sw / denom) * vb, 0.0)
+            } else null
+          val s: Any = v match { case d: Double => math.sqrt(d); case _ => null }
+          Row.fromSeq(r.toSeq :+ v :+ s)
+        }
+      }(enc)
+  }
+
   /** Adds `out` = ewm-mean of `valueCol` per `keyCol` group ordered by
     * (`orderCol` asc, tie-break `idCol` asc). Input columns must be
     * (bigint, orderable, bigint, double). The full pandas option

@@ -478,5 +478,43 @@ object WindowExtraQueries {
           WINDOW w AS (ORDER BY o_orderkey ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
         SELECT coalesce(g.k, r.k) AS k, g_q25, g_q75, r_q90
         FROM g FULL OUTER JOIN r ON g.k = r.k
-        ORDER BY 1""")))
+        ORDER BY 1""")),
+
+    // ewm.var / ewm.std (bias=False, adjust=True) — the O(n) decayed
+    // power-sum recurrence (ops/Ewm.varByKey). The oracle restates the
+    // definition as the O(n²)-per-group weighted-sum join (fine at
+    // oracle scale; the recurrence exists so the engine never does
+    // that). Null until two observations (debias denominator zero).
+    Q("q195_ewm_var",
+      (s, dir) => {
+        val src = t(s, dir, "events")
+          .withColumn("__ord__", unix_micros(col("ts").cast("timestamp")))
+        Frame(Ewm.varByKey(src, "user_id", "__ord__", "event_id", "value",
+          alpha = 0.5, out = "ev")
+          .select(col("event_id"), round(col("ev"), 4).as("ewm_var"),
+            round(col("ev_std"), 4).as("ewm_std")))
+          .sortValues(Seq(SortKey.asc("event_id"))).df
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events),
+        sums AS (
+          SELECT a.event_id,
+                 count(*) AS n,
+                 sum(power(0.5, a.rn - b.rn)) AS sw,
+                 sum(power(0.5, 2 * (a.rn - b.rn))) AS sw2,
+                 sum(power(0.5, a.rn - b.rn) * b.value) AS swx,
+                 sum(power(0.5, a.rn - b.rn) * b.value * b.value) AS swx2
+          FROM e a JOIN e b ON a.user_id = b.user_id AND b.rn <= a.rn
+          GROUP BY a.event_id)
+        SELECT event_id,
+               CASE WHEN n >= 2 AND sw * sw - sw2 > 0
+                    THEN round(greatest((sw * sw / (sw * sw - sw2))
+                         * (swx2 / sw - (swx / sw) * (swx / sw)), 0), 4) END AS ewm_var,
+               CASE WHEN n >= 2 AND sw * sw - sw2 > 0
+                    THEN round(sqrt(greatest((sw * sw / (sw * sw - sw2))
+                         * (swx2 / sw - (swx / sw) * (swx / sw)), 0)), 4) END AS ewm_std
+        FROM sums ORDER BY event_id""")))
 }

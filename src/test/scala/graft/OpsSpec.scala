@@ -169,6 +169,19 @@ class OpsSpec extends SparkSuite {
       s"approx median $q50 should be within 2% of exact $q50Exact")
   }
 
+  test("ewm var matches pandas bias=False values") {
+    import spark.implicits._
+    // pandas: Series([1,2,4]).ewm(alpha=0.5).var() -> [NaN, 0.5, 2.5]
+    val d = Seq((1L, 1L, 1L, 1.0), (1L, 2L, 2L, 2.0), (1L, 3L, 3L, 4.0))
+      .toDF("k", "o", "id", "v")
+    val out = Ewm.varByKey(d, "k", "o", "id", "v", alpha = 0.5, out = "ev")
+      .orderBy("o").collect()
+      .map(r => Option(r.getAs[java.lang.Double]("ev")).map(_.toDouble)).toSeq
+    assert(out(0).isEmpty)
+    assert(math.abs(out(1).get - 0.5) < 1e-12)
+    assert(math.abs(out(2).get - 2.5) < 1e-12)
+  }
+
   test("kendall tau-b is ±1 on monotone data and guards high-cardinality cells") {
     import spark.implicits._
     val d = (1 to 100).map(i => (i.toLong, i.toLong * 2, -i.toLong)).toDF("x", "up", "down")
