@@ -152,6 +152,58 @@ object Joins {
   }
 
   /**
+   * GLOBAL `merge_asof` — pandas' by=None form (the most common call).
+   * [[asof]] partitions its running window by the `by` keys; with no
+   * keys that window would collapse to a single task. Instead: tag and
+   * union both sides, pack each right row's (time, tieBreak, payload)
+   * into ONE comparable struct (struct ordering is field-lexicographic,
+   * so the running MAX of that struct IS "the latest visible right row,
+   * ties to the greatest tieBreak" — the pandas backward rule), and run
+   * it through the two-phase parallel prefix ([[Cumulative.globalRunning]]).
+   * Range shuffle + per-partition window + tiny offset broadcast — no
+   * stage sees more than 1/n of the rows. Backward direction,
+   * allowExactMatches=true (right rows sort before left at equal time).
+   */
+  def asofGlobal(
+      left: DataFrame,
+      right: DataFrame,
+      leftOn: String,
+      rightOn: String,
+      payload: Seq[String],
+      tieBreak: Column): DataFrame = {
+    import org.apache.spark.sql.types._
+    val onKey: Column => Column = left.schema(leftOn).dataType match {
+      case _: DateType | _: StringType | _: TimestampType | _: TimestampNTZType =>
+        (c: Column) => c.cast("timestamp")
+      case _: NumericType => identity[Column]
+      case other => sys.error(s"asofGlobal: unsupported on-key type $other")
+    }
+    val S = "__asof_s__"
+    val Latest = "__asof_latest__"
+    val leftCols = left.columns.toIndexedSeq
+    // field order IS the precedence: time, then tieBreak (pandas keeps
+    // the last right row among exact-time ties), then the payload
+    val sStruct = struct((onKey(col(rightOn)).as(T) +:
+      tieBreak.cast("long").as(Tie) +: payload.map(col)): _*)
+    val sType = right.select(sStruct).schema.head.dataType
+
+    val l = left.select(
+      (leftCols.map(col) :+ onKey(col(leftOn)).as(T) :+ lit(1).as(Tag) :+
+        lit(null).cast(sType).as(S)): _*)
+    val r = right.select(
+      (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        onKey(col(rightOn)).as(T) :+ lit(0).as(Tag) :+ sStruct.as(S)): _*)
+
+    val unioned = l.unionByName(r)
+    val run = Cumulative.globalRunning(unioned,
+      Seq(SortKey(col(T)), SortKey(col(Tag))), "max", Seq(S -> Latest))
+    val out = payload.foldLeft(run.filter(col(Tag) === 1)) { (d, p) =>
+      d.withColumn(p, col(Latest).getField(p))
+    }
+    out.select((leftCols.map(col) ++ payload.map(col)): _*)
+  }
+
+  /**
    * Scalable range join: points to enclosing intervals (`lo ≤ t ≤ hi`).
    * Spark's native plan for an inequality-only join is
    * BroadcastNestedLoop (or cartesian) — O(|points|·|intervals|), the

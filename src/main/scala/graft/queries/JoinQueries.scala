@@ -356,5 +356,43 @@ object JoinQueries {
                count(*) AS n,
                CAST(sum(coalesce(o_orderkey, 0)) AS BIGINT) AS sum_okey
         FROM o FULL JOIN c ON o.o_custkey = c.c_custkey
-        GROUP BY 1 ORDER BY 1""")))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // GLOBAL merge_asof (pandas by=None — ops/Joins.asofGlobal): the
+    // running latest-right-row is a comparable struct folded through the
+    // two-phase parallel prefix, so no single-partition window exists
+    // anywhere (the by-keyed asof's hazard when by is absent). The
+    // oracle runs the one-window union formulation this plan avoids.
+    Q("q197_asof_global",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("ts").as("p_ts"), col("value").as("pv"),
+            col("event_id").as("p_id"))
+        val joined = graft.ops.Joins.asofGlobal(
+          clicks, purchases, "ts", "p_ts", Seq("pv", "p_id"), tieBreak = col("p_id"))
+        Frame(joined.select(col("event_id"),
+          round(col("pv"), 6).as("pv"), col("p_id")))
+          .sortValues(Seq(SortKey.asc("event_id"))).df
+      },
+      Some("""
+        WITH u AS (
+          SELECT ts, 1 AS tag, NULL AS pv, NULL AS p_id, event_id FROM events
+          WHERE event_type = 'click'
+          UNION ALL
+          SELECT ts, 0 AS tag, value AS pv, event_id AS p_id, event_id FROM events
+          WHERE event_type = 'purchase'),
+        m AS (
+          SELECT event_id, tag,
+                 round(last_value(pv IGNORE NULLS)
+                   OVER (ORDER BY ts, tag, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS pv,
+                 last_value(p_id IGNORE NULLS)
+                   OVER (ORDER BY ts, tag, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_id
+          FROM u)
+        SELECT event_id, pv, p_id FROM m WHERE tag = 1
+        ORDER BY event_id""")))
 }

@@ -516,5 +516,40 @@ object WindowExtraQueries {
                CASE WHEN n >= 2 AND sw * sw - sw2 > 0
                     THEN round(sqrt(greatest((sw * sw / (sw * sw - sw2))
                          * (swx2 / sw - (swx / sw) * (swx / sw)), 0)), 4) END AS ewm_std
-        FROM sums ORDER BY event_id""")))
+        FROM sums ORDER BY event_id""")),
+
+    // expanding.corr / expanding.cov — six running sums in one parallel
+    // prefix (api/Expanding.corrCov), inputs centered by constants so the
+    // closed form stays accurate at price magnitudes. The oracle uses
+    // DuckDB's NATIVE windowed corr/covar_samp (Welford-style) — an
+    // independent algorithm agreeing to 6 decimals.
+    Q("q196_expanding_corr",
+      (s, dir) => {
+        val fr = Frame(t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_totalprice"),
+          pmod(col("o_custkey"), lit(1000)).cast("double").as("ckm")))
+          .sortValues(Seq(SortKey.asc("o_orderkey")))
+        val out = fr.expanding(minPeriods = 10)
+          .corr("o_totalprice", "ckm", "exp_corr", centerX = 150000.0, centerY = 500.0)
+          .expanding(minPeriods = 10)
+          .cov("o_totalprice", "ckm", "exp_cov", centerX = 150000.0, centerY = 500.0)
+        Frame(out.df.select(col("o_orderkey"),
+          round(col("exp_corr"), 6).as("exp_corr"),
+          round(col("exp_cov"), 2).as("exp_cov")))
+          .sortValues(Seq(SortKey.asc("o_orderkey"))).df
+      },
+      Some("""
+        SELECT o_orderkey,
+               CASE WHEN n >= 10 THEN round(c, 6) END AS exp_corr,
+               CASE WHEN n >= 10 THEN round(cv, 2) END AS exp_cov
+        FROM (
+          SELECT o_orderkey,
+                 count(*) OVER w AS n,
+                 corr(o_totalprice, ckm) OVER w AS c,
+                 covar_samp(o_totalprice, ckm) OVER w AS cv
+          FROM (SELECT o_orderkey, o_totalprice,
+                       CAST(o_custkey % 1000 AS DOUBLE) AS ckm
+                FROM orders)
+          WINDOW w AS (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        ORDER BY o_orderkey""")))
 }

@@ -97,4 +97,19 @@ class JoinsSpec extends SparkSuite {
     assert(asofTags("nearest", allowExact = true, tol = Some(5L)) ==
       Seq(10L -> Some("at10"), 20L -> Some("at18"), 35L -> None))
   }
+
+  test("asofGlobal equals the keyed asof run on a constant key") {
+    val ev = table("events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("ts").as("p_ts"), col("value").as("pv"), col("event_id").as("p_id"))
+    val global = Joins.asofGlobal(clicks, purchases, "ts", "p_ts",
+      Seq("pv", "p_id"), tieBreak = col("p_id"))
+    val keyed = Joins.asof(
+      clicks.withColumn("k", lit(1L)), purchases.withColumn("k", lit(1L)),
+      "ts", "p_ts", "k", "k", Seq("pv", "p_id"), tieBreak = col("p_id"))
+      .drop("k")
+    assertParity(global.drop("ts"), keyed.drop("ts"))
+  }
 }
