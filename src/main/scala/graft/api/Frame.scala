@@ -103,6 +103,22 @@ final case class Frame(
   def addSuffix(s: String): Frame =
     rename(df.columns.filterNot(indexCols.contains).map(c => c -> s"$c$s").toIndexedSeq: _*)
 
+  /** pandas `to_numeric(errors=)`: 'coerce' nulls unparseable input
+    * (try_cast); 'raise' is the ANSI cast (Spark 4 ANSI mode throws on
+    * bad input — the same contract as pandas raise). */
+  def toNumeric(c: String, as: String, errors: String = "raise"): Frame =
+    withColumn(as,
+      if (errors == "coerce") expr(s"try_cast(`$c` as double)")
+      else col(c).cast("double"))
+
+  /** pandas `to_datetime(format=, errors=)` — same coerce/raise split;
+    * result is session-zone-free (timestamp_ntz) so round-trips are
+    * wall-clock stable. */
+  def toDatetime(c: String, as: String, fmt: String, errors: String = "raise"): Frame =
+    withColumn(as,
+      (if (errors == "coerce") try_to_timestamp(col(c), lit(fmt))
+       else to_timestamp(col(c), fmt)).cast("timestamp_ntz"))
+
   /** Cast columns (reference astype, QC:2335; frame astype dataframe.py:1707). */
   def astype(casts: (String, String)*): Frame = {
     val m = casts.toMap

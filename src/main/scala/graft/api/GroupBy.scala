@@ -164,6 +164,21 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
 
   /** reference groupby_nlargest (base QC:4492): top-n per group by value —
     * rank-filter, one shuffle, no global sort. */
+  /** pandas `groupby.sample(n=, random_state=)` as DETERMINISTIC
+    * content-hash sampling: exactly min(n, group size) rows per group,
+    * chosen by md5(salt + key) order — the per-group form of the q155
+    * sampling discipline. Reproducible across engines, runs, and
+    * partitionings (the property a 100 TB balanced-class subsample
+    * needs — e.g. equal docs per language); one window over the group
+    * keys, no second scan. */
+  def sampleN(n: Int, hashKeyCol: String, salt: String = ""): Frame = {
+    require(n >= 1, s"sampleN: n must be >= 1: $n")
+    val spec = Window.partitionBy(kcols: _*)
+      .orderBy(Frame.hashBucket(col(hashKeyCol), salt).asc, col(hashKeyCol).asc)
+    frame.copy(df = df.withColumn(Frame.RowNum, row_number().over(spec))
+      .filter(col(Frame.RowNum) <= n).drop(Frame.RowNum))
+  }
+
   def nlargestPerGroup(n: Int, valueCol: String, tieBreak: Seq[SortKey]): Frame = {
     val spec = Window.partitionBy(kcols: _*)
       .orderBy(col(valueCol).desc +: tieBreak.map(_.toColumn): _*)

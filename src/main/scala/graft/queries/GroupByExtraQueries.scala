@@ -160,5 +160,24 @@ object GroupByExtraQueries {
                    / lead(l_extendedprice, 1) OVER w AS pctm1
           FROM lineitem
           WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice))
-        GROUP BY l_orderkey ORDER BY l_orderkey""")))
+        GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // groupby.sample(n=) as deterministic per-group content-hash
+    // sampling (GroupBy.sampleN — the balanced-class subsample a corpus
+    // pipeline needs: same rows on any engine/partitioning). Exactly
+    // min(n, group size) rows per group under the md5 order.
+    Q("q198_groupby_sample_n",
+      (s, dir) => f(s, dir, "orders")
+        .groupby("o_orderpriority")
+        .sampleN(3, "o_orderkey", salt = "s198")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .sortValues(Seq(SortKey.asc("o_orderpriority"), SortKey.asc("o_orderkey"))).df,
+      Some("""
+        SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY md5('s198' || CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+          FROM orders) WHERE rn <= 3
+        ORDER BY o_orderpriority, o_orderkey""")))
 }

@@ -525,5 +525,37 @@ object StringDateQueries {
                unnest(ms) AS m
         FROM (SELECT doc_id, regexp_extract_all(text, '([a-z]{7,})', 1) AS ms
               FROM documents)
-        ORDER BY doc_id, match_no""")))
+        ORDER BY doc_id, match_no""")),
+
+    // to_numeric / to_datetime errors='coerce' (Frame.toNumeric /
+    // toDatetime — try_cast / try_to_timestamp): unparseable input nulls
+    // instead of failing the job, the ingestion-robustness valve. Messy
+    // strings are built deterministically (number, garbage, empty,
+    // valid date, month-13 date) so both engines coerce the same cells.
+    Q("q199_coerce",
+      (s, dir) => {
+        val messy = t(s, dir, "documents").select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(4)) === 0, concat(col("doc_id").cast("string"), lit(".25")))
+            .when(pmod(col("doc_id"), lit(4)) === 1, lit("n/a"))
+            .when(pmod(col("doc_id"), lit(4)) === 2, lit(""))
+            .otherwise(col("doc_id").cast("string")).as("numstr"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("2024-03-15"))
+            .when(pmod(col("doc_id"), lit(3)) === 1, lit("2024-13-05"))
+            .otherwise(lit("garbage")).as("datestr"))
+        val parsed = Frame(messy)
+          .toNumeric("numstr", "num", errors = "coerce")
+          .toDatetime("datestr", "dt", "yyyy-MM-dd", errors = "coerce")
+        Frame(parsed.df.select(col("doc_id"), col("num"), col("dt")))
+          .sortValues(Seq(SortKey.asc("doc_id"))).df
+      },
+      Some("""
+        SELECT doc_id,
+               TRY_CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id || '.25'
+                             WHEN doc_id % 4 = 1 THEN 'n/a'
+                             WHEN doc_id % 4 = 2 THEN ''
+                             ELSE CAST(doc_id AS VARCHAR) END AS DOUBLE) AS num,
+               try_strptime(CASE WHEN doc_id % 3 = 0 THEN '2024-03-15'
+                                 WHEN doc_id % 3 = 1 THEN '2024-13-05'
+                                 ELSE 'garbage' END, '%Y-%m-%d') AS dt
+        FROM documents ORDER BY doc_id""")))
 }
