@@ -557,5 +557,43 @@ object StringDateQueries {
                try_strptime(CASE WHEN doc_id % 3 = 0 THEN '2024-03-15'
                                  WHEN doc_id % 3 = 1 THEN '2024-13-05'
                                  ELSE 'garbage' END, '%Y-%m-%d') AS dt
-        FROM documents ORDER BY doc_id""")))
+        FROM documents ORDER BY doc_id""")),
+
+    // json_normalize (pandas pd.json_normalize(record_path, meta)):
+    // from_json with an explicit schema → meta fields + posexplode of
+    // the record array → flattened struct fields. The nested JSON is
+    // built deterministically from order columns, so the oracle states
+    // the expected flattening directly — the round-trip proves Spark's
+    // parse + normalize. (pandas explode(['a','b']) is the same
+    // machinery: posexplode(arrays_zip(a, b)).)
+    Q("q200_json_normalize",
+      (s, dir) => {
+        val js = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+          .select(col("o_orderkey"), concat(
+            lit("{\"id\": "), col("o_orderkey").cast("string"),
+            lit(", \"user\": {\"name\": \"u"), col("o_custkey").cast("string"),
+            lit("\", \"prio\": \""), col("o_orderpriority"),
+            lit("\"}, \"items\": [{\"sku\": "), (col("o_orderkey") * 10).cast("string"),
+            lit(", \"qty\": 1}, {\"sku\": "), (col("o_orderkey") * 10 + 1).cast("string"),
+            lit(", \"qty\": 2}]}")).as("js"))
+        val schema = "id BIGINT, user STRUCT<name: STRING, prio: STRING>, " +
+          "items ARRAY<STRUCT<sku: BIGINT, qty: BIGINT>>"
+        val parsed = js.select(
+          from_json(col("js"), org.apache.spark.sql.types.StructType.fromDDL(schema)).as("r"))
+        Frame(parsed
+          .select(col("r.id").as("id"), col("r.user.name").as("user_name"),
+            col("r.user.prio").as("prio"), posexplode(col("r.items")))
+          .select(col("id"), col("user_name"), col("prio"),
+            col("pos").cast("long").as("item_no"),
+            col("col.sku").as("sku"), col("col.qty").as("qty")))
+          .sortValues(Seq(SortKey.asc("id"), SortKey.asc("item_no"))).df
+      },
+      Some("""
+        SELECT o_orderkey AS id, 'u' || CAST(o_custkey AS VARCHAR) AS user_name,
+               o_orderpriority AS prio,
+               CAST(unnest([0, 1]) AS BIGINT) AS item_no,
+               unnest([o_orderkey * 10, o_orderkey * 10 + 1]) AS sku,
+               CAST(unnest([1, 2]) AS BIGINT) AS qty
+        FROM orders WHERE o_orderkey <= 2000
+        ORDER BY id, item_no""")))
 }
