@@ -105,7 +105,8 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
     * min-rank plus the same-value tie count (one extra unordered window
     * over (keys, value) — same partitioning, no extra shuffle):
     * max = min + ties - 1, average = min + (ties-1)/2. */
-  def rank(c: String, as: String, method: String = "min", ascending: Boolean = true): Frame = {
+  def rank(c: String, as: String, method: String = "min",
+      ascending: Boolean = true, pct: Boolean = false): Frame = {
     val key = if (ascending) col(c).asc else col(c).desc
     val spec = Window.partitionBy(kcols: _*).orderBy(key)
     lazy val ties = count(lit(1)).over(Window.partitionBy((kcols :+ col(c)): _*))
@@ -119,7 +120,15 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
           (ties - lit(1)).cast("double") / lit(2.0)
       case other     => sys.error(s"rank method $other")
     }
-    frame.withColumn(as, r)
+    // pandas rank(pct=True): rank / count of valid values in the group
+    // (for dense, pandas divides by the number of DISTINCT values)
+    lazy val denom = method match {
+      // functions.size — GroupBy.size (the aggregate) shadows it here
+      case "dense" => org.apache.spark.sql.functions.size(
+        collect_set(col(c)).over(Window.partitionBy(kcols: _*)))
+      case _       => count(col(c)).over(Window.partitionBy(kcols: _*))
+    }
+    frame.withColumn(as, if (pct) r.cast("double") / denom else r)
   }
 
   /** reference groupby_head (base QC:4396) — first n rows per group. */

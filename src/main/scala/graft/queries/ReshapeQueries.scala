@@ -36,6 +36,35 @@ object ReshapeQueries {
                round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW'), 2) AS "5-LOW"
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // pivot_table(aggfunc=['sum','mean','count']) — Spark's native pivot
+    // with MULTIPLE aggregates (one pass, one exchange; explicit pivot
+    // values so no distinct-scan job). Column names are the flattened
+    // pandas MultiIndex, value_agg.
+    Q("q201_pivot_multiagg",
+      (s, dir) => {
+        val prios = Seq("1-URGENT", "5-LOW")
+        Frame(t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .pivot("o_orderpriority", prios)
+          .agg(round(sum(col("o_totalprice")), 2).as("sum"),
+            round(avg(col("o_totalprice")), 4).as("mean"),
+            count(lit(1)).as("n")))
+          .sortValues(Seq(SortKey.asc("o_orderstatus"))).df
+      },
+      Some("""
+        SELECT o_orderstatus,
+               round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
+                 AS "1-URGENT_sum",
+               round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 4)
+                 AS "1-URGENT_mean",
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT_n",
+               round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW'), 2)
+                 AS "5-LOW_sum",
+               round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW'), 4)
+                 AS "5-LOW_mean",
+               count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW_n"
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // melt / unpivot (Spark's native Unpivot node — row-expanding map,
     // zero shuffle before the final sort).
     Q("q81_melt",

@@ -109,6 +109,35 @@ object WindowQueries {
         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
         ORDER BY o_orderkey""")),
 
+    // rank(pct=True): average-rank pct divides by the group's valid
+    // count; dense pct divides by the DISTINCT value count (the pandas
+    // rule). Same single window partitioning as q165 — the dense
+    // denominator is a collect_set size over the group, no extra
+    // shuffle. Oracle joins a distinct-count CTE (DuckDB windows don't
+    // take DISTINCT aggregates).
+    Q("q202_rank_pct",
+      (s, dir) => {
+        val ranked = f(s, dir, "orders").groupby("o_orderpriority")
+          .rank("o_totalprice", "avg_pct", method = "average", pct = true)
+          .groupby("o_orderpriority")
+          .rank("o_totalprice", "dense_pct", method = "dense", pct = true)
+        Frame(ranked.df.select(col("o_orderkey"),
+          round(col("avg_pct"), 8).as("avg_pct"),
+          round(col("dense_pct"), 8).as("dense_pct")))
+          .sortValues(Seq(SortKey.asc("o_orderkey"))).df
+      },
+      Some("""
+        WITH dd AS (SELECT o_orderpriority, count(DISTINCT o_totalprice) AS nd
+                    FROM orders GROUP BY 1)
+        SELECT o_orderkey,
+               round((rank() OVER w
+                      + (count(*) OVER (PARTITION BY o_orderpriority, o_totalprice) - 1) / 2.0)
+                     / count(o_totalprice) OVER (PARTITION BY o_orderpriority), 8) AS avg_pct,
+               round(CAST(dense_rank() OVER w AS DOUBLE) / nd, 8) AS dense_pct
+        FROM orders JOIN dd USING (o_orderpriority)
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+        ORDER BY o_orderkey""")),
+
     // groupby corr / cov (reference base QC:4112,4134) — promoted from
     // spec-only to oracle-checked: per-group Pearson corr + sample cov,
     // one partial+final aggregate pair.
