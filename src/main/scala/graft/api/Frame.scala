@@ -531,6 +531,27 @@ final case class Frame(
       aggregate(valid, lit(0.0), (acc, x) => acc + x) / size(valid)))
   }
 
+  /** pandas `df.prod(axis=1)` — skipna; an all-null row is 1.0 (the
+    * pandas empty-product contract). */
+  def prodAxis1(cols: Seq[String], as: String): Frame = withColumn(as,
+    aggregate(arrFilter(rowArr(cols), _.isNotNull), lit(1.0), (acc, x) => acc * x))
+
+  /** pandas `df.var(axis=1, ddof=1)` / `std(axis=1)` — sample variance
+    * across the row's non-null values; null when fewer than two. */
+  def varAxis1(cols: Seq[String], as: String): Frame = {
+    val valid = arrFilter(rowArr(cols), _.isNotNull)
+    val n = size(valid).cast("double")
+    val mean = aggregate(valid, lit(0.0), (acc, x) => acc + x) / n
+    val ss = aggregate(valid, lit(0.0), (acc, x) => acc + (x - mean) * (x - mean))
+    withColumn(as, when(n >= 2, ss / (n - 1.0)))
+  }
+
+  def stdAxis1(cols: Seq[String], as: String): Frame = {
+    val tmp = s"__std1_${as}__"
+    val f = varAxis1(cols, tmp)
+    f.withColumn(as, sqrt(col(tmp))).drop(tmp)
+  }
+
   /** pandas `df.cumsum(axis=1)`: left-to-right running sum; a null cell
     * stays null but does not break the carry (pandas skipna). Adds one
     * `<col><suffix>` output per input column. */

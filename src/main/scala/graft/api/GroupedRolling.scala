@@ -39,6 +39,8 @@ final case class GroupedRolling(frame: Frame, keys: Seq[String], window: Int,
   def max(c: String, as: String): Frame = gated(c, F.max(col(c)).over(spec), as)
   def count(c: String, as: String): Frame = gated(c, F.count(col(c)).over(spec).cast("long"), as)
   def std(c: String, as: String): Frame = gated(c, F.stddev_samp(col(c)).over(spec), as)
+  def variance(c: String, as: String): Frame = gated(c, F.var_samp(col(c)).over(spec), as)
+  def median(c: String, as: String): Frame = quantile(c, 0.5, as)
   /** pandas rolling.quantile (linear interpolation — `percentile` over
     * the bounded row window is the exact same definition). */
   def quantile(c: String, q: Double, as: String): Frame =

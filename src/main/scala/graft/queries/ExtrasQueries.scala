@@ -280,5 +280,48 @@ object ExtrasQueries {
                coalesce(dm.is_src4, -1) AS is_src4,
                coalesce(dm.is_src15, -1) AS is_src15
         FROM ax LEFT JOIN dm ON ax.l_orderkey = dm.doc_id
-        ORDER BY l_orderkey, l_linenumber, cnt, nun, anybc, allbc""")))
+        ORDER BY l_orderkey, l_linenumber, cnt, nun, anybc, allbc""")),
+
+    // axis=1 statistics: prod (empty product = 1), sample var/std with
+    // the <2-valid null rule — same zero-shuffle array projections as
+    // q187, oracle restated as explicit arithmetic.
+    Q("q203_axis1_stats",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("a"),
+          pmod(col("l_partkey"), lit(60)).cast("double").as("b"),
+          when(col("l_linenumber") === 1, lit(null))
+            .otherwise(pmod(col("l_suppkey"), lit(60))).cast("double").as("c"))
+        val fr = Frame(li)
+          .prodAxis1(Seq("a", "b", "c"), "rprod")
+          .varAxis1(Seq("a", "b", "c"), "rvar")
+          .stdAxis1(Seq("a", "b", "c"), "rstd")
+        Frame(fr.df.select(col("l_orderkey"), col("l_linenumber"),
+          round(col("rprod"), 4).as("rprod"),
+          round(col("rvar"), 6).as("rvar"), round(col("rstd"), 6).as("rstd")))
+          .sortValues(Seq(SortKey.asc("l_orderkey"), SortKey.asc("l_linenumber"),
+            SortKey.asc("rprod"), SortKey.asc("rvar"))).df
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               round(a * b * coalesce(c, 1), 4) AS rprod,
+               round(ss / (n - 1), 6) AS rvar,
+               round(sqrt(ss / (n - 1)), 6) AS rstd
+        FROM (
+          SELECT l_orderkey, l_linenumber, a, b, c, n,
+                 (a - m) * (a - m) + (b - m) * (b - m)
+                   + coalesce((c - m) * (c - m), 0) AS ss
+          FROM (
+            SELECT *,
+                   2 + CASE WHEN c IS NULL THEN 0 ELSE 1 END AS n,
+                   (a + b + coalesce(c, 0))
+                     / (2 + CASE WHEN c IS NULL THEN 0 ELSE 1 END) AS m
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(l_quantity AS DOUBLE) AS a,
+                         CAST(l_partkey % 60 AS DOUBLE) AS b,
+                         CASE WHEN l_linenumber = 1 THEN NULL
+                              ELSE CAST(l_suppkey % 60 AS DOUBLE) END AS c
+                  FROM lineitem)))
+        ORDER BY l_orderkey, l_linenumber, rprod, rvar""")))
 }

@@ -230,5 +230,28 @@ object ResampleExtraQueries {
                count(*) AS n_kept
         FROM v
         WHERE rn > n // 10 AND rn <= n - n // 10
-        GROUP BY bucket ORDER BY bucket""")))
+        GROUP BY bucket ORDER BY bucket""")),
+
+    // resample('W') — pandas' Sunday-ending weekly bins (label=right,
+    // the 'W' default). Bin label = the next Sunday at or after the
+    // date; Spark dayofweek is 1=Sunday, DuckDB dayofweek is 0=Sunday,
+    // so each side states its own branch of the same arithmetic. One
+    // groupBy exchange, the q90 shape at weekly grain.
+    Q("q204_resample_weekly",
+      (s, dir) => {
+        val d = to_date(col("ts"))
+        val label = when(dayofweek(d) === 1, d)
+          .otherwise(date_add(d, lit(8) - dayofweek(d)))
+        Frame(t(s, dir, "events")
+          .groupBy(label.cast("timestamp_ntz").as("week_end"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value")))
+          .sortValues(Seq(SortKey.asc("week_end"))).df
+      },
+      Some("""
+        SELECT CAST(CAST(ts AS DATE)
+                 + CAST((7 - dayofweek(CAST(ts AS DATE))) % 7 AS INTEGER) AS TIMESTAMP)
+                 AS week_end,
+               count(*) AS n,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1 ORDER BY 1""")))
 }
