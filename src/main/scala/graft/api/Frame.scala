@@ -531,6 +531,26 @@ final case class Frame(
       aggregate(valid, lit(0.0), (acc, x) => acc + x) / size(valid)))
   }
 
+  /** pandas aligned binary arithmetic with `fill_value` (`a.add(b,
+    * fill_value=0)`): after the index alignment join, a side missing in
+    * one frame takes the fill; only both-missing stays null (the pandas
+    * rule). Pure projection over the join — `op` ∈ add|sub|mul|div. */
+  def binopFill(aCol: String, bCol: String, as: String, op: String,
+      fillValue: Double): Frame = {
+    val a = col(aCol).cast("double")
+    val b = col(bCol).cast("double")
+    val af = coalesce(a, lit(fillValue))
+    val bf = coalesce(b, lit(fillValue))
+    val combined = op match {
+      case "add" => af + bf
+      case "sub" => af - bf
+      case "mul" => af * bf
+      case "div" => af / bf
+      case other => sys.error(s"binopFill: unsupported op $other")
+    }
+    withColumn(as, when(a.isNull && b.isNull, lit(null)).otherwise(combined))
+  }
+
   /** pandas `df.prod(axis=1)` — skipna; an all-null row is 1.0 (the
     * pandas empty-product contract). */
   def prodAxis1(cols: Seq[String], as: String): Frame = withColumn(as,

@@ -126,6 +126,23 @@ object Scale {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /**
+   * Distributed matrix multiply over LONG-FORM (COO) matrices — the
+   * at-scale form of pandas `df.dot(df)` (the reference's dot is a
+   * driver-side matvec; graft's q49 covers the vector case). A as
+   * (i, k, v), B as (k, j, v): one hash equi-join on the contraction
+   * index k, then one groupBy(i, j) sum — both linear in the nonzeros,
+   * the textbook SUMMA-style plan. Sparse inputs cost only their
+   * nonzeros; a small B side broadcasts under AQE automatically.
+   */
+  def matmulLong(a: DataFrame, ai: String, ak: String, av: String,
+      b: DataFrame, bk: String, bj: String, bv: String): DataFrame =
+    a.select(col(ai).as("i"), col(ak).as("__k__"), col(av).cast("double").as("__av__"))
+      .join(b.select(col(bk).as("__k__"), col(bj).as("j"), col(bv).cast("double").as("__bv__")),
+        Seq("__k__"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("__av__") * col("__bv__")).as("value"))
+
   /** Two-stage (salted) aggregation for algebraic functions: partial
     * aggregate on (keys ++ salt), final on keys. Spark's hash aggregate
     * already map-side-combines, but when one key dominates a whole

@@ -394,5 +394,61 @@ object JoinQueries {
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_id
           FROM u)
         SELECT event_id, pv, p_id FROM m WHERE tag = 1
-        ORDER BY event_id""")))
+        ORDER BY event_id""")),
+
+    // Aligned binary arithmetic with fill_value (pandas a.add(b,
+    // fill_value=0) — one side missing takes the fill, both-missing
+    // stays null) over the q49 align join (Frame.binopFill).
+    Q("q205_binop_fill",
+      (s, dir) => {
+        val a = t(s, dir, "orders").groupBy(col("o_custkey").as("k"))
+          .agg(count(lit(1)).cast("double").as("n_orders"))
+        val b = t(s, dir, "customer")
+          .select(col("c_custkey").as("k"), (col("c_acctbal") / 1000.0).as("balk"))
+        val aligned = Frame(a.join(b, Seq("k"), "full_outer"))
+          .binopFill("n_orders", "balk", "add0", "add", 0.0)
+          .binopFill("n_orders", "balk", "mul1", "mul", 1.0)
+        Frame(aligned.df.select(col("k"),
+          round(col("add0"), 6).as("add0"), round(col("mul1"), 6).as("mul1")))
+          .sortValues(Seq(SortKey.asc("k"))).df
+      },
+      Some("""
+        WITH a AS (SELECT o_custkey AS k, CAST(count(*) AS DOUBLE) AS n_orders
+                   FROM orders GROUP BY 1),
+             b AS (SELECT c_custkey AS k, c_acctbal / 1000.0 AS balk FROM customer)
+        SELECT k,
+               round(CASE WHEN n_orders IS NULL AND balk IS NULL THEN NULL
+                          ELSE coalesce(n_orders, 0) + coalesce(balk, 0) END, 6) AS add0,
+               round(CASE WHEN n_orders IS NULL AND balk IS NULL THEN NULL
+                          ELSE coalesce(n_orders, 1) * coalesce(balk, 1) END, 6) AS mul1
+        FROM a FULL OUTER JOIN b USING (k)
+        ORDER BY k""")),
+
+    // Distributed matrix multiply (ops/Scale.matmulLong — the at-scale
+    // df.dot(df)): COO triples, one equi-join on the contraction index +
+    // one groupBy sum. Exact integer cell values so both engines'
+    // arithmetic is identical.
+    Q("q206_matmul",
+      (s, dir) => {
+        val a = t(s, dir, "lineitem")
+          .groupBy(pmod(col("l_orderkey"), lit(50)).as("i"),
+            pmod(col("l_partkey"), lit(20)).as("k"))
+          .agg(sum(floor(col("l_quantity")).cast("long")).as("v"))
+        val b = t(s, dir, "part")
+          .groupBy(pmod(col("p_partkey"), lit(20)).as("k"),
+            pmod(col("p_size"), lit(10)).as("j"))
+          .agg(count(lit(1)).as("v"))
+        Frame(graft.ops.Scale.matmulLong(a, "i", "k", "v", b, "k", "j", "v")
+          .select(col("i"), col("j"), col("value").cast("long").as("value")))
+          .sortValues(Seq(SortKey.asc("i"), SortKey.asc("j"))).df
+      },
+      Some("""
+        WITH a AS (SELECT l_orderkey % 50 AS i, l_partkey % 20 AS k,
+                          sum(CAST(floor(l_quantity) AS BIGINT)) AS av
+                   FROM lineitem GROUP BY 1, 2),
+             b AS (SELECT p_partkey % 20 AS k, p_size % 10 AS j, count(*) AS bv
+                   FROM part GROUP BY 1, 2)
+        SELECT i, j, CAST(sum(av * bv) AS BIGINT) AS value
+        FROM a JOIN b USING (k)
+        GROUP BY i, j ORDER BY i, j""")))
 }
