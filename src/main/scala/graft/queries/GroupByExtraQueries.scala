@@ -179,5 +179,33 @@ object GroupByExtraQueries {
                    PARTITION BY o_orderpriority
                    ORDER BY md5('s198' || CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
           FROM orders) WHERE rn <= 3
-        ORDER BY o_orderpriority, o_orderkey""")))
+        ORDER BY o_orderpriority, o_orderkey""")),
+
+    // groupby().describe() — the full pandas eight-statistic block per
+    // group in ONE aggregate pass (count/mean/std/min/25%/50%/75%/max;
+    // exact linear-interpolation quantiles).
+    Q("q207_groupby_describe",
+      (s, dir) => f(s, dir, "lineitem")
+        .groupby("l_returnflag")
+        .agg(
+          "cnt" -> count(col("l_extendedprice")),
+          "mean" -> round(avg(col("l_extendedprice")), 4),
+          "std" -> round(stddev_samp(col("l_extendedprice")), 4),
+          "min" -> round(min(col("l_extendedprice")), 2),
+          "p25" -> round(percentile(col("l_extendedprice"), lit(0.25)), 4),
+          "p50" -> round(percentile(col("l_extendedprice"), lit(0.5)), 4),
+          "p75" -> round(percentile(col("l_extendedprice"), lit(0.75)), 4),
+          "max" -> round(max(col("l_extendedprice")), 2))
+        .sortValues(Seq(SortKey.asc("l_returnflag"))).df,
+      Some("""
+        SELECT l_returnflag,
+               count(l_extendedprice) AS cnt,
+               round(avg(l_extendedprice), 4) AS mean,
+               round(stddev_samp(l_extendedprice), 4) AS std,
+               round(min(l_extendedprice), 2) AS min,
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+               round(max(l_extendedprice), 2) AS max
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")))
 }
