@@ -106,18 +106,24 @@ final case class Frame(
   /** pandas `to_numeric(errors=)`: 'coerce' nulls unparseable input
     * (try_cast); 'raise' is the ANSI cast (Spark 4 ANSI mode throws on
     * bad input — the same contract as pandas raise). */
-  def toNumeric(c: String, as: String, errors: String = "raise"): Frame =
+  def toNumeric(c: String, as: String, errors: String = "raise"): Frame = {
+    require(errors == "raise" || errors == "coerce",
+      s"toNumeric: errors must be 'raise' or 'coerce' ('ignore' is unsupported): $errors")
     withColumn(as,
       if (errors == "coerce") expr(s"try_cast(`$c` as double)")
       else col(c).cast("double"))
+  }
 
   /** pandas `to_datetime(format=, errors=)` — same coerce/raise split;
     * result is session-zone-free (timestamp_ntz) so round-trips are
     * wall-clock stable. */
-  def toDatetime(c: String, as: String, fmt: String, errors: String = "raise"): Frame =
+  def toDatetime(c: String, as: String, fmt: String, errors: String = "raise"): Frame = {
+    require(errors == "raise" || errors == "coerce",
+      s"toDatetime: errors must be 'raise' or 'coerce' ('ignore' is unsupported): $errors")
     withColumn(as,
       (if (errors == "coerce") try_to_timestamp(col(c), lit(fmt))
        else to_timestamp(col(c), fmt)).cast("timestamp_ntz"))
+  }
 
   /** Cast columns (reference astype, QC:2335; frame astype dataframe.py:1707). */
   def astype(casts: (String, String)*): Frame = {
@@ -545,7 +551,11 @@ final case class Frame(
       case "add" => af + bf
       case "sub" => af - bf
       case "mul" => af * bf
-      case "div" => af / bf
+      // ANSI mode raises DIVIDE_BY_ZERO even for doubles; pandas
+      // a.div(b, fill_value=0) follows IEEE (±Inf, 0/0 → NaN) — the
+      // sign-preserving multiply-by-∞ reproduces exactly that
+      case "div" => when(bf =!= 0.0, af / bf)
+        .otherwise(af * lit(Double.PositiveInfinity))
       case other => sys.error(s"binopFill: unsupported op $other")
     }
     withColumn(as, when(a.isNull && b.isNull, lit(null)).otherwise(combined))
@@ -617,10 +627,13 @@ final case class Frame(
   def strGetDummies(c: String, sep: String, categories: Seq[String],
       prefix: String = ""): Frame =
     categories.foldLeft(this) { case (fr, cat) =>
+      // a null input row is an ALL-ZEROS indicator row (pandas
+      // str.get_dummies NaN contract), not a null
       fr.withColumn(s"$prefix$cat",
-        when(col(c).isNotNull,
+        coalesce(
           array_contains(split(col(c), java.util.regex.Pattern.quote(sep)), cat)
-            .cast("int")))
+            .cast("int"),
+          lit(0)))
     }
 
   /** pandas `df.rank(axis=1, method='average')`: rank of each cell among

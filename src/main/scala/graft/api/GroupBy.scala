@@ -107,7 +107,10 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
     * max = min + ties - 1, average = min + (ties-1)/2. */
   def rank(c: String, as: String, method: String = "min",
       ascending: Boolean = true, pct: Boolean = false): Frame = {
-    val key = if (ascending) col(c).asc else col(c).desc
+    // nulls sort LAST so they never consume ranks of valid rows, and the
+    // output nulls them (pandas na_option='keep'); without this a null
+    // row would take rank 1 and push pct above 1.0
+    val key = if (ascending) col(c).asc_nulls_last else col(c).desc_nulls_last
     val spec = Window.partitionBy(kcols: _*).orderBy(key)
     lazy val ties = count(lit(1)).over(Window.partitionBy((kcols :+ col(c)): _*))
     val r = method match {
@@ -128,7 +131,8 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
         collect_set(col(c)).over(Window.partitionBy(kcols: _*)))
       case _       => count(col(c)).over(Window.partitionBy(kcols: _*))
     }
-    frame.withColumn(as, if (pct) r.cast("double") / denom else r)
+    val ranked = if (pct) r.cast("double") / denom else r
+    frame.withColumn(as, when(col(c).isNotNull, ranked))
   }
 
   /** reference groupby_head (base QC:4396) — first n rows per group. */

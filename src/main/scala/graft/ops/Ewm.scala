@@ -43,11 +43,15 @@ object Ewm {
       valueCol: String, alpha: Double, out: String,
       ignoreNa: Boolean = false): DataFrame = {
 
-    val src = df.select(
-      col(keyCol).cast("long"),
-      col(orderCol).cast("long").as(orderCol),
-      col(idCol).cast("long"),
-      col(valueCol).cast("double"))
+    // null group/order/id keys would NPE the primitive getLong reads;
+    // pandas groupby drops null keys — do the same, explicitly
+    val src = df
+      .filter(col(keyCol).isNotNull && col(orderCol).isNotNull && col(idCol).isNotNull)
+      .select(
+        col(keyCol).cast("long"),
+        col(orderCol).cast("long").as(orderCol),
+        col(idCol).cast("long"),
+        col(valueCol).cast("double"))
     val outSchema = StructType(src.schema.fields :+
       StructField(out, DoubleType) :+ StructField(s"${out}_std", DoubleType))
     val enc = Encoders.row(outSchema)
@@ -99,11 +103,15 @@ object Ewm {
       valueCol: String, alpha: Double, out: String,
       adjust: Boolean = true, ignoreNa: Boolean = false): DataFrame = {
 
-    val src = df.select(
-      col(keyCol).cast("long"),
-      col(orderCol).cast("long").as(orderCol),
-      col(idCol).cast("long"),
-      col(valueCol).cast("double"))
+    // same null-key drop as varByKey (pandas groupby contract; primitive
+    // getLong reads would otherwise NPE)
+    val src = df
+      .filter(col(keyCol).isNotNull && col(orderCol).isNotNull && col(idCol).isNotNull)
+      .select(
+        col(keyCol).cast("long"),
+        col(orderCol).cast("long").as(orderCol),
+        col(idCol).cast("long"),
+        col(valueCol).cast("double"))
     val outSchema = StructType(src.schema.fields :+ StructField(out, DoubleType))
     val enc = Encoders.row(outSchema)
     val keyEnc = Encoders.scalaLong

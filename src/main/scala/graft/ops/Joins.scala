@@ -187,10 +187,13 @@ object Joins {
       tieBreak.cast("long").as(Tie) +: payload.map(col)): _*)
     val sType = right.select(sStruct).schema.head.dataType
 
+    // pandas merge_asof RAISES on null merge keys; distributed, the
+    // deterministic analog is: null-key right rows can never match
+    // (dropped), null-key left rows keep their row with null payload.
     val l = left.select(
       (leftCols.map(col) :+ onKey(col(leftOn)).as(T) :+ lit(1).as(Tag) :+
         lit(null).cast(sType).as(S)): _*)
-    val r = right.select(
+    val r = right.filter(col(rightOn).isNotNull).select(
       (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         onKey(col(rightOn)).as(T) :+ lit(0).as(Tag) :+ sStruct.as(S)): _*)
 
@@ -198,7 +201,7 @@ object Joins {
     val run = Cumulative.globalRunning(unioned,
       Seq(SortKey(col(T)), SortKey(col(Tag))), "max", Seq(S -> Latest))
     val out = payload.foldLeft(run.filter(col(Tag) === 1)) { (d, p) =>
-      d.withColumn(p, col(Latest).getField(p))
+      d.withColumn(p, when(col(T).isNotNull, col(Latest).getField(p)))
     }
     out.select((leftCols.map(col) ++ payload.map(col)): _*)
   }

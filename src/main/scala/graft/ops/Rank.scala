@@ -81,9 +81,13 @@ object Rank {
     * n1/n2 = tied-pair counts per column. Null rows drop (pandas). */
   def kendall(df: DataFrame, xCol: String, yCol: String,
       maxCells: Long = 100000L): DataFrame = {
+    // localCheckpoint: the guard count, both self-join sides, and the
+    // three marginal aggregates all reuse the materialized contingency —
+    // without it the base-data scan re-executes ~6 times
     val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(xCol).as("x"), col(yCol).as("y"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val nCells = cells.count()
     require(nCells <= maxCells,
       s"kendall contingency has $nCells cells > maxCells=$maxCells — " +
@@ -97,9 +101,7 @@ object Rank {
       .agg(
         sum(when(col("y1") < col("y2"), col("n1") * col("n2")).otherwise(0L)).as("conc"),
         sum(when(col("y1") > col("y2"), col("n1") * col("n2")).otherwise(0L)).as("disc"))
-    val marginals = cells.agg(
-      sum(col("n")).as("ntot"),
-      sum(col("n") * (col("n") - 1) / 2).as("joint_ties"))
+    val marginals = cells.agg(sum(col("n")).as("ntot"))
     val xTies = cells.groupBy(col("x")).agg(sum(col("n")).as("nx"))
       .agg(sum(col("nx") * (col("nx") - 1) / 2).as("n1ties"))
     val yTies = cells.groupBy(col("y")).agg(sum(col("n")).as("ny"))

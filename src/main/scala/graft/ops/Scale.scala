@@ -88,9 +88,11 @@ object Scale {
     // interior boundaries only (nBuckets-1 of them); approxQuantile skips
     // nulls and its error bound just shifts bucket edges, never ordering
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val boundaries = zCols.map { c =>
-      df.select(col(c).cast("double").as(c)).stat.approxQuantile(c, probs, 0.001)
-    }
+    // ONE multi-column approxQuantile job — per-column calls would scan
+    // the full input once per dimension
+    val boundaries = df.select(zCols.map(c => col(c).cast("double").as(c)): _*)
+      .stat.approxQuantile(zCols.toArray, probs, 0.001)
+      .toIndexedSeq
     val bucketCols = zCols.zip(boundaries).map { case (c, bs) =>
       // distinct boundary values only — duplicate quantiles (heavy hitters)
       // would otherwise skip bucket ids, wasting z-space bits

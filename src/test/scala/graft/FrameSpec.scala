@@ -180,4 +180,22 @@ class FrameSpec extends SparkSuite {
     assert(w == Seq(1.0, 0.0, 3.0))
     assert(m == Seq(0.0, -2.0, 0.0))
   }
+
+  test("strGetDummies emits all-zeros for null input; binopFill div gives IEEE inf") {
+    import spark.implicits._
+    val d = Frame(Seq((1L, "a|b"), (2L, null)).toDF("id", "tag"))
+      .strGetDummies("tag", "|", Seq("a", "c"), prefix = "is_")
+    val rows = d.df.orderBy("id").collect()
+    assert(rows(0).getAs[Int]("is_a") == 1 && rows(0).getAs[Int]("is_c") == 0)
+    // pandas str.get_dummies: NaN row → all zeros, not nulls
+    assert(rows(1).getAs[Int]("is_a") == 0 && rows(1).getAs[Int]("is_c") == 0)
+
+    val b = Frame(Seq[(java.lang.Double, java.lang.Double)]((5.0, null), (null, null))
+      .toDF("a", "b"))
+      .binopFill("a", "b", "d", "div", 0.0)
+    val vals = b.df.orderBy(col("a").asc_nulls_last).collect()
+    // a.div(null, fill_value=0) = 5/0 = inf (pandas); both-null stays null
+    assert(vals(0).getAs[Double]("d").isPosInfinity)
+    assert(vals(1).isNullAt(vals(1).fieldIndex("d")))
+  }
 }

@@ -119,6 +119,17 @@ class GroupBySpec extends SparkSuite {
     assert(got.toSeq == Seq(None, Some(3.0), Some(5.0), None))
   }
 
+  test("rank keeps nulls out of both rank and pct denominator (na_option='keep')") {
+    import spark.implicits._
+    val d = Frame(Seq[(Long, java.lang.Double)]((1L, null), (1L, 5.0), (1L, 3.0))
+      .toDF("k", "v"))
+    val got = d.groupby("k").rank("v", "rk", method = "min", pct = true)
+      .df.orderBy(col("v").asc_nulls_first).collect()
+      .map(r => Option(r.getAs[java.lang.Double]("rk")).map(_.toDouble)).toSeq
+    // null row → null; 3.0 → 1/2; 5.0 → 2/2 (nulls consume no ranks)
+    assert(got == Seq(None, Some(0.5), Some(1.0)))
+  }
+
   test("rolling center=true uses pandas even-window offsets (extra row on past side)") {
     import spark.implicits._
     val d = Frame((1L to 6L).map(i => (1L, i, i.toDouble)).toDF("k", "o", "v"))
