@@ -65,6 +65,62 @@ object ReshapeQueries {
                count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW_n"
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // pandas explode keeps a NaN row for an EMPTY list (q84 covers the
+    // plain expansion) — posexplode_outer is the exact Spark analog.
+    // Docs whose >8-char word filter comes up empty survive with null
+    // (match_no, word).
+    Q("q208_explode_outer",
+      (s, dir) => {
+        val arr = t(s, dir, "documents").select(col("doc_id"),
+          filter(split(trim(col("text")), "\\s+"), w => length(w) > 8).as("ws"))
+        // -1 sentinel for the empty-list row: nullable ints desync the
+        // harness dtypes/sorts (the q191 lesson)
+        Frame(arr.select(col("doc_id"), posexplode_outer(col("ws")))
+          .select(col("doc_id"),
+            coalesce(col("pos").cast("long"), lit(-1L)).as("match_no"),
+            col("col").as("word")))
+          .sortValues(Seq(SortKey.asc("doc_id"), SortKey.asc("match_no"))).df
+      },
+      Some("""
+        SELECT doc_id,
+               CASE WHEN len(w) = 0 THEN -1
+                    ELSE unnest(range(0, len(ws))) END AS match_no,
+               CASE WHEN len(w) = 0 THEN NULL ELSE unnest(ws) END AS word
+        FROM (SELECT doc_id,
+                     CASE WHEN len(w) = 0 THEN [NULL] ELSE w END AS ws,
+                     w
+              FROM (SELECT doc_id,
+                           list_filter(regexp_extract_all(trim(text), '\S+'),
+                                       x -> strlen(x) > 8) AS w
+                    FROM documents))
+        ORDER BY doc_id, match_no""")),
+
+    // value_counts(bins=5): pandas cuts the value range into five
+    // equal-width bins over [min, max] and counts. The min/max anchors
+    // are one scalar aggregate (the q48 discipline); binning is a
+    // codegen'd floor expression with identical IEEE arithmetic in the
+    // oracle, so edge ties land in the same bin in both engines.
+    Q("q209_value_counts_bins",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val b = li.agg(min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi")).head()
+        val lo = b.getDouble(0); val hi = b.getDouble(1)
+        val width = (hi - lo) / 5.0
+        val bin = least(floor((col("l_extendedprice") - lit(lo)) / lit(width)), lit(4.0))
+          .cast("long")
+        Frame(li.groupBy(bin.as("bin")).agg(count(lit(1)).as("n")))
+          .sortValues(Seq(SortKey.asc("bin"))).df
+      },
+      Some("""
+        WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+                   FROM lineitem)
+        SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 5.0)), 4) AS BIGINT)
+                 AS bin,
+               count(*) AS n
+        FROM lineitem, b
+        GROUP BY 1 ORDER BY 1""")),
+
     // melt / unpivot (Spark's native Unpivot node — row-expanding map,
     // zero shuffle before the final sort).
     Q("q81_melt",
