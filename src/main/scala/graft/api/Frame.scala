@@ -553,9 +553,14 @@ final case class Frame(
       case "mul" => af * bf
       // ANSI mode raises DIVIDE_BY_ZERO even for doubles; pandas
       // a.div(b, fill_value=0) follows IEEE (±Inf, 0/0 → NaN) — the
-      // sign-preserving multiply-by-∞ reproduces exactly that
-      case "div" => when(bf =!= 0.0, af / bf)
-        .otherwise(af * lit(Double.PositiveInfinity))
+      // sign-preserving multiply-by-∞ reproduces exactly that. A -0.0
+      // divisor compares == 0.0 but must flip the sign (IEEE: 1/-0.0 =
+      // -Inf); its string form ("-0.0") is the one codegen'd sign probe
+      // ANSI leaves us
+      case "div" =>
+        val negZero = bf.cast("string").startsWith("-")
+        when(bf =!= 0.0, af / bf)
+          .otherwise(when(negZero, -af).otherwise(af) * lit(Double.PositiveInfinity))
       case other => sys.error(s"binopFill: unsupported op $other")
     }
     withColumn(as, when(a.isNull && b.isNull, lit(null)).otherwise(combined))

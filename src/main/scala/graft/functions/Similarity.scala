@@ -81,6 +81,29 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** ENGINE-PORTABLE random-hyperplane bucket — the independently
+    * checkable twin of [[lshBucket]]. Plane components are ±1 signs drawn
+    * from md5(plane + ":" + dim) (first hex digit < 8 → +1), a digest
+    * DuckDB reproduces exactly; the projection is a left fold in dimension
+    * order so both engines accumulate the double sum identically.
+    * Rademacher ±1 planes satisfy the same sign-agreement bound as
+    * Gaussian ones for LSH purposes; the xxhash64 fast path stays the
+    * default and this variant anchors it to a DuckDB oracle (q108b) plus
+    * a parity spec. */
+  def lshBucketMd5(vec: Column, nPlanes: Int, table: Int = 0): Column = {
+    def sign(p: Int, d: Column): Column =
+      when(conv(md5(concat(lit(s"$p:"), d.cast("string"))).substr(lit(1), lit(1)),
+        16, 10).cast("int") < 8, lit(1.0)).otherwise(lit(-1.0))
+    val bits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0L), size(vec).cast("long") - 1L),
+          (x, d) => x.cast("double") * sign(table * nPlanes + p, d)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
   /**
    * Multi-table LSH ANN: `nTables` independent hyperplane tables; corpus
    * and queries explode into one (table, bucket) key per table and join
@@ -99,11 +122,12 @@ object Similarity {
   def topKLsh(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+      k: Int, nPlanes: Int = 8, nTables: Int = 4,
+      bucketFn: (Column, Int, Int) => Column = lshBucket): DataFrame = {
     def banded(df: DataFrame, vecCol: String) = df.select(
       col("*"),
       posexplode(array((0 until nTables).map(t =>
-        lshBucket(col(vecCol), nPlanes, t)): _*)))
+        bucketFn(col(vecCol), nPlanes, t)): _*)))
       .withColumnRenamed("pos", "__table__")
       .withColumnRenamed("col", "__bucket__")
     val c = banded(corpus, corpusVec)

@@ -148,6 +148,30 @@ object Text {
   /** Hamming distance between two simhashes (near-dup distance). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** ENGINE-PORTABLE 64-bit SimHash as a 64-element 0/1 int array: the
+    * per-token hash is the first 16 hex chars of md5 (DuckDB computes
+    * identical digests, unlike xxhash64), bit j (MSB-first within each
+    * nibble) votes ±1, sign of the vote sum is the bit. One fold over the
+    * token hashes carries all 64 running sums as an array accumulator —
+    * no 64-pass rescan. Ties (sum == 0) vote 0, same rule both engines. */
+  def simhashBitsMd5(tokens: Column): Column = {
+    // nibble-value × bit-position lookup: entry(n*4 + m) = ±1 vote of bit
+    // m (MSB-first) of nibble n — keeps the hex→bit step a constant-time
+    // element_at instead of a per-bit shift tree
+    val lut = typedLit((0 until 16).flatMap(n =>
+      (0 until 4).map(m => ((n >> (3 - m)) & 1) * 2 - 1)))
+    def voteVec(h: Column): Column =
+      transform(sequence(lit(0), lit(63)), j => {
+        val nib = conv(h.substr(shiftright(j, 2) + 1, lit(1)), 16, 10).cast("int")
+        element_at(lut, nib * 4 + j.bitwiseAND(lit(3)) + 1)
+      })
+    val sums = aggregate(
+      transform(tokens, t => md5(t)),
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, voteVec(h), (a, x) => a + x))
+    transform(sums, s => when(s > 0, lit(1)).otherwise(lit(0)))
+  }
+
   /** Character k-gram hashes for [[winnowFromHashes]]: canonicalize →
     * k-grams → portable hash (md5 hex, a uniform total order both engines
     * compute identically).

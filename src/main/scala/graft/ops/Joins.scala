@@ -172,12 +172,24 @@ object Joins {
       payload: Seq[String],
       tieBreak: Column): DataFrame = {
     import org.apache.spark.sql.types._
-    val onKey: Column => Column = left.schema(leftOn).dataType match {
-      case _: DateType | _: StringType | _: TimestampType | _: TimestampNTZType =>
-        (c: Column) => c.cast("timestamp")
-      case _: NumericType => identity[Column]
+    // the on-key coercion must agree on BOTH sides: a numeric left key
+    // with a temporal right key (or vice versa) would otherwise union
+    // into a mismatched schema and die with an opaque analysis error
+    def keyKind(dt: DataType): String = dt match {
+      case _: DateType | _: StringType | _: TimestampType | _: TimestampNTZType => "temporal"
+      case _: NumericType => "numeric"
       case other => sys.error(s"asofGlobal: unsupported on-key type $other")
     }
+    val leftKind = keyKind(left.schema(leftOn).dataType)
+    val rightKind = keyKind(right.schema(rightOn).dataType)
+    require(leftKind == rightKind,
+      s"asofGlobal: on-key types disagree — left '$leftOn' is " +
+        s"${left.schema(leftOn).dataType.simpleString} ($leftKind) but right " +
+        s"'$rightOn' is ${right.schema(rightOn).dataType.simpleString} ($rightKind); " +
+        "cast one side so both keys are numeric or both are temporal")
+    val onKey: Column => Column =
+      if (leftKind == "temporal") (c: Column) => c.cast("timestamp")
+      else identity[Column]
     val S = "__asof_s__"
     val Latest = "__asof_latest__"
     val leftCols = left.columns.toIndexedSeq

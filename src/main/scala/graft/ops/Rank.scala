@@ -28,13 +28,20 @@ import graft.api.SortKey
 object Rank {
 
   /** Attach pandas `rank(method='average', na_option='keep')` of
-    * `valueCol` as `outCol`. Nulls rank as null and do not consume ranks
-    * (pandas keep semantics). */
+    * `valueCol` as `outCol`. Nulls AND NaNs rank as null and do not
+    * consume ranks (pandas keep semantics treats NaN as missing; Spark
+    * otherwise sorts NaN as the largest double, which would hand it a
+    * real rank). */
   def withAvgRank(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
     require(!df.columns.contains(outCol), s"withAvgRank: $outCol already exists")
     val cnt = "__cnt__"
     val cum = "__cum__"
-    val counts = df.filter(col(valueCol).isNotNull)
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val present = df.schema(valueCol).dataType match {
+      case DoubleType | FloatType => col(valueCol).isNotNull && !isnan(col(valueCol))
+      case _ => col(valueCol).isNotNull
+    }
+    val counts = df.filter(present)
       .groupBy(col(valueCol)).agg(count(lit(1)).as(cnt))
     val prefixed = Cumulative.globalRunning(
       counts, Seq(SortKey.asc(valueCol)), "sum", Seq((cnt, cum)))
@@ -97,20 +104,27 @@ object Rank {
     val b = cells.select(col("x").as("x2"), col("y").as("y2"), col("n").as("n2"))
     // each unordered cell pair once (strict x order; x-ties contribute
     // no concordance sign and are handled by the tie terms)
+    // all pair-count arithmetic in double: n·(n-1)/2 in long overflows
+    // past ~4.3e9 rows (and the n1·n2 products sooner), which under ANSI
+    // mode would throw at exactly the scale this module targets; tau_b
+    // is a double anyway, and the oracle already divides by 2.0
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
     val pairs = a.join(b, col("x1") < col("x2"))
       .agg(
-        sum(when(col("y1") < col("y2"), col("n1") * col("n2")).otherwise(0L)).as("conc"),
-        sum(when(col("y1") > col("y2"), col("n1") * col("n2")).otherwise(0L)).as("disc"))
+        sum(when(col("y1") < col("y2"), n1d * n2d).otherwise(0.0)).as("conc"),
+        sum(when(col("y1") > col("y2"), n1d * n2d).otherwise(0.0)).as("disc"))
     val marginals = cells.agg(sum(col("n")).as("ntot"))
     val xTies = cells.groupBy(col("x")).agg(sum(col("n")).as("nx"))
-      .agg(sum(col("nx") * (col("nx") - 1) / 2).as("n1ties"))
+      .agg(sum(col("nx").cast("double") * (col("nx").cast("double") - 1) / 2).as("n1ties"))
     val yTies = cells.groupBy(col("y")).agg(sum(col("n")).as("ny"))
-      .agg(sum(col("ny") * (col("ny") - 1) / 2).as("n2ties"))
+      .agg(sum(col("ny").cast("double") * (col("ny").cast("double") - 1) / 2).as("n2ties"))
+    val ntotD = col("ntot").cast("double")
     pairs.crossJoin(marginals).crossJoin(xTies).crossJoin(yTies)
       .select(
-        ((col("conc") - col("disc")).cast("double") /
-          sqrt((col("ntot") * (col("ntot") - 1) / 2 - col("n1ties")).cast("double") *
-            (col("ntot") * (col("ntot") - 1) / 2 - col("n2ties")).cast("double")))
+        ((col("conc") - col("disc")) /
+          sqrt((ntotD * (ntotD - 1) / 2 - col("n1ties")) *
+            (ntotD * (ntotD - 1) / 2 - col("n2ties"))))
           .as("tau_b"))
   }
 

@@ -172,12 +172,85 @@ object PipelineQueries {
         .sortValues(Seq(SortKey.asc("id_a"), SortKey.asc("id_b"))).df,
       None),
 
+    // MinHash-LSH under the engine-portable md5 hash order: same plan
+    // shape and (bands × rows) S-curve as q104, but every stage — the
+    // 4×4 minhash band keys, the bucket self-join, the exact-Jaccard
+    // verify — is reproduced verbatim by the DuckDB oracle. This is the
+    // independent check that anchors q104's xxhash64 fast path (plus the
+    // DedupSpec parity test between the two variants).
+    Q("q104b_minhash_pairs_md5",
+      (s, dir) => Frame(Dedup.minhashLshPairsMd5(
+        t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")))
+        .sortValues(Seq(SortKey.asc("id_a"), SortKey.asc("id_b"))).df,
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) >= 3
+                      THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                          for i in range(1, len(w) - 1)])
+                      ELSE [array_to_string(w, ' ')] END AS sh
+          FROM (SELECT doc_id, regexp_extract_all(trim(lower(text)), '\S+') AS w
+                FROM documents)),
+        e AS (
+          SELECT doc_id, sh, b,
+                 array_to_string([list_min([md5(CAST(b*4 + r AS VARCHAR) || ':' || s)
+                                            for s in sh])
+                                  for r in range(0, 4)], '|') AS key
+          FROM t CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(b))
+        SELECT DISTINCT id_a, id_b, round(j, 6) AS jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+          FROM e a JOIN e b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+        WHERE j >= 0.2 ORDER BY id_a, id_b""")),
+
     // SimHash near-dup pairs (Hamming ≤ 3 over 64-bit simhash, banded).
     Q("q105_simhash_pairs",
       (s, dir) => Frame(Dedup.simhashPairs(
         t(s, dir, "documents"), "doc_id", "text", maxBits = 16))
         .sortValues(Seq(SortKey.asc("id_a"), SortKey.asc("id_b"))).df,
       None),
+
+    // SimHash under the engine-portable md5 token hash: the 64-bit
+    // signature is a per-bit ±1 vote over md5(token) bits, chunked into 4
+    // 16-bit pigeonhole keys; candidate join and exact-Hamming verify are
+    // reproduced bit-for-bit by the DuckDB oracle (q105's xxhash64 fast
+    // path is anchored to this variant by a DedupSpec parity test).
+    Q("q105b_simhash_pairs_md5",
+      (s, dir) => Frame(Dedup.simhashPairsMd5(
+        t(s, dir, "documents"), "doc_id", "text", maxBits = 3))
+        .sortValues(Seq(SortKey.asc("id_a"), SortKey.asc("id_b"))).df,
+      Some("""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                t -> md5(t)) AS hs
+          FROM documents),
+        bits AS (
+          SELECT doc_id,
+                 list_transform(range(0, 64), j ->
+                   CASE WHEN list_sum(list_transform(hs, h ->
+                          (((strpos('0123456789abcdef',
+                                    substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+                            >> CAST(3 - (j % 4) AS INT)) & 1) * 2 - 1)) > 0
+                        THEN 1 ELSE 0 END) AS bits
+          FROM tok),
+        e AS (
+          SELECT doc_id, bits, c,
+                 array_to_string(bits[c*16 + 1 : c*16 + 16], '') AS key
+          FROM bits CROSS JOIN (VALUES (0), (1), (2), (3)) AS chunks(c)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.bits AS ba, b.bits AS bb
+          FROM e a JOIN e b ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, hamming FROM (
+          SELECT id_a, id_b,
+                 CAST(list_sum(list_transform(range(1, 65),
+                      i -> abs(ba[i] - bb[i]))) AS BIGINT) AS hamming
+          FROM cand)
+        WHERE hamming <= 3 ORDER BY id_a, id_b""")),
 
     // n-gram Jaccard near-dup with MinHash-banded candidates under an
     // engine-portable hash (md5 — both engines compute identical band
@@ -246,6 +319,57 @@ object PipelineQueries {
           .sortValues(Seq(SortKey.asc("query_id"), SortKey.asc("rank"))).df
       },
       None),
+
+    // LSH ANN under engine-portable md5 Rademacher (±1) hyperplanes: the
+    // bucket bits, candidate join, exact-cosine scoring and per-query
+    // top-5 are all reproduced by the DuckDB oracle (projection folds
+    // left in dimension order on both engines, so the sign bits are
+    // bit-identical). Anchors q108's xxhash64 fast path (plus the
+    // SimilaritySpec parity test).
+    Q("q108b_ann_lsh_md5",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        Frame(Similarity.topKLsh(
+          emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 5, nPlanes = 8, nTables = 4,
+          bucketFn = Similarity.lshBucketMd5)
+          .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
+            col("rank")))
+          .sortValues(Seq(SortKey.asc("query_id"), SortKey.asc("rank"))).df
+      },
+      Some("""
+        WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        bucketed AS (
+          SELECT vec_id, t,
+                 list_sum(list_transform(range(0, 8), p ->
+                   CASE WHEN list_reduce(
+                          list_transform(range(0, len(v)), d ->
+                            v[d + 1] * CASE WHEN strpos('01234567',
+                                substr(md5(CAST(t*8 + p AS VARCHAR) || ':'
+                                           || CAST(d AS VARCHAR)), 1, 1)) > 0
+                              THEN 1.0 ELSE -1.0 END),
+                          (acc, x) -> acc + x) >= 0
+                        THEN 1 << p ELSE 0 END)) AS bucket
+          FROM base CROSS JOIN (VALUES (0), (1), (2), (3)) AS tables(t)),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+          FROM bucketed c
+          JOIN (SELECT * FROM bucketed WHERE vec_id < 3) q
+            ON c.t = q.t AND c.bucket = q.bucket),
+        scored AS (
+          SELECT cand.query_id, cand.vec_id,
+                 list_cosine_similarity(c.v, q.v) AS cosine
+          FROM cand
+          JOIN base c ON c.vec_id = cand.vec_id
+          JOIN base q ON q.vec_id = cand.query_id)
+        SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank FROM (
+          SELECT query_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored)
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
 
     // Stratified deterministic sampling over the documents corpus: keep
     // 100% of low-resource languages but downsample the dominant ones —

@@ -100,13 +100,19 @@ object ReshapeQueries {
     // are one scalar aggregate (the q48 discipline); binning is a
     // codegen'd floor expression with identical IEEE arithmetic in the
     // oracle, so edge ties land in the same bin in both engines.
+    // Documented deviation (COVERAGE.md): floor-binning puts a value
+    // sitting exactly on an interior bin edge into the RIGHT-hand bin,
+    // whereas pandas cut intervals are right-closed (left bin); both
+    // engines here apply the same rule, so the check is self-consistent.
     Q("q209_value_counts_bins",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
         val b = li.agg(min(col("l_extendedprice")).as("lo"),
           max(col("l_extendedprice")).as("hi")).head()
         val lo = b.getDouble(0); val hi = b.getDouble(1)
-        val width = (hi - lo) / 5.0
+        // degenerate min==max range: pandas widens it; a unit width puts
+        // every row in bin 0 instead of dividing by zero into NaN bins
+        val width = if (hi == lo) 1.0 else (hi - lo) / 5.0
         val bin = least(floor((col("l_extendedprice") - lit(lo)) / lit(width)), lit(4.0))
           .cast("long")
         Frame(li.groupBy(bin.as("bin")).agg(count(lit(1)).as("n")))
@@ -115,8 +121,9 @@ object ReshapeQueries {
       Some("""
         WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
                    FROM lineitem)
-        SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 5.0)), 4) AS BIGINT)
-                 AS bin,
+        SELECT CAST(least(floor((l_extendedprice - lo) /
+                          (CASE WHEN hi = lo THEN 1.0 ELSE (hi - lo) / 5.0 END)), 4)
+                    AS BIGINT) AS bin,
                count(*) AS n
         FROM lineitem, b
         GROUP BY 1 ORDER BY 1""")),

@@ -164,6 +164,56 @@ class DedupSpec extends SparkSuite {
     assert(kept == Set(1L, 4L, 5L, 7L, 8L))
   }
 
+  test("md5 minhash variant is the oracle-anchored twin of the xxhash64 fast path") {
+    // Different hash families give different band collisions at middling
+    // jaccard, but BOTH must (a) pair identical docs with certainty,
+    // (b) report the identical exact-jaccard value for every pair they
+    // agree on, and (c) never report a pair below threshold.
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog today",
+      3L -> "the quick brown fox jumps over the lazy dog tomorrow",
+      4L -> "completely different words appear in this other document here")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val fast = asMap(Dedup.minhashLshPairs(d, "id", "text",
+      shingleN = 2, numHashes = 16, bands = 4, threshold = 0.3))
+    val md5v = asMap(Dedup.minhashLshPairsMd5(d, "id", "text",
+      shingleN = 2, numHashes = 16, bands = 4, threshold = 0.3))
+    assert(fast.contains((1L, 2L)) && md5v.contains((1L, 2L)))
+    assert(fast((1L, 2L)) == 1.0 && md5v((1L, 2L)) == 1.0)
+    for (k <- fast.keySet intersect md5v.keySet) assert(fast(k) == md5v(k))
+    assert(fast.values.forall(_ >= 0.3) && md5v.values.forall(_ >= 0.3))
+  }
+
+  test("md5 simhash banding finds exactly the pairs within the Hamming bound") {
+    // exhaustive Hamming over the md5 bit signatures vs the banded join —
+    // the same pigeonhole-completeness pin the xxhash64 path has
+    val d = docs(
+      1L -> "one two three four five six",
+      2L -> "one two three four five seven",
+      3L -> "one two three four eight nine",
+      4L -> "ten eleven twelve thirteen fourteen fifteen")
+    val sigs = d.select(col("id"),
+      Text.simhashBitsMd5(Text.wordTokens(col("text"))).as("bits")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val all = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      ham = sigs(a).zip(sigs(b)).count { case (x, y) => x != y } if ham <= 3
+    } yield (a, b)).toSet
+    val found = Dedup.simhashPairsMd5(d, "id", "text", maxBits = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == all)
+    // and identical docs are hamming-0 pairs under BOTH hash families
+    val dup = docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma")
+    assert(Dedup.simhashPairsMd5(dup, "id", "text", maxBits = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq((1L, 2L, 0L)))
+    assert(Dedup.simhashPairs(dup, "id", "text", maxBits = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 2L)))
+  }
+
   test("fingerprint canonicalizes case and punctuation runs") {
     import spark.implicits._
     val out = Seq(("A!!B  c", "a b C")).toDF("x", "y")

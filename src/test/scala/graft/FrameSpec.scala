@@ -198,4 +198,17 @@ class FrameSpec extends SparkSuite {
     assert(vals(0).getAs[Double]("d").isPosInfinity)
     assert(vals(1).isNullAt(vals(1).fieldIndex("d")))
   }
+
+  test("binopFill div follows IEEE signs for ±0.0 divisors and 0/0") {
+    import spark.implicits._
+    val d = Frame(Seq(
+      (1L, 5.0, 0.0), (2L, 5.0, -0.0), (3L, -5.0, -0.0), (4L, 0.0, 0.0))
+      .toDF("id", "a", "b"))
+      .binopFill("a", "b", "d", "div", 0.0)
+    val vals = d.df.orderBy("id").collect().map(_.getAs[Double]("d"))
+    assert(vals(0).isPosInfinity) //  5 /  0.0
+    assert(vals(1).isNegInfinity) //  5 / -0.0 (IEEE: sign flips)
+    assert(vals(2).isPosInfinity) // -5 / -0.0
+    assert(vals(3).isNaN)         //  0 /  0.0
+  }
 }

@@ -112,4 +112,15 @@ class JoinsSpec extends SparkSuite {
       .drop("k")
     assertParity(global.drop("ts"), keyed.drop("ts"))
   }
+
+  test("asofGlobal rejects mismatched on-key kinds with a descriptive error") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("id", "ts")          // numeric key
+    val right = Seq(("2024-01-01", 5.0)).toDF("r_ts", "pv") // temporal key
+    val e = intercept[IllegalArgumentException] {
+      Joins.asofGlobal(left, right, "ts", "r_ts", Seq("pv"), tieBreak = lit(0L))
+    }
+    assert(e.getMessage.contains("numeric") && e.getMessage.contains("temporal"))
+    assert(e.getMessage.contains("ts") && e.getMessage.contains("r_ts"))
+  }
 }

@@ -142,6 +142,21 @@ class OpsSpec extends SparkSuite {
     assert(got == Seq(Some(2.0), Some(4.0), Some(4.0), None, Some(1.0), Some(4.0)))
   }
 
+  test("withAvgRank treats NaN as missing (pandas na_option='keep'), not as the largest value") {
+    import spark.implicits._
+    val d = Seq[(Long, java.lang.Double)](
+      (1L, 10.0), (2L, Double.NaN), (3L, 5.0), (4L, null))
+      .toDF("id", "v")
+    val got = graft.ops.Rank.withAvgRank(d, "v", "rk")
+      .orderBy("id").collect()
+      .map { r =>
+        val v = r.getAs[java.lang.Double]("rk")
+        if (v == null || v.isNaN) None else Some(v.toDouble)
+      }.toSeq
+    // NaN and null both rank as missing; 5.0 → 1, 10.0 → 2
+    assert(got == Seq(Some(2.0), None, Some(1.0), None))
+  }
+
   test("spearman is exactly ±1 on monotone transforms, matches window oracle") {
     val li = table("lineitem")
       .select(col("l_orderkey"), col("l_quantity"),

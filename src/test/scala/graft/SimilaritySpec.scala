@@ -46,6 +46,30 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.6, s"LSH recall $recall")
   }
 
+  test("md5 LSH variant is the oracle-anchored twin of the xxhash64 fast path") {
+    val emb = table("embeddings").select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val brute = ids(Similarity.topKBruteForce(emb, "vec_id", "embedding", queries, "qid", "qvec", 5))
+    val md5v = ids(Similarity.topKLsh(emb, "vec_id", "embedding", queries, "qid", "qvec", 5,
+      nPlanes = 4, bucketFn = Similarity.lshBucketMd5))
+    // same recall floor as the fast path — the variants differ only in the
+    // hash family drawing the hyperplanes
+    val recall = (brute intersect md5v).size.toDouble / brute.size
+    assert(recall >= 0.6, s"md5-LSH recall $recall")
+    // a query always finds itself: it shares every table's bucket with
+    // itself, and cosine(v, v) = 1 ranks first — under BOTH hash families
+    for (q <- 0L until 5L) assert(md5v.contains((q, q)), s"query $q missing itself")
+    // and identical vectors land in identical buckets under both
+    val dup = vecs(1L -> Seq(1f, 2f, 3f), 2L -> Seq(1f, 2f, 3f))
+    for (fn <- Seq(Similarity.lshBucket _, Similarity.lshBucketMd5 _)) {
+      val b = dup.select(fn(col("embedding"), 8, 0).as("b")).collect().map(_.getLong(0))
+      assert(b(0) == b(1))
+    }
+  }
+
   test("topKBruteForce refuses a query set over its broadcast cap") {
     val corpus = vecs(1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f))
     val queries = vecs(1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f), 3L -> Seq(1f, 1f))
