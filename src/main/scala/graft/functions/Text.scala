@@ -10,8 +10,48 @@ import org.apache.spark.sql.functions._
  * inside whole-stage codegen and scale as embarrassingly-parallel maps over
  * a 100 TB `documents` table. (The reference has no text pipeline; this is
  * the capability-surplus layer specified alongside SURVEY §2.)
+ *
+ * The two exceptions are [[casefold]] and [[normalize]] — Unicode kernels
+ * Spark has no expression for. They are deliberate tiny UDFs (the same
+ * boundary the reference draws: per-element Python str.casefold /
+ * unicodedata.normalize, base QC:6234-6644); still map-shaped and
+ * partition-parallel, just outside codegen.
  */
 object Text {
+
+  /** pandas `str.casefold` — aggressive Unicode case folding. The
+    * upper→lower round-trip through Locale.ROOT realizes the common
+    * one-to-many folds (ß→ss, ﬁ→fi after NFKC, Turkish dotless İ) that
+    * plain lower() misses; full UCS CaseFolding.txt needs ICU, which this
+    * environment doesn't ship (documented deviation, COVERAGE.md). */
+  private val casefoldUdf =
+    udf((s: String) => if (s == null) null
+      else s.toUpperCase(java.util.Locale.ROOT).toLowerCase(java.util.Locale.ROOT))
+  def casefold(text: Column): Column = casefoldUdf(text)
+
+  /** pandas `str.normalize(form)` — java.text.Normalizer (NFC/NFD/NFKC/
+    * NFKD), the JDK twin of Python's unicodedata.normalize. */
+  def normalize(text: Column, form: String): Column = {
+    val f = java.text.Normalizer.Form.valueOf(form)
+    val u = udf((s: String) =>
+      if (s == null) null else java.text.Normalizer.normalize(s, f))
+    u(text)
+  }
+
+  /** pandas `str.wrap(width)` — textwrap-style greedy reflow: collapse
+    * whitespace runs (textwrap replace_whitespace=True), then break at
+    * the last space within each `width` window. Pure regex (identical
+    * pattern runs in RE2 for the oracle). Documented deviation: words
+    * longer than `width` are not broken mid-word
+    * (pandas break_long_words=True). */
+  def wrap(text: Column, width: Int): Column = {
+    require(width > 0, s"wrap: width must be positive: $width")
+    regexp_replace(
+      regexp_replace(
+        trim(regexp_replace(text, "\\s+", " ")),
+        s"(.{1,$width})( |$$)", "$1\n"),
+      "\n$", "")
+  }
 
   /** Whitespace token count. `\S+` extraction, not split: splitting an
     * empty/whitespace-only string yields [""] (count 1) while the DuckDB

@@ -28,6 +28,26 @@ object Reshape {
       varName: String = "variable", valueName: String = "value"): DataFrame =
     df.unpivot(ids.map(col).toArray, values.map(col).toArray, varName, valueName)
 
+  /** pandas `lreshape(data, groups)` (reference base QC:4612 — modin
+    * defaults to pandas): each group maps an output column name to a
+    * same-length list of wide columns; position p of every group stacks
+    * into one long row. A union of `groupLen` projections — map-only,
+    * zero shuffles, linear at any scale. `dropna=true` (the pandas
+    * default) drops a stacked row when ANY of its group values is null. */
+  def lreshape(df: DataFrame, ids: Seq[String],
+      groups: Seq[(String, Seq[String])], dropna: Boolean = true): DataFrame = {
+    require(groups.nonEmpty, "lreshape: groups must be non-empty")
+    val lens = groups.map(_._2.length).distinct
+    require(lens.size == 1,
+      s"lreshape: all groups must list the same number of columns, got $lens")
+    val stacked = (0 until lens.head).map { p =>
+      df.select((ids.map(col) ++ groups.map { case (nm, cols) =>
+        col(cols(p)).as(nm)
+      }): _*)
+    }.reduce(_ unionAll _)
+    if (dropna) stacked.na.drop(groups.map(_._1)) else stacked
+  }
+
   /** get_dummies / one-hot (reference QC:4643) — pure column expressions,
     * no shuffle. */
   def getDummies(df: DataFrame, c: String, values: Seq[String]): DataFrame =

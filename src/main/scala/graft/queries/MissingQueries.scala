@@ -156,5 +156,75 @@ object MissingQueries {
           SELECT unnest(range(1, (SELECT max(c_custkey) + 4 FROM customer))) AS k)
         SELECT spine.k AS c_custkey, coalesce(c_acctbal, 0.0) AS c_acctbal
         FROM spine LEFT JOIN customer ON spine.k = customer.c_custkey
-        ORDER BY spine.k""")))
+        ORDER BY spine.k""")),
+
+    // interpolate methods beyond linear (reference base.py:2172 surface;
+    // modin defaults every method to pandas — these are distributed
+    // plans): pad = ignore-null running window; nearest = closer of the
+    // two surrounding valids by row distance, midpoint ties to the
+    // previous (scipy kind='nearest'); index = the line evaluated at the
+    // event_id x-coordinate instead of the row position, in exact 1e-4
+    // integer units (the q122 discipline).
+    Q("q211_interpolate_methods",
+      (s, dir) => {
+        val masked = t(s, dir, "events")
+          .withColumn("v", when(col("value") < 20 || col("value") > 30, col("value")))
+        val ord = Seq(SortKey.asc("ts"), SortKey.asc("event_id"))
+        val pad = Missing.interpolatePad(masked, Seq("user_id"), ord, "v", "v_pad")
+        val near = Missing.interpolateNearest(pad, Seq("user_id"), ord, "v", "v_near")
+        val byIdx = Missing.interpolateIndex(near, Seq("user_id"),
+          Seq(SortKey.asc("event_id")), "event_id", "v", "v_idx")
+        Frame(byIdx.select(col("event_id"), col("v_pad"), col("v_near"), col("v_idx")))
+          .sortValues(Seq(SortKey.asc("event_id"))).df
+      },
+      Some("""
+        WITH m AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN value < 20 OR value > 30 THEN value END AS v
+          FROM events),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM m),
+        fbv AS (
+          SELECT *,
+                 last_value(v IGNORE NULLS) OVER wb AS pad,
+                 last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER wb AS pv,
+                 last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wb AS pr,
+                 first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER wa AS nv,
+                 first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wa AS nr,
+                 last_value(CASE WHEN v IS NOT NULL
+                   THEN CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT) END IGNORE NULLS)
+                   OVER ib AS ipv,
+                 last_value(CASE WHEN v IS NOT NULL THEN event_id END IGNORE NULLS)
+                   OVER ib AS ipx,
+                 first_value(CASE WHEN v IS NOT NULL
+                   THEN CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT) END IGNORE NULLS)
+                   OVER ia AS inv,
+                 first_value(CASE WHEN v IS NOT NULL THEN event_id END IGNORE NULLS)
+                   OVER ia AS inx
+          FROM r
+          WINDOW wb AS (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wa AS (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+                 ib AS (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 ia AS (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT event_id,
+               pad AS v_pad,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN pv IS NULL THEN NULL
+                    WHEN nv IS NULL THEN pv
+                    WHEN rn - pr <= nr - rn THEN pv
+                    ELSE nv END AS v_near,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN ipv IS NULL THEN NULL
+                    WHEN inv IS NULL THEN ipv / 100.0
+                    ELSE floor((2 * (ipv * 100 * (inx - ipx)
+                                     + (inv - ipv) * 100 * (event_id - ipx))
+                                + (inx - ipx))
+                               / (2 * (inx - ipx))) / 10000.0
+               END AS v_idx
+        FROM fbv ORDER BY event_id""")))
 }

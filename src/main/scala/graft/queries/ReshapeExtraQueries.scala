@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.api.{Frame, SortKey}
+import graft.ops.Reshape
 import QueryKit._
 
 /**
@@ -136,5 +137,34 @@ object ReshapeExtraQueries {
           SELECT l_orderkey, l_linenumber, 'qty' AS suffix, l_quantity AS val FROM lineitem
           UNION ALL
           SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem)
-        ORDER BY l_orderkey, l_linenumber, suffix""")))
+        ORDER BY l_orderkey, l_linenumber, suffix""")),
+
+    // pandas.lreshape (reference base QC:4612 — default_to_pandas):
+    // parallel groups stack position-wise; a union of per-position
+    // projections, map-only. Stacking (quantity, price) and (discount,
+    // tax) as two groups of two; position is carried as a third group of
+    // literals so the output rows sort deterministically.
+    Q("q212_lreshape",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .withColumn("p0", lit(0L)).withColumn("p1", lit(1L))
+        Frame(Reshape.lreshape(li,
+          ids = Seq("l_orderkey", "l_linenumber"),
+          groups = Seq(
+            "pos" -> Seq("p0", "p1"),
+            "amount" -> Seq("l_quantity", "l_extendedprice"),
+            "rate" -> Seq("l_discount", "l_tax")))
+          .select(col("l_orderkey"), col("l_linenumber"), col("pos"),
+            round(col("amount"), 2).as("amount"), round(col("rate"), 2).as("rate")))
+          .sortValues(Seq(SortKey.asc("l_orderkey"), SortKey.asc("l_linenumber"),
+            SortKey.asc("pos"))).df
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, pos,
+               round(amount, 2) AS amount, round(rate, 2) AS rate FROM (
+          SELECT l_orderkey, l_linenumber, CAST(0 AS BIGINT) AS pos,
+                 l_quantity AS amount, l_discount AS rate FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 1, l_extendedprice, l_tax FROM lineitem)
+        ORDER BY l_orderkey, l_linenumber, pos""")))
 }

@@ -595,5 +595,30 @@ object StringDateQueries {
                unnest([o_orderkey * 10, o_orderkey * 10 + 1]) AS sku,
                CAST(unnest([1, 2]) AS BIGINT) AS qty
         FROM orders WHERE o_orderkey <= 2000
-        ORDER BY id, item_no""")))
+        ORDER BY id, item_no""")),
+
+    // str casefold / normalize(NFC) / wrap / encode / decode (reference
+    // str_casefold/str_normalize/str_wrap/str_encode/str_decode, base
+    // QC:6234-6644). The corpus is ASCII, so the oracle pins the full
+    // plumbing end-to-end (wrap's reflow regex runs identically in RE2);
+    // the Unicode-specific kernels (ß→ss, combining marks) are pinned in
+    // TextSpec where DuckDB has no casefold to compare against.
+    Q("q210_str_casefold_wrap",
+      (s, dir) => Frame(t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.Text.casefold(col("text")).as("cf"),
+        graft.functions.Text.normalize(col("text"), "NFC").as("nfc"),
+        graft.functions.Text.wrap(col("text"), 40).as("wrapped"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        (decode(encode(col("text"), "UTF-8"), "UTF-8") === col("text")).as("rt_ok")))
+        .sortValues(Seq(SortKey.asc("doc_id"))).df,
+      Some("""
+        SELECT doc_id,
+               lower(text) AS cf,
+               nfc_normalize(text) AS nfc,
+               regexp_replace(regexp_replace(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                   '(.{1,40})( |$)', '\1' || chr(10), 'g'), chr(10) || '$', '') AS wrapped,
+               octet_length(encode(text)) AS n_bytes,
+               decode(encode(text)) = text AS rt_ok
+        FROM documents ORDER BY doc_id""")))
 }

@@ -130,6 +130,60 @@ class OpsSpec extends SparkSuite {
     assert(out == Seq(None, Some(10.0), Some(12.0), Some(14.0), Some(16.0), Some(16.0)))
   }
 
+  test("interpolate pad/nearest/index: fill rules, midpoint ties, x-coordinate line") {
+    import spark.implicits._
+    // group k: positions 1..6, valids at rows 2 and 5 (x = 10 and 40)
+    val d = Seq[(String, Long, java.lang.Double)](
+      ("k", 0L, null), ("k", 10L, 10.0), ("k", 20L, null),
+      ("k", 30L, null), ("k", 40L, 40.0), ("k", 50L, null))
+      .toDF("k", "x", "v")
+    val ord = Seq(SortKey.asc("x"))
+    def vals(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.orderBy("x").collect()
+        .map(r => Option(r.getAs[java.lang.Double](c)).map(_.toDouble)).toSeq
+    // pad: forward-fill, leading null stays
+    assert(vals(Missing.interpolatePad(d, Seq("k"), ord, "v", "o"), "o")
+      == Seq(None, Some(10.0), Some(10.0), Some(10.0), Some(40.0), Some(40.0)))
+    // nearest BY ROW POSITION: row 3 is 1 from prev/2 from next → 10;
+    // row 4 is 2 from prev/1 from next → 40; trailing → last valid
+    assert(vals(Missing.interpolateNearest(d, Seq("k"), ord, "v", "o"), "o")
+      == Seq(None, Some(10.0), Some(10.0), Some(40.0), Some(40.0), Some(40.0)))
+    // nearest midpoint tie takes the PREVIOUS (scipy kind='nearest')
+    val tie = Seq[(String, Long, java.lang.Double)](
+      ("k", 1L, 1.0), ("k", 2L, null), ("k", 3L, 9.0)).toDF("k", "x", "v")
+    assert(vals(Missing.interpolateNearest(tie, Seq("k"), ord, "v", "o"), "o")
+      == Seq(Some(1.0), Some(1.0), Some(9.0)))
+    // index: the line through (10, 10) and (40, 40) evaluated at x
+    assert(vals(Missing.interpolateIndex(d, Seq("k"), ord, "x", "v", "o"), "o")
+      == Seq(None, Some(10.0), Some(20.0), Some(30.0), Some(40.0), Some(40.0)))
+    // index refuses a non-integral x column
+    val bad = Seq(("k", 1.5, 1.0)).toDF("k", "x", "v")
+    val e = intercept[IllegalArgumentException] {
+      Missing.interpolateIndex(bad, Seq("k"), ord, "x", "v", "o")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("lreshape stacks groups position-wise; dropna drops any-null stacked rows") {
+    import spark.implicits._
+    val wide = Seq(
+      (1L, 10.0, 100.0, "a", "b"),
+      (2L, 20.0, 200.0, null, "d"))
+      .toDF("id", "v1", "v2", "t1", "t2")
+    val groups = Seq("v" -> Seq("v1", "v2"), "t" -> Seq("t1", "t2"))
+    val kept = graft.ops.Reshape.lreshape(wide, Seq("id"), groups)
+      .orderBy("id", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    // (2, 20.0, null) drops: one null in the stacked row is enough
+    assert(kept == Seq((1L, 10.0, "a"), (1L, 100.0, "b"), (2L, 200.0, "d")))
+    assert(graft.ops.Reshape.lreshape(wide, Seq("id"), groups, dropna = false).count() == 4)
+    // mismatched group lengths fail fast
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Reshape.lreshape(wide, Seq("id"), Seq("v" -> Seq("v1", "v2"), "t" -> Seq("t1")))
+    }
+    assert(e.getMessage.contains("same number"))
+  }
+
   test("withAvgRank matches the rank-window identity, nulls keep null") {
     import spark.implicits._
     val d = Seq[(Long, java.lang.Double)](

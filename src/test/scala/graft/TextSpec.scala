@@ -12,6 +12,40 @@ class TextSpec extends SparkSuite {
     Seq((1L, text)).toDF("id", "text")
   }
 
+  test("casefold folds beyond lower(): sharp-s, uppercase accents") {
+    import spark.implicits._
+    val d = Seq((1L, "STRASSE straße"), (2L, "ÉCOLE École"), (3L, null: String))
+      .toDF("id", "text")
+    val out = d.select(col("id"), Text.casefold(col("text")).as("cf"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "strasse strasse") // ß → ss: lower() alone keeps ß
+    assert(out(1).getString(1) == "école école")
+    assert(out(2).isNullAt(1))
+  }
+
+  test("normalize NFC composes combining marks; NFKC folds compatibility forms") {
+    import spark.implicits._
+    val decomposed = "e\u0301cole" // e + COMBINING ACUTE, 6 code points
+    val d = Seq((1L, decomposed), (2L, "ﬁle")).toDF("id", "text") // U+FB01 ligature
+    val out = d.select(col("id"),
+      Text.normalize(col("text"), "NFC").as("nfc"),
+      Text.normalize(col("text"), "NFKC").as("nfkc")).orderBy("id").collect()
+    assert(out(0).getString(1) == "école" && out(0).getString(1).length == 5)
+    assert(out(1).getString(1) == "ﬁle")  // NFC keeps the ligature
+    assert(out(1).getString(2) == "file") // NFKC expands it
+  }
+
+  test("wrap reflows at the last space within width and collapses whitespace") {
+    import spark.implicits._
+    val d = Seq((1L, "aa bb cc dd"), (2L, "one  two\t three"), (3L, "short"))
+      .toDF("id", "text")
+    val out = d.select(col("id"), Text.wrap(col("text"), 5).as("w"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(out(0) == "aa bb\ncc dd")
+    assert(out(1) == "one\ntwo\nthree") // runs collapse before wrapping
+    assert(out(2) == "short")           // no trailing newline
+  }
+
   test("token counts: whitespace vs word-regex") {
     val r = one("hello, world  foo-bar").select(
       Text.tokenCountWs(col("text")),
