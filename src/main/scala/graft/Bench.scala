@@ -90,11 +90,8 @@ object ScaleBench {
     replicas.reduce(_ unionAll _)
   }
 
-  def main(args: Array[String]): Unit = {
-    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "8").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val bigDir = s"/tmp/graft_scale/x$factor"
+  /** One SparkSession shape shared by the scale mains. */
+  private[graft] def session(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -105,6 +102,14 @@ object ScaleBench {
     // events.ts is TIMESTAMP(NANOS); read it as raw long (QueryKit's knob)
     // so the amplified copy round-trips through the same conversion path
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+
+  /** Write (once) and return the disjoint-replica amplified copy of every
+    * table at `factor`×. */
+  private[graft] def ensureAmplified(spark: SparkSession, baseDir: String,
+      factor: Int): String = {
+    val bigDir = s"/tmp/graft_scale/x$factor"
     Tables.foreach { t =>
       val out = new java.io.File(s"$bigDir/$t.parquet")
       if (!new java.io.File(out, "_SUCCESS").exists()) {
@@ -112,15 +117,25 @@ object ScaleBench {
           .write.mode("overwrite").parquet(out.getAbsolutePath)
       }
     }
+    bigDir
+  }
+
+  private[graft] def minTime(runs: Int)(job: => Unit): Double =
+    (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      job
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "8").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = session(cpus)
+    val bigDir = ensureAmplified(spark, baseDir, factor)
     val headline = Registry.all.filter(_.headline)
-    def time(q: graft.queries.Q, dir: String): Double = {
-      val runs = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        q.fn(spark, dir).queryExecution.toRdd.foreach(_ => ())
-        (System.nanoTime() - t0) / 1e9
-      }
-      runs.min
-    }
+    def time(q: graft.queries.Q, dir: String): Double =
+      minTime(2)(q.fn(spark, dir).queryExecution.toRdd.foreach(_ => ()))
     // warmup both scan paths
     spark.read.parquet(s"$baseDir/lineitem.parquet").queryExecution.toRdd.foreach(_ => ())
     spark.read.parquet(s"$bigDir/lineitem.parquet").queryExecution.toRdd.foreach(_ => ())
@@ -137,6 +152,240 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     val fl = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"scale_slope","factor":$factor,"queries":$qs,"flagged":$fl,"base":"$baseDir"}""")
+    spark.stop()
+  }
+}
+
+/**
+ * Scale-slope test for the near-dup / ANN surface — the one plan family
+ * whose worst case is quadratic (band/bucket self-joins), which the
+ * headline ScaleBench never exercises.
+ *
+ * Amplification here is PARTIAL duplication, so candidate volume scales
+ * the way a real growing corpus's does: every replica's tokens are
+ * retagged (replicas of one doc share NO shingles — cross-replica docs
+ * are not near-dups), and each replica carries a `dupPct`% shard of
+ * true near-duplicate siblings (one extra token / a 1.0001× vector).
+ * Duplicate clusters stay size-2 at every factor — the constant-dup-rate
+ * model — so a healthy bucketed plan is linear in rows, and an all-pairs
+ * regression shows up as slope ≫ 1.
+ *
+ * LSH plane counts follow log₂(corpus / target bucket size) — the tuning
+ * a real deployment applies as the corpus grows; with planes held fixed
+ * the bucket join is n²/2^planes by construction and no plan shape can
+ * save it.
+ */
+object ScaleDedupBench {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions._
+  import graft.ops.Dedup
+  import graft.functions.Similarity
+
+  /** Suffix every token with the replica tag: within-replica structure
+    * (lengths, token stats) is preserved, across replicas no shingle or
+    * token hash collides. */
+  private def tokTag(text: Column, r: Int): Column =
+    regexp_replace(text, "(\\S+)", s"$$1x$r")
+
+  private[graft] def amplifyDocs(df: DataFrame, factor: Int, dupPct: Int): DataFrame = {
+    val replicas = (0 until factor).map { r =>
+      val base = df
+        .withColumn("doc_id", col("doc_id") + lit(r * 100000000000L))
+        .withColumn("text", if (r == 0) col("text") else tokTag(col("text"), r))
+      val dups = base
+        .filter(pmod(xxhash64(col("doc_id"), lit(r)), lit(100)) < dupPct)
+        .withColumn("doc_id", col("doc_id") + lit(50000000000L))
+        .withColumn("text", concat(col("text"), lit(" xtra")))
+      base.unionAll(dups)
+    }
+    replicas.reduce(_ unionAll _)
+  }
+
+  private[graft] def amplifyEmb(df: DataFrame, factor: Int, dupPct: Int): DataFrame = {
+    val replicas = (0 until factor).map { r =>
+      val shifted = df.withColumn("vec_id", col("vec_id") + lit(r * 100000000000L))
+      // per-(replica, dim, id) signed reweighting in [-1, 1]: replicas of
+      // one vector point in unrelated directions (E[cos] ≈ 0), so only
+      // the dup shard below crosses a near-dup threshold
+      val base = if (r == 0) shifted else shifted.withColumn("embedding",
+        transform(col("embedding"), (x, d) =>
+          x * ((pmod(xxhash64(col("vec_id"), d, lit(r)), lit(2001)) - 1000)
+            .cast("double") / 1000.0))
+          .cast("array<float>"))
+      val dups = base
+        .filter(pmod(xxhash64(col("vec_id"), lit(r + 7)), lit(100)) < dupPct)
+        .withColumn("vec_id", col("vec_id") + lit(50000000000L))
+        // pure scaling: cosine with the sibling is exactly 1, LSH signs identical
+        .withColumn("embedding",
+          transform(col("embedding"), x => x * lit(1.0001f)).cast("array<float>"))
+      base.unionAll(dups)
+    }
+    replicas.reduce(_ unionAll _)
+  }
+
+  private def ensure(spark: SparkSession, baseDir: String, factor: Int,
+      dupPct: Int): String = {
+    val dir = s"/tmp/graft_scale_dedup/x$factor"
+    val specs = Seq(
+      ("documents", () => amplifyDocs(
+        spark.read.parquet(s"$baseDir/documents.parquet"), factor, dupPct)),
+      ("embeddings", () => amplifyEmb(
+        spark.read.parquet(s"$baseDir/embeddings.parquet"), factor, dupPct)))
+    specs.foreach { case (t, make) =>
+      val out = new java.io.File(s"$dir/$t.parquet")
+      if (!new java.io.File(out, "_SUCCESS").exists())
+        // pre-split into one file per core: the amplified corpus is only
+        // MBs on disk but carries heavy per-row hash work, and a single
+        // parquet file would make every op below a one-task (one-core)
+        // measurement — the opposite of the many-split reality at scale
+        make().repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(out.getAbsolutePath)
+    }
+    dir
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "8").toInt
+    val dupPct = sys.env.getOrElse("SPARK_GRAFT_DUP_PCT", "25").toInt
+    val spark = ScaleBench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // 1× carries the same dup structure as f× — slope isolates growth,
+    // not the presence of duplicates
+    val oneDir = ensure(spark, baseDir, 1, dupPct)
+    val bigDir = ensure(spark, baseDir, factor, dupPct)
+
+    def docs(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
+    def emb(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
+    def planes(n: Long, targetBucket: Double = 30.0): Int =
+      math.max(6, math.ceil(math.log(n / targetBucket) / math.log(2)).toInt)
+
+    val ops: Seq[(String, String => DataFrame)] = Seq(
+      "minhash_lsh" -> (dir => Dedup.minhashLshPairs(
+        docs(dir), "doc_id", "text", shingleN = 3, numHashes = 16, bands = 4,
+        threshold = 0.2)),
+      "minhash_lsh_md5" -> (dir => Dedup.minhashLshPairsMd5(
+        docs(dir), "doc_id", "text", shingleN = 3, numHashes = 16, bands = 4,
+        threshold = 0.2)),
+      "simhash" -> (dir => Dedup.simhashPairs(docs(dir), "doc_id", "text", maxBits = 3)),
+      "jaccard" -> (dir => Dedup.jaccardPairs(
+        docs(dir), "doc_id", "text", shingleN = 2, threshold = 0.3)),
+      "neardup_drop_e2e" -> { dir =>
+        val d = docs(dir)
+        Dedup.dropNearDuplicates(d, "doc_id",
+          Dedup.jaccardPairs(d, "doc_id", "text", shingleN = 2, threshold = 0.3),
+          "id_a", "id_b")
+      },
+      "emb_neardup_lsh" -> { dir =>
+        val e = emb(dir)
+        Dedup.embeddingPairsLsh(e, "vec_id", "embedding", threshold = 0.9,
+          nPlanes = planes(e.count()), nTables = 8)
+      },
+      "ann_lsh" -> { dir =>
+        val e = emb(dir).select(col("vec_id"), col("embedding"))
+        val q = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        Similarity.topKLsh(e, "vec_id", "embedding", q, "query_id", "qvec",
+          k = 5, nPlanes = planes(e.count()), nTables = 4)
+      })
+
+    // row ratio is measured, not assumed: the dup shard makes it
+    // factor×(1+dupPct/100)/(1+dupPct/100) = factor exactly, but count it
+    val rowRatio = docs(bigDir).count().toDouble / docs(oneDir).count()
+    // warmup both scan paths
+    docs(oneDir).queryExecution.toRdd.foreach(_ => ())
+    docs(bigDir).queryExecution.toRdd.foreach(_ => ())
+    val rows = ops.map { case (name, f) =>
+      val tb = ScaleBench.minTime(2)(f(oneDir).queryExecution.toRdd.foreach(_ => ()))
+      val ts = ScaleBench.minTime(2)(f(bigDir).queryExecution.toRdd.foreach(_ => ()))
+      (name, tb, ts, (ts / tb) / rowRatio)
+    }
+    val flagged = rows.collect { case (n, _, _, s) if s > 1.5 => n }
+    val qs = rows.map { case (n, tb, ts, s) =>
+      f""""$n":{"base":$tb%.3f,"scaled":$ts%.3f,"slope":$s%.3f}"""
+    }.mkString("{", ",", "}")
+    val fl = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"scale_slope_dedup","factor":$factor,"dup_pct":$dupPct,"row_ratio":$rowRatio,"queries":$qs,"flagged":$fl,"base":"$baseDir"}""")
+    spark.stop()
+  }
+}
+
+/**
+ * Skewed-key slope test: the salted-join and AQE-skew claims, measured.
+ * Each workload shape runs twice per dataset — uniform keys vs a zipfian
+ * remap (50% of rows funneled onto 10 hot keys) — at 1× and factor×.
+ * The verdict metric is skew_slope / uniform_slope: a plan whose skew
+ * handling holds keeps the ratio near 1 (hot partitions split under AQE
+ * or stay linear per task); a plan that funnels hot keys through one
+ * ever-growing task degrades super-linearly and the ratio flags at 2.
+ */
+object SkewBench {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.functions._
+  import graft.functions.Text
+
+  /** 50% of rows (chosen by content hash) remap to keys 0..9. */
+  private def skewKey(k: Column): Column =
+    when(pmod(xxhash64(k), lit(100)) < 50, pmod(k, lit(10))).otherwise(k)
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "8").toInt
+    val spark = ScaleBench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // the join shape must exercise the SHUFFLE path — broadcast would
+    // sidestep the skew entirely and measure nothing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val bigDir = ScaleBench.ensureAmplified(spark, baseDir, factor)
+
+    def orders(dir: String) = spark.read.parquet(s"$dir/orders.parquet")
+    def lineitem(dir: String) = spark.read.parquet(s"$dir/lineitem.parquet")
+    def docs(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
+
+    val shapes: Seq[(String, (String, Boolean) => DataFrame)] = Seq(
+      // q31's shape: fact-side shuffle join; hot keys all land on order
+      // keys 0..9 (dense TPC-H-ish keys, present in replica 0)
+      "join_shuffle" -> { (dir, skew) =>
+        val l = lineitem(dir).select(col("l_orderkey"), col("l_extendedprice"))
+          .withColumn("k", if (skew) skewKey(col("l_orderkey")) else col("l_orderkey"))
+        val o = orders(dir).select(col("o_orderkey").as("k"), col("o_totalprice"))
+        l.join(o, Seq("k")).select(col("k"), col("l_extendedprice"), col("o_totalprice"))
+      },
+      // q50's shape: keyed running sum; a hot window partition can't
+      // split — linear-per-task is the pass criterion
+      "window_cumsum" -> { (dir, skew) =>
+        val o = orders(dir)
+        val k = if (skew) skewKey(col("o_custkey")) else col("o_custkey")
+        val w = Window.partitionBy(k).orderBy(col("o_orderdate"), col("o_orderkey"))
+        o.select(col("o_orderkey"), sum(col("o_totalprice")).over(w).as("cs"))
+      },
+      // q100's shape: dedup groupBy where half the corpus collapses onto
+      // 10 fingerprints — map-side partial aggregation is the defense
+      "dedup_groups" -> { (dir, skew) =>
+        val d = docs(dir)
+        val text = if (skew)
+          when(pmod(xxhash64(col("doc_id")), lit(100)) < 50,
+            concat(lit("dup"), pmod(col("doc_id"), lit(10)).cast("string")))
+            .otherwise(col("text"))
+        else col("text")
+        d.groupBy(Text.fingerprint(text).as("fingerprint"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      })
+
+    lineitem(baseDir).queryExecution.toRdd.foreach(_ => ())
+    lineitem(bigDir).queryExecution.toRdd.foreach(_ => ())
+    val rows = shapes.map { case (name, f) =>
+      def t(dir: String, skew: Boolean) =
+        ScaleBench.minTime(2)(f(dir, skew).queryExecution.toRdd.foreach(_ => ()))
+      val su = (t(bigDir, false) / t(baseDir, false)) / factor
+      val ss = (t(bigDir, true) / t(baseDir, true)) / factor
+      (name, su, ss, ss / su)
+    }
+    val flagged = rows.collect { case (n, _, _, r) if r > 2.0 => n }
+    val qs = rows.map { case (n, su, ss, r) =>
+      f""""$n":{"slope_uniform":$su%.3f,"slope_skew":$ss%.3f,"ratio":$r%.3f}"""
+    }.mkString("{", ",", "}")
+    val fl = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"skew_slope","factor":$factor,"queries":$qs,"flagged":$fl,"base":"$baseDir"}""")
     spark.stop()
   }
 }

@@ -49,9 +49,10 @@ object EventStream {
     * state.lastMicros is treated as in-session (its gap is negative).
     * Matching the batch result therefore requires per-user-ordered
     * arrival across batches (true for time-ordered file drops / a
-    * by-user-keyed, time-ordered Kafka topic). Full out-of-order
-    * handling would buffer events under a watermark before folding —
-    * the flatMapGroupsWithState + event-time-timeout pattern. */
+    * by-user-keyed, time-ordered Kafka topic). For unordered transports
+    * use [[sessionizeOoo]], which buffers under the event-time watermark
+    * and folds in timestamp order — exact at the cost of `delay`
+    * latency; this variant stays the zero-lag path for ordered input. */
   def sessionize(events: DataFrame): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     val typed = events.select(
@@ -72,11 +73,128 @@ object EventStream {
       }
   }
 
+  private def toMicros(t: java.sql.Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+  /** Buffered sessionization state for [[sessionizeOoo]]: events the
+    * watermark has not yet finalized, plus the folded prefix. */
+  final case class OooSessionState(pending: Seq[Long], sessions: Long, lastMicros: Long)
+
+  /**
+   * OUT-OF-ORDER-SAFE sessionization: the watermark-buffered variant of
+   * [[sessionize]] (which requires per-key-ordered arrival across
+   * micro-batches — deviation 6). Events buffer in keyed state until the
+   * event-time watermark passes them; only then do they fold into the
+   * gap-session count, in global per-key timestamp order — so ANY arrival
+   * order within the allowed lateness produces exactly the batch result.
+   *
+   * Contract (the standard Structured Streaming trade):
+   *   - events later than `delay` behind the stream's max event time are
+   *     DROPPED (same rule as watermarked aggregations);
+   *   - an event is folded only once the watermark passes it, so emission
+   *     lags by `delay` — correctness buys latency;
+   *   - state per key = session tuple + the ≤`delay`-deep pending buffer
+   *     (bounded by the key's event rate × the lateness horizon).
+   * Flush-on-watermark uses EventTimeTimeout: each invocation re-arms the
+   * timeout at the earliest pending event, so a key folds its buffer even
+   * if it never receives another row.
+   *
+   * `events` must carry the TIMESTAMP event-time column `ts` (watermark
+   * metadata rides that attribute into the stateful operator).
+   */
+  def sessionizeOoo(events: DataFrame, delay: String = "2 hours",
+      gapSeconds: Long = 1800L): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    // cast BEFORE the watermark: casting after would mint a new attribute
+    // and silently drop the watermark metadata the stateful operator needs
+    val typed = events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", delay)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[OooSessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, batch, state: GroupState[OooSessionState]) =>
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val st0 = state.getOption.getOrElse(OooSessionState(Vector.empty, 0L, Long.MinValue))
+          // incoming rows at-or-behind the watermark are late beyond the
+          // tolerance: drop them (the watermarked-aggregation rule) —
+          // folding them now would interleave wrongly with the already-
+          // folded prefix
+          val incoming = batch.map(t => toMicros(t._2)).filter(_ > wm).toVector
+          val (ready, still) = (st0.pending ++ incoming).sorted.partition(_ <= wm)
+          var sessions = st0.sessions
+          var last = st0.lastMicros
+          ready.foreach { m =>
+            if (last == Long.MinValue || m - last > gapSeconds * 1000000L) sessions += 1
+            last = m
+          }
+          state.update(OooSessionState(still, sessions, last))
+          // re-arm: fire as soon as the watermark passes the earliest
+          // pending event (must be strictly ahead of the current watermark)
+          if (still.nonEmpty) state.setTimeoutTimestamp(still.min / 1000L + 1L)
+          if (ready.nonEmpty) Iterator(SessionUpdate(userId, sessions)) else Iterator.empty
+      }
+  }
+
   /** One enrichment row: key = the by-key, micros = event time, isRight
     * marks state-carrying rows (e.g. purchases), id identifies left rows. */
   final case class EnrichInput(key: Long, micros: Long, isRight: Boolean,
       value: Double, id: Long)
   final case class EnrichOut(id: Long, value: Option[Double])
+
+  /** Buffered enrichment state for [[enrichLatestOoo]]: rows awaiting the
+    * watermark, plus the latest finalized right value. */
+  final case class OooEnrichState(pending: Seq[EnrichInput], lastValue: Option[Double])
+
+  /**
+   * OUT-OF-ORDER-SAFE latest-value enrichment: the watermark-buffered
+   * variant of [[enrichLatest]] (deviation 6). Left and right rows buffer
+   * per key until the watermark passes them, then fold in (time,
+   * right-before-left, id) order — a left row is emitted only once every
+   * right row at-or-before it (within the lateness horizon) has arrived,
+   * so arrival order across micro-batches cannot change the answer.
+   * Same contract as [[sessionizeOoo]]: beyond-`delay` stragglers drop,
+   * emission lags the watermark, state is the bounded pending buffer.
+   *
+   * `events` must carry (key, ts TIMESTAMP, isRight, value, id); the
+   * watermark is applied to `ts` here so its metadata reaches the
+   * stateful operator.
+   */
+  def enrichLatestOoo(events: DataFrame, delay: String = "2 hours"): Dataset[EnrichOut] = {
+    import events.sparkSession.implicits._
+    // cast BEFORE the watermark — see sessionizeOoo
+    val typed = events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", delay)
+      .select(col("key").cast("long").as("key"), col("ts"),
+        col("isRight").as("isRight"), col("value").cast("double").as("value"),
+        col("id").cast("long").as("id"))
+      .as[(Long, java.sql.Timestamp, Boolean, Double, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[OooEnrichState, EnrichOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, batch, state: GroupState[OooEnrichState]) =>
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val st0 = state.getOption.getOrElse(OooEnrichState(Vector.empty, None))
+          val incoming = batch
+            .map(t => EnrichInput(t._1, toMicros(t._2), t._3, t._4, t._5))
+            .filter(_.micros > wm).toVector
+          val (ready, still) = (st0.pending ++ incoming)
+            .sortBy(r => (r.micros, if (r.isRight) 0 else 1, r.id))
+            .partition(_.micros <= wm)
+          var lastValue = st0.lastValue
+          val out = scala.collection.mutable.ArrayBuffer.empty[EnrichOut]
+          ready.foreach { r =>
+            if (r.isRight) lastValue = Some(r.value)
+            else out += EnrichOut(r.id, lastValue)
+          }
+          state.update(OooEnrichState(still, lastValue))
+          if (still.nonEmpty) state.setTimeoutTimestamp(still.map(_.micros).min / 1000L + 1L)
+          out.iterator
+      }
+  }
 
   /** Streaming merge_asof(direction=backward): left rows are enriched
     * with the LATEST right value at-or-before their event time, as keyed
@@ -88,7 +206,8 @@ object EventStream {
     * so an exact-time right row is visible to the left row — the same
     * allow_exact_matches=true visibility rule the batch plan encodes in
     * its window sort. Same cross-batch ordering contract as
-    * [[sessionize]]: per-key-ordered arrival. */
+    * [[sessionize]]: per-key-ordered arrival — [[enrichLatestOoo]] is
+    * the watermark-buffered variant for unordered transports. */
   def enrichLatest(ds: Dataset[EnrichInput]): Dataset[EnrichOut] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.key)

@@ -128,6 +128,116 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  /** Shuffled-drop replay: the fixture's events split into three files
+    * by event_id hash — every file spans the whole time range, so
+    * cross-batch arrival order is maximally out of order. `delay` covers
+    * the full span so nothing is beyond-watermark-late; two far-future
+    * sentinel drops push the watermark past the real data (first advances
+    * it, second triggers the timeout-driven folds). */
+  private def shuffledReplay(run: (String, org.apache.spark.sql.DataFrame) => Unit): Unit = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(s"/tmp/graft_stream/ooo_${System.nanoTime()}")
+    Files.createDirectories(dir)
+    val ev = table("events").select(
+      col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"),
+      col("event_type"), coalesce(col("value"), lit(0.0)).as("value"))
+    (0 until 3).foreach { i =>
+      ev.filter(pmod(col("event_id"), lit(3)) === i).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/drop$i")
+    }
+    // one flat dir of parquet files, replay parts first
+    val flat = Paths.get(s"$dir/stream")
+    Files.createDirectories(flat)
+    (0 until 3).foreach { i =>
+      val src = new java.io.File(s"$dir/drop$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(src.toPath, flat.resolve(f"replay$i%02d.parquet"))
+    }
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    def sentinel(daysAhead: Int, name: String): Unit = {
+      import spark.implicits._
+      Seq((-daysAhead.toLong, -1L,
+        new java.sql.Timestamp(maxTs.getTime + daysAhead * 86400000L),
+        "click", 0.0))
+        .toDF("event_id", "user_id", "ts", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+      val src = new java.io.File(s"$dir/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(src.toPath, flat.resolve(s"z_$name.parquet"))
+    }
+    run(flat.toString, ev)
+    // sentinels land AFTER the caller starts the query and drains the
+    // replay files — the caller calls processAllAvailable twice
+    sentinel(40, "flush1")
+    sentinel(80, "flush2")
+  }
+
+  test("out-of-order sessionization equals batch on a shuffled replay") {
+    import org.apache.spark.sql.types._
+    var query: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      shuffledReplay { (streamDir, ev) =>
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("ts", TimestampType), StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        val stream = EventStream.read(spark, streamDir, schema)
+        query = EventStream.sessionizeOoo(stream, delay = "30 days").writeStream
+          .format("memory").queryName("sessions_ooo")
+          .outputMode(OutputMode.Append()).start()
+        query.processAllAvailable() // drain the shuffled replay files
+      }
+      query.processAllAvailable() // pick up both sentinels → watermark folds
+      val streamed = spark.table("sessions_ooo")
+        .filter(col("userId") >= 0)
+        .groupBy(col("userId")).agg(max(col("sessions")).as("sessions"))
+      val batch = graft.ops.Resample.sessionize(
+        queries.QueryKit.t(spark, sfDir, "events"), "user_id", "ts", 1800)
+        .groupBy(col("user_id").as("userId"))
+        .agg(max(col("session_id")).as("sessions"))
+      assert(streamed.count() > 0, "watermark should have folded real users")
+      assertParity(streamed, batch)
+    } finally if (query != null) query.stop()
+  }
+
+  test("out-of-order enrichment equals the batch merge_asof on a shuffled replay") {
+    import org.apache.spark.sql.types._
+    var query: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      shuffledReplay { (streamDir, ev) =>
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("ts", TimestampType), StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        val stream = EventStream.read(spark, streamDir, schema)
+          .select(col("user_id").as("key"), col("ts"),
+            (col("event_type") === "purchase").as("isRight"),
+            col("value"), col("event_id").as("id"))
+        query = EventStream.enrichLatestOoo(stream, delay = "30 days").writeStream
+          .format("memory").queryName("enrich_ooo")
+          .outputMode(OutputMode.Append()).start()
+        query.processAllAvailable()
+      }
+      query.processAllAvailable()
+      val ev = table("events")
+      val clickIds = ev.filter(col("event_type") === "click").select(col("event_id"))
+      val es = spark.table("enrich_ooo").filter(col("id") >= 0)
+      val streamed = es.join(clickIds, es("id") === clickIds("event_id"))
+        .select(col("id"), round(col("value"), 6).as("v"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("value").as("pv"), col("event_id").as("p_id"))
+      val batch = graft.ops.Joins.asof(clicks, purchases,
+        leftOn = "ts", rightOn = "p_ts", leftBy = "user_id", rightBy = "p_user",
+        payload = Seq("pv"), tieBreak = col("p_id"))
+        .select(col("event_id").as("id"), round(col("pv"), 6).as("v"))
+      assert(streamed.count() > 0)
+      assertParity(streamed, batch)
+    } finally if (query != null) query.stop()
+  }
+
   test("stateful sessionization matches the batch gap-session count") {
     val stream = rawStream()
     val q = EventStream.runToMemory(
