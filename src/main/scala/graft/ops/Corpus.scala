@@ -94,31 +94,52 @@ object Corpus {
    * fraction (Rae et al. 2021, "Scaling Language Models" §A1.1 quality
    * heuristics). Tokens are lowercased whitespace words.
    *
-   * Entirely map-side: the frequency scan is a higher-order `transform`
-   * over `array_distinct` (O(tokens × distinct) per document — bounded
-   * for natural documents, and embarrassingly parallel with ZERO
-   * exchanges, which at corpus scale beats the explode + two-level
-   * aggregate formulation that shuffles every token twice).
+   * Entirely map-side and LINEARITHMIC per document: the top-element
+   * count is the longest run in the sorted token array (one `aggregate`
+   * pass over `array_sort`, O(n log n)), not a per-distinct rescan.
+   * Token/bigram arrays are materialized as their own projections first —
+   * higher-order functions disable subexpression elimination, so lambdas
+   * must never reference an unmaterialized O(n) array expression (each
+   * reference would re-split the text: the O(n²)-per-row trap
+   * [[graft.functions.Text.kgramHashes]] documents; CollapseProject keeps
+   * the projections separate because the arrays are non-cheap and
+   * multiply referenced). Embarrassingly parallel with ZERO exchanges,
+   * which at corpus scale beats the explode + two-level aggregate
+   * formulation that shuffles every token twice.
    */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // count of the most frequent element = longest equal-run in the
+    // sorted array; one O(n) fold, each step O(1)
+    def maxRunCount(arr: Column): Column = aggregate(
+      array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x <=> acc.getField("prev"), acc.getField("run") + lit(1))
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      _.getField("best"))
     def stats(arr: Column, prefix: String): Seq[Column] = {
       val total = size(arr)
-      val dis = size(array_distinct(arr))
-      val top = when(total > 0,
-        array_max(transform(array_distinct(arr), x => size(filter(arr, y => y === x)))))
-        .otherwise(lit(0))
       Seq(
-        round(when(total > 0, lit(1.0) - dis.cast("double") / total.cast("double"))
+        round(when(total > 0,
+          lit(1.0) - size(array_distinct(arr)).cast("double") / total.cast("double"))
           .otherwise(lit(0.0)), 6).as(s"dup_${prefix}_frac"),
-        round(when(total > 0, top.cast("double") / total.cast("double"))
+        round(when(total > 0, maxRunCount(arr).cast("double") / total.cast("double"))
           .otherwise(lit(0.0)), 6).as(s"top_${prefix}_frac"))
     }
-    val toks = wsTokensLower(col(textCol))
+    val toks = col("__toks__")
+    // adjacent-pair bigrams via two slices zipped — O(n), no per-index
+    // element_at against the token array
     val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol) +: (stats(toks, "word") ++ stats(bigrams, "bigram")): _*)
+    df.select(col(idCol), wsTokensLower(col(textCol)).as("__toks__"))
+      .select(col(idCol), toks, bigrams.as("__bi__"))
+      .select(col(idCol) +:
+        (stats(toks, "word") ++ stats(col("__bi__"), "bigram")): _*)
   }
 
   /**

@@ -46,9 +46,15 @@ object CorpusQueries {
 
     // Gopher-style repetition signals — zero-exchange map over the scan
     // (higher-order array functions, no explode/shuffle).
+    // Deterministic order WITHOUT a trailing orderBy: the input is
+    // range-partitioned + sorted on doc_id BEFORE the heavy map, and the
+    // map is narrow, so global order survives to the sink. A trailing
+    // orderBy would be worse than redundant — EliminateSorts drops the
+    // pre-sort and the final range exchange then SAMPLES the expensive
+    // projection, evaluating every token fold twice.
     Q("q180_repetition_stats",
-      (s, dir) => Frame(Corpus.repetitionStats(t(s, dir, "documents"), "doc_id", "text"))
-        .sortValues(Seq(SortKey.asc("doc_id"))).df,
+      (s, dir) => Corpus.repetitionStats(
+        tSplitSorted(s, dir, "documents", "doc_id"), "doc_id", "text"),
       Some("""
         WITH toks AS (
           SELECT doc_id, unnest(l) AS tok, generate_subscripts(l,1) AS ord
