@@ -125,14 +125,28 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
     }
     // pandas rank(pct=True): rank / count of valid values in the group
     // (for dense, pandas divides by the number of DISTINCT values)
-    lazy val denom = method match {
-      // functions.size — GroupBy.size (the aggregate) shadows it here
-      case "dense" => org.apache.spark.sql.functions.size(
-        collect_set(col(c)).over(Window.partitionBy(kcols: _*)))
-      case _       => count(col(c)).over(Window.partitionBy(kcols: _*))
+    if (pct && method == "dense") {
+      // distinct-count per group as an AGGREGATE joined back (null-safe
+      // keys, so null-key groups keep window parity), auto-broadcast when
+      // small. NOT size(collect_set().over(group window)): an unbounded
+      // window's collect_set emits the whole per-group set on EVERY row —
+      // O(group²) bytes that a downstream sort must carry (at sf0.1 that
+      // was gigabytes of spill for a 150k-row input).
+      val nd = "__nd__"
+      val dist = df.groupBy(kcols: _*).agg(count_distinct(col(c)).as(nd))
+        .select(keys.map(k => col(k).as(s"__k_$k")) :+ col(nd): _*)
+      val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+      val joined = df.join(dist, cond, "left")
+        .drop(keys.map(k => s"__k_$k"): _*)
+      val out = joined
+        .withColumn(as, when(col(c).isNotNull, r.cast("double") / col(nd)))
+        .drop(nd)
+      frame.copy(df = out)
+    } else {
+      val denom = count(col(c)).over(Window.partitionBy(kcols: _*))
+      val ranked = if (pct) r.cast("double") / denom else r
+      frame.withColumn(as, when(col(c).isNotNull, ranked))
     }
-    val ranked = if (pct) r.cast("double") / denom else r
-    frame.withColumn(as, when(col(c).isNotNull, ranked))
   }
 
   /** reference groupby_head (base QC:4396) — first n rows per group. */
