@@ -12,15 +12,30 @@ final case class LiNet(l_orderkey: Long, l_returnflag: String,
     l_quantity: Double, l_extendedprice: Double, l_discount: Double, l_tax: Double)
 
 /** Custom Aggregator (§2.13 custom agg fns): RMS over exact integer
-  * cents — the buffer is (Σc², n) so partial merges are exact and
-  * order-independent; only the final sqrt touches floating point. */
-object RmsCentsAgg extends Aggregator[Long, (Long, Long), Double] {
-  def zero: (Long, Long) = (0L, 0L)
-  def reduce(b: (Long, Long), c: Long): (Long, Long) = (b._1 + c * c, b._2 + 1)
-  def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) = (a._1 + b._1, a._2 + b._2)
-  def finish(r: (Long, Long)): Double =
-    if (r._2 == 0) Double.NaN else math.sqrt(r._1.toDouble / r._2) / 100.0
-  def bufferEncoder: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+  * cents — the buffer is (Σc² hi, Σc² lo, n) so partial merges are exact
+  * and order-independent; only the final sqrt touches floating point.
+  * Σc² is carried base-10¹⁸ across TWO longs: one long overflows past
+  * ~40k rows of 6-digit prices (c ≈ 1.5e7 cents → c² ≈ 2e14 → Σ passes
+  * 2⁶³ near 4e4 rows per group — the sf0.1 gate caught exactly this),
+  * while the split pair is exact to ~9e36, beyond any corpus. */
+object RmsCentsAgg extends Aggregator[Long, (Long, Long, Long), Double] {
+  private val Base = 1000000000000000000L // 1e18; c² ≤ ~4e15 keeps lo < 2⁶³
+  def zero: (Long, Long, Long) = (0L, 0L, 0L)
+  def reduce(b: (Long, Long, Long), c: Long): (Long, Long, Long) = {
+    val lo = b._2 + c * c
+    if (lo >= Base) (b._1 + lo / Base, lo % Base, b._3 + 1)
+    else (b._1, lo, b._3 + 1)
+  }
+  def merge(a: (Long, Long, Long), b: (Long, Long, Long)): (Long, Long, Long) = {
+    val lo = a._2 + b._2
+    if (lo >= Base) (a._1 + b._1 + lo / Base, lo % Base, a._3 + b._3)
+    else (a._1 + b._1, lo, a._3 + b._3)
+  }
+  def finish(r: (Long, Long, Long)): Double =
+    if (r._3 == 0) Double.NaN
+    else math.sqrt((r._1.toDouble * Base + r._2.toDouble) / r._3) / 100.0
+  def bufferEncoder: Encoder[(Long, Long, Long)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
   def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 
