@@ -48,6 +48,32 @@ class CorpusSpec extends SparkSuite {
     assert(rows(2).getDouble(3) == 0.0 && rows(2).getDouble(4) == 0.0)
   }
 
+  test("repetitionStats top fractions equal a driver-side frequency count on random docs") {
+    // regression for the sorted-run-length reformulation: the top-element
+    // count from the aggregate fold must equal the naive per-distinct
+    // frequency max, on docs with heavy and light repetition alike
+    val rng = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val texts = (1L to 40L).map { i =>
+      val n = 1 + rng.nextInt(30)
+      i -> Seq.fill(n)(vocab(rng.nextInt(1 + rng.nextInt(vocab.size)))).mkString(" ")
+    }
+    val got = Corpus.repetitionStats(docs(texts: _*), "id", "text")
+      .orderBy("id").collect()
+    texts.zip(got).foreach { case ((_, text), row) =>
+      val toks = text.split("\\s+").toSeq
+      val bis = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      def top(xs: Seq[String]) =
+        if (xs.isEmpty) 0.0 else xs.groupBy(identity).values.map(_.size).max.toDouble / xs.size
+      def dup(xs: Seq[String]) =
+        if (xs.isEmpty) 0.0 else 1.0 - xs.distinct.size.toDouble / xs.size
+      assert(row.getDouble(1) == math.round(dup(toks) * 1e6) / 1e6)
+      assert(row.getDouble(2) == math.round(top(toks) * 1e6) / 1e6)
+      assert(row.getDouble(3) == math.round(dup(bis) * 1e6) / 1e6)
+      assert(row.getDouble(4) == math.round(top(bis) * 1e6) / 1e6)
+    }
+  }
+
   test("decontaminate counts distinct overlapping n-grams per document") {
     val bench = docs(100L -> "alpha beta gamma delta")
     val corpus = docs(

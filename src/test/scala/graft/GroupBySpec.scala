@@ -47,6 +47,22 @@ class GroupBySpec extends SparkSuite {
     assert(ranks("first") == Seq(1L, 2L, 3L))
   }
 
+  test("rank dense pct divides by the per-group distinct count (null keys kept)") {
+    import spark.implicits._
+    // group "a": distinct {1,2,5} → pct = dense/3; null group: {7} → 1/1;
+    // null VALUE rows never rank and never count toward the denominator
+    val d = Seq(
+      (Some("a"), Some(1.0)), (Some("a"), Some(1.0)), (Some("a"), Some(2.0)),
+      (Some("a"), Some(5.0)), (Some("a"), None),
+      (None, Some(7.0))).toDF("k", "v")
+    val got = Frame(d).groupby("k").rank("v", "r", "dense", pct = true)
+      .df.orderBy(col("k").asc_nulls_last, col("v").asc_nulls_last)
+      .collect().map(r => Option(r.getAs[java.lang.Double]("r")).map(_.toDouble))
+    assert(got.toSeq == Seq(
+      Some(1.0 / 3), Some(1.0 / 3), Some(2.0 / 3), Some(3.0 / 3), None,
+      Some(1.0)))
+  }
+
   test("headPerGroup / nth / tailPerGroup positional semantics") {
     val h = ev.groupby("user_id").headPerGroup(3, ord).df
       .groupBy("user_id").count().agg(max("count")).head().getLong(0)

@@ -268,4 +268,24 @@ class OpsSpec extends SparkSuite {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
   }
+
+  test("RmsCentsAgg stays exact past the single-long Σc² overflow point") {
+    import spark.implicits._
+    // 50k rows of 15,000,000 cents: Σc² = 1.125e19 > 2⁶³ ≈ 9.22e18 — a
+    // single-long buffer wraps negative here (the sf0.1 q128 bug); the
+    // split accumulator must return exactly the common value
+    val rms = udaf(graft.queries.RmsCentsAgg)
+    val c = 15000000L
+    val flat = (1 to 50000).map(_ => c).toDF("c")
+      .agg(rms(col("c"))).head().getDouble(0)
+    assert(flat == c / 100.0, s"got $flat")
+    // mixed magnitudes vs a BigInt driver fold (order-independent check)
+    val rng = new scala.util.Random(7)
+    val vals = Seq.fill(20000)((rng.nextInt(40000000) + 1).toLong)
+    val got = vals.toDF("c").repartition(8)
+      .agg(rms(col("c"))).head().getDouble(0)
+    val sumSq = vals.map(v => BigInt(v) * BigInt(v)).sum
+    val want = math.sqrt((BigDecimal(sumSq) / vals.size).toDouble) / 100.0
+    assert(math.abs(got - want) / want < 1e-12, s"got $got want $want")
+  }
 }
