@@ -258,6 +258,12 @@ object ScaleDedupBench {
     def emb(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
     def planes(n: Long, targetBucket: Double = 30.0): Int =
       math.max(6, math.ceil(math.log(n / targetBucket) / math.log(2)).toInt)
+    // plane counts (and the counts behind them) are tuning inputs, not
+    // work: resolve them ONCE per dir so the timed closures measure only
+    // the op — a count() inside the closure would add a scan job to both
+    // sides and dampen exactly the super-linear signal the flag hunts
+    val planesByDir: Map[String, Int] =
+      Seq(oneDir, bigDir).map(d => d -> planes(emb(d).count())).toMap
 
     val ops: Seq[(String, String => DataFrame)] = Seq(
       "minhash_lsh" -> (dir => Dedup.minhashLshPairs(
@@ -276,27 +282,33 @@ object ScaleDedupBench {
           "id_a", "id_b")
       },
       "emb_neardup_lsh" -> { dir =>
-        val e = emb(dir)
-        Dedup.embeddingPairsLsh(e, "vec_id", "embedding", threshold = 0.9,
-          nPlanes = planes(e.count()), nTables = 8)
+        Dedup.embeddingPairsLsh(emb(dir), "vec_id", "embedding", threshold = 0.9,
+          nPlanes = planesByDir(dir), nTables = 8)
       },
       "ann_lsh" -> { dir =>
         val e = emb(dir).select(col("vec_id"), col("embedding"))
         val q = e.filter(col("vec_id") < 3)
           .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
         Similarity.topKLsh(e, "vec_id", "embedding", q, "query_id", "qvec",
-          k = 5, nPlanes = planes(e.count()), nTables = 4)
+          k = 5, nPlanes = planesByDir(dir), nTables = 4)
       })
 
-    // row ratio is measured, not assumed: the dup shard makes it
-    // factor×(1+dupPct/100)/(1+dupPct/100) = factor exactly, but count it
-    val rowRatio = docs(bigDir).count().toDouble / docs(oneDir).count()
-    // warmup both scan paths
-    docs(oneDir).queryExecution.toRdd.foreach(_ => ())
-    docs(bigDir).queryExecution.toRdd.foreach(_ => ())
+    // row ratios are measured, not assumed — and PER TABLE: the dup
+    // shards are chosen by different hash filters, so the documents and
+    // embeddings ratios differ slightly and each op normalizes by the
+    // table it actually scans
+    val docRatio = docs(bigDir).count().toDouble / docs(oneDir).count()
+    val embRatio = emb(bigDir).count().toDouble / emb(oneDir).count()
+    val embOps = Set("emb_neardup_lsh", "ann_lsh")
+    // warmup both scan paths of both tables
+    Seq(oneDir, bigDir).foreach { d =>
+      docs(d).queryExecution.toRdd.foreach(_ => ())
+      emb(d).queryExecution.toRdd.foreach(_ => ())
+    }
     val rows = ops.map { case (name, f) =>
       val tb = ScaleBench.minTime(2)(f(oneDir).queryExecution.toRdd.foreach(_ => ()))
       val ts = ScaleBench.minTime(2)(f(bigDir).queryExecution.toRdd.foreach(_ => ()))
+      val rowRatio = if (embOps(name)) embRatio else docRatio
       (name, tb, ts, (ts / tb) / rowRatio)
     }
     val flagged = rows.collect { case (n, _, _, s) if s > 1.5 => n }
@@ -304,7 +316,7 @@ object ScaleDedupBench {
       f""""$n":{"base":$tb%.3f,"scaled":$ts%.3f,"slope":$s%.3f}"""
     }.mkString("{", ",", "}")
     val fl = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"scale_slope_dedup","factor":$factor,"dup_pct":$dupPct,"row_ratio":$rowRatio,"queries":$qs,"flagged":$fl,"base":"$baseDir"}""")
+    println(s"""{"metric":"scale_slope_dedup","factor":$factor,"dup_pct":$dupPct,"row_ratio_docs":$docRatio,"row_ratio_emb":$embRatio,"queries":$qs,"flagged":$fl,"base":"$baseDir"}""")
     spark.stop()
   }
 }

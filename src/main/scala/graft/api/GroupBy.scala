@@ -107,12 +107,22 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
     * max = min + ties - 1, average = min + (ties-1)/2. */
   def rank(c: String, as: String, method: String = "min",
       ascending: Boolean = true, pct: Boolean = false): Frame = {
-    // nulls sort LAST so they never consume ranks of valid rows, and the
-    // output nulls them (pandas na_option='keep'); without this a null
-    // row would take rank 1 and push pct above 1.0
-    val key = if (ascending) col(c).asc_nulls_last else col(c).desc_nulls_last
+    // nulls AND NaNs are missing (pandas na_option='keep'): they sort
+    // LAST so they never consume ranks of valid rows, the denominators
+    // exclude them, and the output nulls them; without this a null row
+    // would take rank 1 and push pct above 1.0, and Spark would rank NaN
+    // as the largest double (the Rank.withAvgRank hazard)
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val valid = frame.df.schema(c).dataType match {
+      case DoubleType | FloatType => col(c).isNotNull && !isnan(col(c))
+      case _ => col(c).isNotNull
+    }
+    // NaN-as-missing must also not ORDER among valid rows: rank over a
+    // masked copy (NaN → null) so asc_nulls_last pushes it past them
+    val cv = when(valid, col(c))
+    val key = if (ascending) cv.asc_nulls_last else cv.desc_nulls_last
     val spec = Window.partitionBy(kcols: _*).orderBy(key)
-    lazy val ties = count(lit(1)).over(Window.partitionBy((kcols :+ col(c)): _*))
+    lazy val ties = count(lit(1)).over(Window.partitionBy((kcols :+ cv): _*))
     val r = method match {
       case "min"     => org.apache.spark.sql.functions.rank().over(spec)
       case "dense"   => dense_rank().over(spec)
@@ -133,19 +143,19 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
       // O(group²) bytes that a downstream sort must carry (at sf0.1 that
       // was gigabytes of spill for a 150k-row input).
       val nd = "__nd__"
-      val dist = df.groupBy(kcols: _*).agg(count_distinct(col(c)).as(nd))
+      val dist = df.groupBy(kcols: _*).agg(count_distinct(cv).as(nd))
         .select(keys.map(k => col(k).as(s"__k_$k")) :+ col(nd): _*)
       val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
       val joined = df.join(dist, cond, "left")
         .drop(keys.map(k => s"__k_$k"): _*)
       val out = joined
-        .withColumn(as, when(col(c).isNotNull, r.cast("double") / col(nd)))
+        .withColumn(as, when(valid, r.cast("double") / col(nd)))
         .drop(nd)
       frame.copy(df = out)
     } else {
-      val denom = count(col(c)).over(Window.partitionBy(kcols: _*))
+      val denom = count(cv).over(Window.partitionBy(kcols: _*))
       val ranked = if (pct) r.cast("double") / denom else r
-      frame.withColumn(as, when(col(c).isNotNull, ranked))
+      frame.withColumn(as, when(valid, ranked))
     }
   }
 

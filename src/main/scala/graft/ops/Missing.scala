@@ -134,6 +134,11 @@ object Missing {
       when(v.isNotNull, v)
         .when(col("__pv__").isNull, lit(null).cast("double"))
         .when(col("__nv__").isNull, col("__pv__").cast("double") / 100.0)
+        // duplicate index values: both neighbors at the same x make the
+        // line degenerate (g = 0 would divide by zero under ANSI);
+        // np.interp right-biases at ties, so take the NEXT valid value —
+        // pinned against pandas in OpsSpec
+        .when(g === 0, col("__nv__").cast("double") / 100.0)
         .otherwise(interp4 / lit(10000.0)))
       .drop("__pv__", "__px__", "__nv__", "__nx__")
   }

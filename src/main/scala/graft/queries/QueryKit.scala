@@ -28,25 +28,18 @@ object QueryKit {
 
   def f(s: SparkSession, dir: String, name: String): Frame = Frame(t(s, dir, name))
 
-  /** Table scan rebalanced across the cluster before CPU-bound map work.
-    * Test-fixture parquet is a single small file (one row group —
-    * unsplittable, so the scan is ONE task no matter the config), while
-    * per-row token analytics cost far more CPU than the bytes suggest; a
-    * round-robin shuffle of the (tiny) input buys full-core parallelism.
-    * At real scale the same rebalance is how a pipeline evens out skewed
-    * file sizes ahead of heavy per-row stages — the shuffle moves the raw
-    * text once and costs IO linear in input, never in work. */
-  def tSplit(s: SparkSession, dir: String, name: String): DataFrame =
-    t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
-
-  /** [[tSplit]] that also pre-sorts: range-partition + in-partition sort
-    * on `key` BEFORE a CPU-heavy map stage, so a deterministic-output
-    * query's final orderBy is satisfied by propagation (RangePartitioning
-    * and ordering survive narrow projections) and the expensive
-    * projection is evaluated ONCE — with a trailing orderBy the range
-    * exchange would sample and re-run the whole heavy stage. Explicit
-    * partition count keeps AQE from byte-coalescing the tiny-but-
-    * CPU-dense shuffle back to one task. */
+  /** Table scan rebalanced across the cluster before CPU-bound map work:
+    * range-partition + in-partition sort on `key`. Test-fixture parquet
+    * is a single small file (one row group — unsplittable, so the scan is
+    * ONE task no matter the config), while per-row token analytics cost
+    * far more CPU than the bytes suggest; the (tiny) shuffle buys
+    * full-core parallelism, and at real scale the same rebalance evens
+    * out skewed file sizes ahead of heavy per-row stages. Pre-sorting
+    * here means a deterministic-output query needs NO trailing orderBy —
+    * RangePartitioning and ordering survive narrow projections — where a
+    * trailing orderBy's range exchange would sample and re-run the whole
+    * heavy stage. Explicit partition count keeps AQE from byte-coalescing
+    * the CPU-dense shuffle back to one task. */
   def tSplitSorted(s: SparkSession, dir: String, name: String, key: String): DataFrame =
     t(s, dir, name)
       .repartitionByRange(s.sparkContext.defaultParallelism, col(key))

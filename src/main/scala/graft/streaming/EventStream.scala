@@ -118,12 +118,14 @@ object EventStream {
         case (userId, batch, state: GroupState[OooSessionState]) =>
           val wm = state.getCurrentWatermarkMs() * 1000L
           val st0 = state.getOption.getOrElse(OooSessionState(Vector.empty, 0L, Long.MinValue))
-          // incoming rows at-or-behind the watermark are late beyond the
-          // tolerance: drop them (the watermarked-aggregation rule) —
-          // folding them now would interleave wrongly with the already-
-          // folded prefix
-          val incoming = batch.map(t => toMicros(t._2)).filter(_ > wm).toVector
-          val (ready, still) = (st0.pending ++ incoming).sorted.partition(_ <= wm)
+          // incoming rows STRICTLY behind the watermark are late beyond
+          // the tolerance: drop them (folding them now would interleave
+          // wrongly with the already-folded prefix). A row AT the
+          // watermark is not late — it buffers and folds once the
+          // watermark strictly passes it, so boundary-timed ties always
+          // fold together in timestamp order regardless of arrival batch.
+          val incoming = batch.map(t => toMicros(t._2)).filter(_ >= wm).toVector
+          val (ready, still) = (st0.pending ++ incoming).sorted.partition(_ < wm)
           var sessions = st0.sessions
           var last = st0.lastMicros
           ready.foreach { m =>
@@ -178,12 +180,14 @@ object EventStream {
         case (_, batch, state: GroupState[OooEnrichState]) =>
           val wm = state.getCurrentWatermarkMs() * 1000L
           val st0 = state.getOption.getOrElse(OooEnrichState(Vector.empty, None))
+          // same boundary rule as sessionizeOoo: at-watermark rows buffer
+          // (they are not late), only strictly-passed rows fold
           val incoming = batch
             .map(t => EnrichInput(t._1, toMicros(t._2), t._3, t._4, t._5))
-            .filter(_.micros > wm).toVector
+            .filter(_.micros >= wm).toVector
           val (ready, still) = (st0.pending ++ incoming)
             .sortBy(r => (r.micros, if (r.isRight) 0 else 1, r.id))
-            .partition(_.micros <= wm)
+            .partition(_.micros < wm)
           var lastValue = st0.lastValue
           val out = scala.collection.mutable.ArrayBuffer.empty[EnrichOut]
           ready.foreach { r =>

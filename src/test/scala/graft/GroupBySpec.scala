@@ -50,16 +50,18 @@ class GroupBySpec extends SparkSuite {
   test("rank dense pct divides by the per-group distinct count (null keys kept)") {
     import spark.implicits._
     // group "a": distinct {1,2,5} → pct = dense/3; null group: {7} → 1/1;
-    // null VALUE rows never rank and never count toward the denominator
+    // null AND NaN value rows never rank and never count toward the
+    // denominator (pandas na_option='keep' treats NaN as missing)
     val d = Seq(
       (Some("a"), Some(1.0)), (Some("a"), Some(1.0)), (Some("a"), Some(2.0)),
-      (Some("a"), Some(5.0)), (Some("a"), None),
+      (Some("a"), Some(5.0)), (Some("a"), None), (Some("a"), Some(Double.NaN)),
       (None, Some(7.0))).toDF("k", "v")
     val got = Frame(d).groupby("k").rank("v", "r", "dense", pct = true)
       .df.orderBy(col("k").asc_nulls_last, col("v").asc_nulls_last)
       .collect().map(r => Option(r.getAs[java.lang.Double]("r")).map(_.toDouble))
+    // ordering puts NaN after reals, nulls after NaN within group "a"
     assert(got.toSeq == Seq(
-      Some(1.0 / 3), Some(1.0 / 3), Some(2.0 / 3), Some(3.0 / 3), None,
+      Some(1.0 / 3), Some(1.0 / 3), Some(2.0 / 3), Some(3.0 / 3), None, None,
       Some(1.0)))
   }
 

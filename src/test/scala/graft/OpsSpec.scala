@@ -162,6 +162,16 @@ class OpsSpec extends SparkSuite {
       Missing.interpolateIndex(bad, Seq("k"), ord, "x", "v", "o")
     }
     assert(e.getMessage.contains("integral"))
+    // duplicate index values: both neighbors at the same x would make
+    // g = 0 (ANSI divide-by-zero without the guard); pandas/np.interp
+    // right-bias the tie — pd.Series([1, NaN, 3], index=[5,5,5])
+    // .interpolate('index') == [1, 3, 3]
+    val dup = Seq[(String, Long, Long, java.lang.Double)](
+      ("k", 1L, 5L, 1.0), ("k", 2L, 5L, null), ("k", 3L, 5L, 3.0))
+      .toDF("k", "i", "x", "v")
+    val dupOut = Missing.interpolateIndex(dup, Seq("k"), Seq(SortKey.asc("i")), "x", "v", "o")
+      .orderBy("i").collect().map(_.getAs[Double]("o")).toSeq
+    assert(dupOut == Seq(1.0, 3.0, 3.0))
   }
 
   test("lreshape stacks groups position-wise; dropna drops any-null stacked rows") {
