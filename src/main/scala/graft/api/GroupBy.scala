@@ -65,16 +65,19 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
   private def running(order: Seq[SortKey]): WindowSpec =
     w(order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-  /** reference groupby_cumsum (base QC:3930). */
+  /** reference groupby_cumsum (base QC:3930). pandas skipna carries the
+    * running value PAST a missing row but emits NaN AT it — Spark's
+    * window sum alone would emit the carried value there, so null
+    * positions are masked (same rule as Frame.cumsumAxis1). */
   def cumsum(c: String, as: String, order: Seq[SortKey]): Frame =
-    frame.withColumn(as, sum(col(c)).over(running(order)))
+    frame.withColumn(as, when(col(c).isNotNull, sum(col(c)).over(running(order))))
 
   /** reference groupby_cummax/cummin (base QC:3954,3978). */
   def cummax(c: String, as: String, order: Seq[SortKey]): Frame =
-    frame.withColumn(as, max(col(c)).over(running(order)))
+    frame.withColumn(as, when(col(c).isNotNull, max(col(c)).over(running(order))))
 
   def cummin(c: String, as: String, order: Seq[SortKey]): Frame =
-    frame.withColumn(as, min(col(c)).over(running(order)))
+    frame.withColumn(as, when(col(c).isNotNull, min(col(c)).over(running(order))))
 
   /** reference groupby_cumcount (base QC:3906) — 0-based like pandas. */
   def cumcount(as: String, order: Seq[SortKey]): Frame =

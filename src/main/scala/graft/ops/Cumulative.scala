@@ -6,9 +6,14 @@ import org.apache.spark.sql.functions._
 import graft.api.SortKey
 
 /**
- * Global (ungrouped) running aggregates — pandas cumsum/cummax/cummin over
- * the whole frame (reference base query_compiler.py:1475-1585, a Fold over
- * the partition grid with carried state).
+ * Global (ungrouped) running aggregates — the skip-and-carry prefix under
+ * pandas cumsum/cummax/cummin over the whole frame (reference base
+ * query_compiler.py:1475-1585, a Fold over the partition grid with
+ * carried state). NOTE: like SQL window aggregates, a null-valued row
+ * emits the carried running value, not null — internal consumers
+ * (asofGlobal, Rank, Expanding, Corpus.packChunks) depend on exactly
+ * that; pandas-facing cumulatives add the null-position mask themselves
+ * (GroupBy.cumsum, Frame.cumsumAxis1).
  *
  * The naive Spark translation — `sum(x).over(Window.orderBy(key))` with no
  * partition keys — funnels ALL rows into one task (Spark even warns), the

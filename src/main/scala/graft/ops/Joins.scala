@@ -64,14 +64,26 @@ object Joins {
     // Numeric asof keys (supported by pandas merge_asof) must NOT be cast
     // to timestamp — that would reinterpret ints as epoch seconds. Only
     // normalize date/string/ntz keys; numeric keys order on the raw type.
+    // The coercion must agree on BOTH sides (same guard as asofGlobal) —
+    // a numeric right key under a temporal left key would silently be
+    // reinterpreted as epoch seconds.
     import org.apache.spark.sql.types._
+    def keyKind(dt: DataType): String = dt match {
+      case _: DateType | _: StringType | _: TimestampType | _: TimestampNTZType => "temporal"
+      case _: NumericType => "numeric"
+      case other => sys.error(s"asof: unsupported on-key type $other")
+    }
+    val leftKind = keyKind(left.schema(leftOn).dataType)
+    val rightKind = keyKind(right.schema(rightOn).dataType)
+    require(leftKind == rightKind,
+      s"asof: on-key types disagree — left '$leftOn' is " +
+        s"${left.schema(leftOn).dataType.simpleString} ($leftKind) but right " +
+        s"'$rightOn' is ${right.schema(rightOn).dataType.simpleString} ($rightKind); " +
+        "cast one side so both keys are numeric or both are temporal")
     val (onKey, toNum): (Column => Column, Column => Column) =
-      left.schema(leftOn).dataType match {
-        case _: DateType | _: StringType | _: TimestampType | _: TimestampNTZType =>
-          ((c: Column) => c.cast("timestamp"), (c: Column) => unix_micros(c))
-        case _: NumericType => (identity[Column] _, (c: Column) => c.cast("double"))
-        case other => sys.error(s"asof: unsupported on-key type $other")
-      }
+      if (leftKind == "temporal")
+        ((c: Column) => c.cast("timestamp"), (c: Column) => unix_micros(c))
+      else (identity[Column] _, (c: Column) => c.cast("double"))
 
     // matched right time rides inside the payload struct — tolerance and
     // the nearest-side choice both need it after the window
@@ -79,7 +91,13 @@ object Joins {
     val pStruct = struct((onKey(col(rightOn)).as(MT) +: payload.map(col)): _*)
     val pType = right.select(pStruct).schema.head.dataType
 
-    val r = right.select(
+    // pandas merge_asof RAISES on null merge keys; the deterministic
+    // distributed analog (same rule as asofGlobal): null-key right rows
+    // can never match, null-key left rows keep their row with null
+    // payload (masked at extraction below — without the mask a null left
+    // key would sort FIRST and grab the earliest right row under
+    // direction=forward).
+    val r = right.filter(col(rightOn).isNotNull).select(
       col(rightBy).as(leftBy),
       onKey(col(rightOn)).as(T),
       lit(0).as(Tag),
@@ -146,7 +164,7 @@ object Joins {
     }
 
     val out = payload.foldLeft(matched.filter(col(Tag) === 1)) { (d, p) =>
-      d.withColumn(p, col(Payload).getField(p))
+      d.withColumn(p, when(col(T).isNotNull, col(Payload).getField(p)))
     }
     out.select((leftCols.map(col) ++ payload.map(col)): _*)
   }
@@ -242,8 +260,21 @@ object Joins {
       bucketWidth: Long, maxBucketsPerInterval: Long = 10000L): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1: $bucketWidth")
     val B = "__rj_b__"
-    val loB = floor(col(loCol) / bucketWidth).cast("long")
-    val hiB = floor(col(hiCol) / bucketWidth).cast("long")
+    // Integral keys bucket in EXACT long arithmetic: (c - pmod(c, w)) is
+    // the floor multiple even for negatives, and `div` keeps the division
+    // integral. floor(c / w) goes through double division, which past
+    // 2^53 can round a point and its enclosing interval into different
+    // buckets — a silently dropped match the residual filter can't
+    // recover. Fractional keys keep the double path (their precision is
+    // bounded by the type itself).
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    def bucketOf(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        expr(s"(`$c` - pmod(`$c`, ${bucketWidth}L)) div ${bucketWidth}L")
+      case _ => floor(col(c) / bucketWidth).cast("long")
+    }
+    val loB = bucketOf(intervals, loCol)
+    val hiB = bucketOf(intervals, hiCol)
     val guarded = intervals.filter(col(loCol) <= col(hiCol))
     // fail fast on runaway expansion — one bad interval must not OOM a task
     val expanded = guarded
@@ -254,7 +285,7 @@ object Joins {
           col("__rj_n__"), lit(s" buckets > cap $maxBucketsPerInterval; " +
             "raise bucketWidth or the cap"))))))
       .drop("__rj_n__")
-    val bucketedPoints = points.withColumn(B, floor(col(tCol) / bucketWidth).cast("long"))
+    val bucketedPoints = points.withColumn(B, bucketOf(points, tCol))
     bucketedPoints.join(expanded, Seq(B))
       .filter(col(tCol) >= col(loCol) && col(tCol) <= col(hiCol))
       .drop(B)

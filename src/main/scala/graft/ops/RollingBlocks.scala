@@ -53,6 +53,10 @@ object RollingBlocks {
     // checkpointed frame) so parallelism survives even tiny shuffle confs
     val n = ordered.count()
     val b = blockSize.getOrElse(math.max(window.toLong, (n + parts - 1) / parts))
+    // an explicit block smaller than the window would leave rows near
+    // each block's leading edge missing predecessors — silently-short
+    // windows, the same invariant rollingTimeAgg already requires
+    require(b >= window, s"blockSize $b < window $window")
 
     val ro = col(Frame.RowOrder)
     val own = ordered
@@ -87,7 +91,8 @@ object RollingBlocks {
             collect_list(col(src)).over(w), v => v.isNotNull))
           val m = size(vals)
           val half = floor(m / lit(2)).cast("int") // Column./ is double division
-          when(m % 2 === 1, element_at(vals, half + 1).cast("double"))
+          when(m === 0, lit(null).cast("double")) // minPeriods=0, all-null window
+            .when(m % 2 === 1, element_at(vals, half + 1).cast("double"))
             .otherwise((element_at(vals, half).cast("double") +
               element_at(vals, half + 1).cast("double")) / 2.0)
         case q if q.startsWith("quantile:") =>
@@ -132,12 +137,16 @@ object RollingBlocks {
 
     val T = "__tus__"
     val base = df.withColumn(T, us)
+    // floor(), not cast-truncation, and pmod, not %: negative epoch-µs
+    // (pre-1970) must land in the lower block and still ghost forward —
+    // truncation rounds toward zero and % keeps the dividend's sign,
+    // which would silently drop every boundary-crossing window there
     val own = base
-      .withColumn(Blk, (col(T) / blockUs).cast("long"))
+      .withColumn(Blk, floor(col(T) / blockUs).cast("long"))
       .withColumn(Ghost, lit(false))
     val ghosts = base
-      .filter(col(T) % blockUs > blockUs - winUs)
-      .withColumn(Blk, (col(T) / blockUs).cast("long") + 1)
+      .filter(pmod(col(T), lit(blockUs)) > blockUs - winUs)
+      .withColumn(Blk, floor(col(T) / blockUs).cast("long") + 1)
       .withColumn(Ghost, lit(true))
     val unioned = own.unionByName(ghosts)
 

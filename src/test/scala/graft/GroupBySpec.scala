@@ -47,6 +47,16 @@ class GroupBySpec extends SparkSuite {
     assert(ranks("first") == Seq(1L, 2L, 3L))
   }
 
+  test("cumsum skips nulls in the carry but emits null AT null rows (pandas skipna)") {
+    import spark.implicits._
+    val d = Seq(("a", 1L, Some(1.0)), ("a", 2L, None), ("a", 3L, Some(2.0)))
+      .toDF("k", "i", "v")
+    val got = Frame(d).groupby("k").cumsum("v", "cs", Seq(SortKey.asc("i")))
+      .df.orderBy("i").collect()
+      .map(r => Option(r.getAs[java.lang.Double]("cs")).map(_.toDouble)).toSeq
+    assert(got == Seq(Some(1.0), None, Some(3.0)))
+  }
+
   test("rank dense pct divides by the per-group distinct count (null keys kept)") {
     import spark.implicits._
     // group "a": distinct {1,2,5} → pct = dense/3; null group: {7} → 1/1;

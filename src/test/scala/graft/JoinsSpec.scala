@@ -62,6 +62,20 @@ class JoinsSpec extends SparkSuite {
     assert(got == Set((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L)))
   }
 
+  test("rangeJoin buckets exactly on negative and >2^53 long keys") {
+    import spark.implicits._
+    // past 2^53 double division rounds; the exact long path must still
+    // co-bucket a point with its enclosing interval
+    val big = (1L << 60) + 12345L
+    val points = Seq((1L, -5L), (2L, big)).toDF("pid", "t")
+    val intervals = Seq((10L, -7L, -3L), (20L, big - 10L, big + 10L))
+      .toDF("iid", "lo", "hi")
+    val out = Joins.rangeJoin(points, "t", intervals, "lo", "hi",
+      bucketWidth = 1L << 41)
+      .select("pid", "iid").orderBy("pid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 10L), (2L, 20L)))
+  }
+
   test("rangeJoin fails fast on an interval exceeding the bucket-expansion cap") {
     import spark.implicits._
     val pts = Seq((1L, 5L)).toDF("pid", "t")
@@ -111,6 +125,35 @@ class JoinsSpec extends SparkSuite {
       "ts", "p_ts", "k", "k", Seq("pv", "p_id"), tieBreak = col("p_id"))
       .drop("k")
     assertParity(global.drop("ts"), keyed.drop("ts"))
+  }
+
+  test("asof null on-keys: null right rows never match, null left rows keep null payload") {
+    import spark.implicits._
+    val left = Seq((1L, Some(5L)), (1L, None)).toDF("k", "t")
+    val right = Seq((1L, None: Option[Long], "ghost"), (1L, Some(4L), "a"))
+      .toDF("k", "t", "tag")
+    Seq("backward", "forward", "nearest").foreach { dir =>
+      val out = Joins.asof(left, right, "t", "t", "k", "k",
+        payload = Seq("tag"), tieBreak = col("t"), direction = dir)
+        .orderBy(col("t").asc_nulls_last).collect()
+        .map(r => (Option(r.getAs[java.lang.Long]("t")).map(_.toLong),
+          Option(r.getAs[String]("tag"))))
+      // the null-key right row ('ghost') must never surface; the null-key
+      // left row keeps its row with a null payload in every direction
+      assert(out.toSeq == Seq(
+        (Some(5L), if (dir == "backward") Some("a") else if (dir == "nearest") Some("a") else None),
+        (None, None)), s"direction=$dir got ${out.toSeq}")
+    }
+  }
+
+  test("asof rejects mismatched on-key kinds like asofGlobal") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq((1L, "2024-01-01", 5.0)).toDF("k", "r_ts", "pv")
+    val e = intercept[IllegalArgumentException] {
+      Joins.asof(left, right, "ts", "r_ts", "k", "k", Seq("pv"), tieBreak = lit(0L))
+    }
+    assert(e.getMessage.contains("numeric") && e.getMessage.contains("temporal"))
   }
 
   test("asofGlobal rejects mismatched on-key kinds with a descriptive error") {

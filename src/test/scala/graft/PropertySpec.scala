@@ -109,8 +109,11 @@ class PropertySpec extends SparkSuite {
     (1 to 4).foreach { _ =>
       val size = 5 + rnd.nextInt(60)
       // clustered timestamps (seconds) with deliberate exact ties
+      // offset straddles 1970 so negative epoch-µs hit the floor/pmod
+      // block math (cast-truncation + signed % silently lose boundary
+      // windows there — the round-6 review fix)
       val rows = List.tabulate(size)(i =>
-        (i.toLong, (rnd.nextInt(40) * 7).toLong, rnd.nextInt(20).toDouble))
+        (i.toLong, (rnd.nextInt(40) * 7 - 140).toLong, rnd.nextInt(20).toDouble))
       val df = spark.createDataset(rows).toDF("id", "sec", "v")
         .withColumn("ts", timestamp_seconds(col("sec")))
         .repartition(1 + rnd.nextInt(4))
