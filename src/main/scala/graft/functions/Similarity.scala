@@ -123,15 +123,30 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nPlanes: Int = 8, nTables: Int = 4,
-      bucketFn: (Column, Int, Int) => Column = lshBucket): DataFrame = {
+      bucketFn: (Column, Int, Int) => Column = lshBucket,
+      maxQueries: Long = 1000000L): DataFrame = {
+    // the banded query set (nTables x rows, vectors included) is
+    // broadcast below — the same valve discipline as topKBruteForce,
+    // which routes large query sets here; without it this path would
+    // OOM at exactly the scale that routing promises to handle
+    val nQ = queries.count()
+    require(nQ <= maxQueries,
+      s"topKLsh broadcasts the banded query set: $nQ rows x $nTables tables > " +
+        s"maxQueries=$maxQueries; raise maxQueries explicitly, shrink the query " +
+        "set, or join bucketed sides without the broadcast hint")
+    // null/empty vectors have no meaningful projection — every plane
+    // votes 0 and ALL of them pile into bucket 0 of every table (a junk
+    // mega-bucket whose null cosines would pad sparse top-k results)
+    def realVecs(df: DataFrame, vecCol: String) =
+      df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
     def banded(df: DataFrame, vecCol: String) = df.select(
       col("*"),
       posexplode(array((0 until nTables).map(t =>
         bucketFn(col(vecCol), nPlanes, t)): _*)))
       .withColumnRenamed("pos", "__table__")
       .withColumnRenamed("col", "__bucket__")
-    val c = banded(corpus, corpusVec)
-    val q = banded(queries, queryVec)
+    val c = banded(realVecs(corpus, corpusVec), corpusVec)
+    val q = banded(realVecs(queries, queryVec), queryVec)
     val candidates = c.join(broadcast(q), Seq("__table__", "__bucket__"))
       .select(col(queryId), col(corpusId),
         nativeCosine(corpus)(col(corpusVec), col(queryVec)).as("cosine"))
@@ -160,7 +175,9 @@ object Similarity {
       centIdCol: String, centVecCol: String): DataFrame = {
     GraftExtensions.register(df.sparkSession)
     val idType = centroids.schema(centIdCol).dataType
-    val packed = centroids.agg(collect_list(
+    // the argmax fold uses cid IS NULL as its "no best yet" sentinel — a
+    // null-id centroid row would conflate with it and corrupt the fold
+    val packed = centroids.filter(col(centIdCol).isNotNull).agg(collect_list(
       struct(col(centIdCol).as("cid"), col(centVecCol).as("cvec"))).as("__cents__"))
     val keys = df.columns.map(col).toIndexedSeq
     // score each centroid exactly once, then fold argmax over the scores

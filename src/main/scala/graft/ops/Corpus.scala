@@ -254,8 +254,15 @@ object Corpus {
    * regex classes so the DuckDB oracle computes identical flags.
    */
   def qualityFlags(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = wsTokens(col(textCol))
-    val lines = split(col(textCol), "\n")
+    // materialize the token/line arrays ONCE (the repetitionStats rule:
+    // HOFs disable subexpression elimination, so each lambda reference
+    // to an unmaterialized split re-tokenizes the text — a constant
+    // ~3x per row here, pure waste on the corpus hot path)
+    val (wArr, lArr) = ("__words__", "__lines__")
+    val base = df.select(col(idCol), col(textCol),
+      wsTokens(col(textCol)).as(wArr), split(col(textCol), "\n").as(lArr))
+    val words = col(wArr)
+    val lines = col(lArr)
     val nWords = greatest(size(words), lit(1)).cast("double")
     val nLines = greatest(size(lines), lit(1)).cast("double")
     val alphaRatio =
@@ -268,7 +275,7 @@ object Corpus {
       size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).cast("double") / nLines
     val hasLorem = lower(col(textCol)).contains("lorem ipsum")
     val hasBrace = col(textCol).contains("{")
-    df.select(col(idCol),
+    base.select(col(idCol),
       alphaRatio.as("alpha_word_ratio"),
       meanLen.as("mean_word_len"),
       bulletRatio.as("bullet_line_ratio"),

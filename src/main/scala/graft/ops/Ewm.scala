@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /**
  * Exponentially-weighted mean (pandas `ewm(alpha).mean()`, adjust=True;
@@ -49,7 +49,7 @@ object Ewm {
       .filter(col(keyCol).isNotNull && col(orderCol).isNotNull && col(idCol).isNotNull)
       .select(
         col(keyCol).cast("long"),
-        col(orderCol).cast("long").as(orderCol),
+        ewmOrderKey(df, orderCol).as(orderCol),
         col(idCol).cast("long"),
         col(valueCol).cast("double"))
     val outSchema = StructType(src.schema.fields :+
@@ -63,7 +63,9 @@ object Ewm {
         var sw = 0.0; var sw2 = 0.0; var swx = 0.0; var swx2 = 0.0
         var nObs = 0L
         rows.iterator.map { r =>
-          val isObs = !r.isNullAt(3)
+          // NaN is a MISSING observation (pandas): as a value it would
+          // poison the decayed sums / reset the mean recurrence
+          val isObs = !r.isNullAt(3) && !r.getDouble(3).isNaN
           if (isObs || (!ignoreNa && nObs > 0)) {
             sw *= d; sw2 *= d * d; swx *= d; swx2 *= d
           }
@@ -109,7 +111,7 @@ object Ewm {
       .filter(col(keyCol).isNotNull && col(orderCol).isNotNull && col(idCol).isNotNull)
       .select(
         col(keyCol).cast("long"),
-        col(orderCol).cast("long").as(orderCol),
+        ewmOrderKey(df, orderCol).as(orderCol),
         col(idCol).cast("long"),
         col(valueCol).cast("double"))
     val outSchema = StructType(src.schema.fields :+ StructField(out, DoubleType))
@@ -124,7 +126,9 @@ object Ewm {
         var mean = Double.NaN
         var oldWt = 1.0
         rows.iterator.map { r =>
-          val isObs = !r.isNullAt(3)
+          // NaN is a MISSING observation (pandas): as a value it would
+          // poison the decayed sums / reset the mean recurrence
+          val isObs = !r.isNullAt(3) && !r.getDouble(3).isNaN
           if (!mean.isNaN) {
             if (isObs || !ignoreNa) {
               oldWt *= oldWtFactor
@@ -139,4 +143,15 @@ object Ewm {
         }
       }(enc)
   }
+
+  /** Order key in exact long units: timestamps keep microsecond
+    * resolution (a bare cast("long") truncates to whole SECONDS and
+    * sub-second order would silently fall to the id tie-break — the
+    * Resample.sessionize trap); everything else casts as before. */
+  private def ewmOrderKey(df: DataFrame, orderCol: String) =
+    df.schema(orderCol).dataType match {
+      case _: TimestampType | _: TimestampNTZType =>
+        unix_micros(col(orderCol).cast("timestamp"))
+      case _ => col(orderCol).cast("long")
+    }
 }

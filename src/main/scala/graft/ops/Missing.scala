@@ -105,7 +105,15 @@ object Missing {
     * position. Same exact-integer-unit discipline as
     * [[interpolateLinear]]: `valueCol` is a 2-decimal quantity, the line
     * is evaluated in 1e-4 units with half-up rounding, so both engines
-    * land on identical doubles. */
+    * land on identical doubles.
+    *
+    * EXACTNESS ENVELOPE: the half-up arithmetic computes
+    * (value x 10^4) x gap in a long and divides via double, so it is
+    * exact only while |value| x 10^4 x (x-gap between valid neighbors)
+    * stays under 2^52. Choose the x unit accordingly — epoch SECONDS or
+    * coarser for day-scale gaps; raw epoch microseconds with 6-digit
+    * values overflows the envelope (silently pre-ANSI, an error under
+    * ANSI). */
   def interpolateIndex(
       df: DataFrame, partitionBy: Seq[String], order: Seq[SortKey],
       xCol: String, valueCol: String, out: String): DataFrame = {

@@ -34,6 +34,9 @@ object Resample {
       if (closed == "left") date_trunc(unit, ts)
       else date_trunc(unit, ts - expr("INTERVAL 1 MICROSECOND"))
     if (label == "left") edge
+    // QUARTER is a valid date_trunc field but NOT a Spark interval unit —
+    // interval literals would ParseException, so step by 3 months
+    else if (unit.equalsIgnoreCase("quarter")) edge + expr("INTERVAL 3 MONTH")
     else edge + expr(s"INTERVAL 1 $unit")
   }
 
@@ -44,9 +47,11 @@ object Resample {
 
   /** Downsample with pandas closed/label control. */
   def downsampleWith(df: DataFrame, tsCol: String, unit: String,
-      closed: String, label: String, aggs: (String, Column)*): DataFrame =
+      closed: String, label: String, aggs: (String, Column)*): DataFrame = {
+    require(aggs.nonEmpty, "downsample: at least one (name, agg) pair required")
     df.groupBy(bucketWith(col(tsCol), unit, closed, label).as("bucket"))
       .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
+  }
 
   /** Upsample / asfreq (reference resample_asfreq base QC:5879): build a
     * dense time spine with `sequence` + `explode` (computed inside the plan

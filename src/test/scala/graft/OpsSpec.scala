@@ -70,6 +70,36 @@ class OpsSpec extends SparkSuite {
     assert(out(3).exists(v => math.abs(v - 32.5 / 1.25) < 1e-9))
   }
 
+  test("resample bucketWith label=right works for quarter (no interval literal)") {
+    import spark.implicits._
+    // QUARTER is a date_trunc field but not a Spark interval unit — the
+    // label=right edge must step 3 months instead of an interval literal
+    val d = Seq("2024-02-15 10:00:00", "2024-11-01 00:00:00")
+      .toDF("s").select(col("s").cast("timestamp").as("ts"))
+    val got = d.select(graft.ops.Resample.bucketWith(col("ts"), "quarter",
+      closed = "left", label = "right").cast("string").as("b"))
+      .orderBy("b").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("2024-04-01 00:00:00", "2025-01-01 00:00:00"), got)
+  }
+
+  test("ewm treats a NaN value as missing, not a reset/poison observation") {
+    import spark.implicits._
+    // pandas ewm(alpha=0.5, adjust=True) on [1, NaN, 3]:
+    //   mean = [1.0, 1.0, 2.6], var = [NaN, NaN, 2.0]
+    val d = Seq((1L, 1L, 1L, 1.0), (1L, 2L, 2L, Double.NaN), (1L, 3L, 3L, 3.0))
+      .toDF("k", "o", "id", "v")
+    val m = Ewm.meanByKey(d, "k", "o", "id", "v", alpha = 0.5, out = "e")
+      .orderBy("o").collect()
+      .map(r => Option(r.getAs[java.lang.Double]("e")).map(_.toDouble)).toSeq
+    assert(m(0).contains(1.0) && m(1).contains(1.0))
+    assert(m(2).exists(x => math.abs(x - 2.6) < 1e-9), s"got ${m(2)}")
+    val vr = Ewm.varByKey(d, "k", "o", "id", "v", alpha = 0.5, out = "ev")
+      .orderBy("o").collect()
+      .map(r => Option(r.getAs[java.lang.Double]("ev")).map(_.toDouble)).toSeq
+    assert(vr(0).isEmpty && vr(1).isEmpty)
+    assert(vr(2).exists(x => math.abs(x - 2.0) < 1e-9), s"got ${vr(2)}")
+  }
+
   test("ewm adjust/ignore_na combinations match pandas on a gappy series") {
     import spark.implicits._
     // series [2, null, 4, null, null, 1, 5], alpha=0.5 — expectations
