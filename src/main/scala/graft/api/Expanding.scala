@@ -32,7 +32,9 @@ final case class Expanding(frame: Frame, minPeriods: Int) {
 
   def sum(c: String, as: String): Frame = emit(sums(c), as, col(V))
   def count(c: String, as: String): Frame = emit(sums(c), as, col(C))
-  def mean(c: String, as: String): Frame = emit(sums(c), as, col(V) / col(C))
+  // C=0 (legal under min_periods=0) must yield null, not an ANSI 0/0
+  def mean(c: String, as: String): Frame =
+    emit(sums(c), as, when(col(C) > 0, col(V) / col(C)))
 
   private def fold(c: String, fn: String, as: String): Frame = {
     require(minPeriods <= 1,
@@ -75,11 +77,14 @@ final case class Expanding(frame: Frame, minPeriods: Int) {
         "__cx2__" -> "__sx2__", "__cy2__" -> "__sy2__", I -> C))
     val n = col(C).cast("double")
     val value =
-      if (isCorr)
-        (n * col("__sxy__") - col("__sx__") * col("__sy__")) /
-          sqrt((n * col("__sx2__") - col("__sx__") * col("__sx__")) *
-            (n * col("__sy2__") - col("__sy__") * col("__sy__")))
-      else
+      if (isCorr) {
+        // a zero-variance prefix (constant x or y) makes the denominator
+        // sqrt(0) — pandas yields NaN there; ANSI division would throw
+        val den = (n * col("__sx2__") - col("__sx__") * col("__sx__")) *
+          (n * col("__sy2__") - col("__sy__") * col("__sy__"))
+        when(den > 0,
+          (n * col("__sxy__") - col("__sx__") * col("__sy__")) / sqrt(den))
+      } else
         (col("__sxy__") - col("__sx__") * col("__sy__") / n) / (n - 1.0)
     frame.copy(df = run
       .withColumn(as, when(col(C) >= math.max(minPeriods, 2), value))

@@ -133,9 +133,19 @@ final case class Frame(
     }.toIndexedSeq: _*))
   }
 
-  /** pandas clip (reference QC:2438) — `greatest(least(c, hi), lo)`. */
-  def clip(column: String, lo: Double, hi: Double): Frame =
-    withColumn(column, greatest(least(col(column), lit(hi)), lit(lo)))
+  /** pandas clip (reference QC:2438) — `greatest(least(c, hi), lo)`,
+    * with missing kept missing: Spark's least/greatest SKIP nulls (and
+    * sort NaN above every double), so an unguarded clip would turn each
+    * null/NaN into the cap value. */
+  def clip(column: String, lo: Double, hi: Double): Frame = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val missing = df.schema(column).dataType match {
+      case DoubleType | FloatType => col(column).isNull || isnan(col(column))
+      case _ => col(column).isNull
+    }
+    withColumn(column,
+      when(!missing, greatest(least(col(column), lit(hi)), lit(lo))))
+  }
 
   /** pandas where: keep values where cond holds, else replacement
     * (reference QC:626). Note pandas `where` keeps-if-true. */
@@ -282,9 +292,15 @@ final case class Frame(
   def sortValues(c: String, ascending: Boolean = true): Frame =
     sortValues(Seq(SortKey(col(c), ascending)))
 
-  /** head(n): when an ordering is declared this is a TakeOrdered physical
-    * plan (per-partition top-n + driver merge — no global shuffle). */
-  def head(n: Int): Frame = copy(df = df.limit(n))
+  /** head(n): re-asserts the declared ordering first — an exchange
+    * between sortValues and head (dropDuplicates' window, a join) would
+    * otherwise leave limit() taking n ARBITRARY rows. Sort+Limit plans as
+    * TakeOrdered (per-partition top-n + driver merge, no global
+    * shuffle), and EliminateSorts drops the sort when the child is
+    * already ordered. */
+  def head(n: Int): Frame = copy(df =
+    (if (ordering.nonEmpty) df.orderBy(ordering.map(_.toColumn): _*) else df)
+      .limit(n))
 
   /** tail(n) without collecting: reverse the declared ordering, take n,
     * restore order. Two TakeOrdered passes, still no global shuffle. */

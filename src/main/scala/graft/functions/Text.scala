@@ -39,11 +39,12 @@ object Text {
   }
 
   /** pandas `str.wrap(width)` — textwrap-style greedy reflow: collapse
-    * whitespace runs (textwrap replace_whitespace=True), then break at
-    * the last space within each `width` window. Pure regex (identical
-    * pattern runs in RE2 for the oracle). Documented deviation: words
-    * longer than `width` are not broken mid-word
-    * (pandas break_long_words=True). */
+    * whitespace runs, then break at the last space within each `width`
+    * window. Pure regex (identical pattern runs in RE2 for the oracle).
+    * Documented deviations: words longer than `width` are not broken
+    * mid-word (pandas break_long_words=True), and whitespace RUNS
+    * collapse to one space where textwrap's replace_whitespace=True maps
+    * each whitespace char to a space preserving the run length. */
   def wrap(text: Column, width: Int): Column = {
     require(width > 0, s"wrap: width must be positive: $width")
     regexp_replace(
@@ -70,8 +71,12 @@ object Text {
     size(regexp_extract_all(text,
       lit("'[std]|'re|'ve|'ll|'m| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+"), lit(0)))
 
-  /** Distinct word tokens. */
-  def wordTokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+  /** Whitespace word tokens, empties filtered: split("") yields [""] and
+    * a leading tab/newline yields a leading "" (Spark trim strips only
+    * 0x20) — phantom tokens that would add a spurious simhash vote and a
+    * bogus leading shingle. */
+  def wordTokens(text: Column): Column =
+    filter(split(trim(lower(text)), "\\s+"), t => t =!= "")
 
   // PII scrubbing (corpus-prep stage: mask contact data before training).
   // ASCII-only character classes and non-capturing groups so the patterns
@@ -100,9 +105,12 @@ object Text {
     size(regexp_extract_all(regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
       Ipv4Re, "<IP>"), lit(PhoneRe), lit(0))))
 
-  /** Average token length. */
-  def avgTokenLen(text: Column): Column =
-    (length(regexp_replace(text, "\\s+", "")).cast("double") / tokenCountWs(text))
+  /** Average token length; null for token-free text (0/0 would throw
+    * under ANSI — same guard family as punctRatio). */
+  def avgTokenLen(text: Column): Column = {
+    val n = tokenCountWs(text)
+    when(n > 0, length(regexp_replace(text, "\\s+", "")).cast("double") / n)
+  }
 
   /** Punctuation ratio — explicit char class (identical regex meaning in
     * Java regex and RE2, so the DuckDB oracle computes the same thing). */
@@ -144,9 +152,12 @@ object Text {
 
   /** Canonicalizing document fingerprint: lower-case, collapse non-word
     * runs, md5. Identical duplicates after formatting noise collapse to one
-    * fingerprint — the exact-dedup key. */
+    * fingerprint — the exact-dedup key. The class is UNICODE-aware
+    * ([^\p{L}\p{N}_], same meaning in Java regex and RE2): ASCII \W
+    * deletes every non-Latin letter, collapsing all pure-CJK/Cyrillic
+    * documents onto ONE fingerprint (identical on ASCII corpora). */
   def fingerprint(text: Column): Column =
-    md5(trim(regexp_replace(lower(text), "\\W+", " ")))
+    md5(trim(regexp_replace(lower(text), "[^\\p{L}\\p{N}_]+", " ")))
 
   /** Word n-gram shingles (arrays of n consecutive tokens joined by a
     * space). Pure expression: transform over an index sequence. */
@@ -223,7 +234,8 @@ object Text {
     * reference — O(n²) per row; CollapseProject keeps the two projections
     * separate because the column is non-cheap and multiply referenced. */
   def kgramHashes(text: Column, k: Int): Column = {
-    val t = trim(regexp_replace(lower(text), "\\W+", " "))
+    // unicode-aware class — see fingerprint
+    val t = trim(regexp_replace(lower(text), "[^\\p{L}\\p{N}_]+", " "))
     val nGrams = greatest(length(t) - (k - 1), lit(1))
     transform(sequence(lit(1), nGrams), i => md5(t.substr(i, lit(k))))
   }

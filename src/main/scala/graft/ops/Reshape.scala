@@ -115,7 +115,10 @@ object Reshape {
       case "all"     => val gt = sum(cells.reduce(_ + _)).over(w); colValues.map(_ => gt)
     }
     counts.select(col(rowCol) +: colValues.zip(cells).zip(denom).map {
-      case ((v, c), d) => (c.cast("double") / d).as(v)
+      // a zero denominator (a listed pivot value absent from the data, or
+      // a row whose values all fall outside colValues) is pandas NaN —
+      // ANSI division would throw
+      case ((v, c), d) => when(d > 0, c.cast("double") / d).as(v)
     }: _*)
   }
 }

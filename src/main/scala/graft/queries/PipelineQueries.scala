@@ -28,7 +28,7 @@ object PipelineQueries {
       (s, dir) => Frame(Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text"))
         .sortValues(Seq(SortKey.asc("fingerprint"))).df,
       Some("""
-        SELECT md5(trim(regexp_replace(lower(text), '\W+', ' ', 'g'))) AS fingerprint,
+        SELECT md5(trim(regexp_replace(lower(text), '[^\p{L}\p{N}_]+', ' ', 'g'))) AS fingerprint,
                count(*) AS n_docs, min(doc_id) AS keep_id
         FROM documents GROUP BY 1 ORDER BY 1"""),
       headline = true),
@@ -42,7 +42,7 @@ object PipelineQueries {
         SELECT doc_id, lang, source FROM (
           SELECT doc_id, lang, source,
                  row_number() OVER (
-                   PARTITION BY md5(trim(regexp_replace(lower(text), '\W+', ' ', 'g')))
+                   PARTITION BY md5(trim(regexp_replace(lower(text), '[^\p{L}\p{N}_]+', ' ', 'g')))
                    ORDER BY doc_id) AS rn
           FROM documents) WHERE rn = 1 ORDER BY doc_id""")),
 
@@ -129,7 +129,7 @@ object PipelineQueries {
           SELECT * FROM (
             SELECT doc_id, text,
                    row_number() OVER (
-                     PARTITION BY md5(trim(regexp_replace(lower(text), '\W+', ' ', 'g')))
+                     PARTITION BY md5(trim(regexp_replace(lower(text), '[^\p{L}\p{N}_]+', ' ', 'g')))
                      ORDER BY doc_id) AS rn
             FROM documents) WHERE rn = 1),
         scored AS (
@@ -411,7 +411,7 @@ object PipelineQueries {
       Some("""
         WITH c AS (
           SELECT doc_id, text,
-                 trim(regexp_replace(lower(text), '\W+', ' ', 'g')) AS t
+                 trim(regexp_replace(lower(text), '[^\p{L}\p{N}_]+', ' ', 'g')) AS t
           FROM documents),
         g AS (
           SELECT doc_id, text,
@@ -597,7 +597,7 @@ object PipelineQueries {
       Some("""
         SELECT lang, count(*) AS n_kept FROM (
           SELECT lang, row_number() OVER (
-            PARTITION BY md5(trim(regexp_replace(lower(text), '\W+', ' ', 'g')))
+            PARTITION BY md5(trim(regexp_replace(lower(text), '[^\p{L}\p{N}_]+', ' ', 'g')))
             ORDER BY doc_id) AS rn
           FROM documents) WHERE rn = 1 GROUP BY lang ORDER BY lang""")))
 }
