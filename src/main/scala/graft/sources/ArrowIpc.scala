@@ -60,7 +60,10 @@ object ArrowIpc {
     val files = {
       val f = new File(path)
       if (f.isDirectory)
-        f.listFiles().filter(_.isFile).map(_.getAbsolutePath).sorted.toSeq
+        // only .arrow files: a stray _SUCCESS/.crc would fail the whole
+        // scan on missing magic bytes
+        f.listFiles().filter(f => f.isFile && f.getName.endsWith(".arrow"))
+          .map(_.getAbsolutePath).sorted.toSeq
       else Seq(path)
     }
     require(files.nonEmpty, s"no arrow files under $path")
@@ -182,6 +185,10 @@ object ArrowIpc {
     sparkSchema.foreach(toArrowField) // validate on the driver, not per task
     val dir = new File(path)
     require(dir.isDirectory || dir.mkdirs(), s"cannot create directory $path")
+    // overwrite semantics: stale part files from a previous (wider) write
+    // would otherwise silently union into a later read
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".arrow")).foreach(_.delete())
     df.rdd.foreachPartition { rows =>
       val part = org.apache.spark.TaskContext.getPartitionId()
       val arrowSchema = new ArrowSchema(sparkSchema.map(toArrowField).asJava)

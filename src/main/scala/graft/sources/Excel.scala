@@ -84,7 +84,11 @@ object Excel {
     }
     val ws = parseXml(entries.getOrElse(sheetPath,
       throw new IllegalArgumentException(s"sheet entry $sheetPath missing")))
-    val rows = children(ws, "row").map { r =>
+    // SpreadsheetML omits entirely-blank rows from sheetData: track the
+    // row's r index and emit all-null rows for the gaps so positions
+    // match pandas read_excel (otherwise later data silently shifts up)
+    val rawRows = children(ws, "row").map { r =>
+      var nextCol = 0 // the cell r attribute is OPTIONAL: absent -> sequential
       val cells = children(r, "c").flatMap { c =>
         val t = c.getAttribute("t")
         val v: Any = t match {
@@ -93,21 +97,37 @@ object Excel {
             val vs = children(c, "v").headOption.map(_.getTextContent)
             vs.map { raw =>
               t match {
-                case "s"   => shared(raw.toInt)
-                case "b"   => raw == "1"
-                case "str" => raw
-                case _     => raw.toDouble // SpreadsheetML numbers are decimal
+                case "s"        => shared(raw.toInt)
+                case "b"        => raw == "1"
+                // str = formula string, e = error literal (#DIV/0! — a
+                // string in pandas too), d = ISO-8601 date text; none of
+                // these are decimal, raw.toDouble would throw
+                case "str" | "e" | "d" => raw
+                case _          => raw.toDouble // SpreadsheetML numbers are decimal
               }
             }.orNull
         }
-        if (v == null) None else Some(colIndex(c.getAttribute("r")) -> v)
+        val ref = c.getAttribute("r")
+        val idx = if (ref.isEmpty) nextCol else colIndex(ref)
+        nextCol = idx + 1
+        if (v == null) None else Some(idx -> v)
       }
-      cells
+      val rIdx = Option(r.getAttribute("r")).filter(_.nonEmpty).map(_.toInt)
+      (rIdx, cells)
     }
-    val width = (rows.flatMap(_.map(_._1)) :+ -1).max + 1
-    rows.map { cells =>
+    // assign sequential positions where r is absent, then fill gaps
+    var nextRow = 1
+    val indexed = rawRows.map { case (rIdx, cells) =>
+      val i = rIdx.getOrElse(nextRow)
+      nextRow = i + 1
+      (i, cells)
+    }
+    val width = (indexed.flatMap(_._2.map(_._1)) :+ -1).max + 1
+    val lastRow = (indexed.map(_._1) :+ 0).max
+    val byIdx = indexed.toMap
+    (1 to lastRow).map { i =>
       val arr = new Array[Any](width)
-      cells.foreach { case (i, v) => arr(i) = v }
+      byIdx.getOrElse(i, Nil).foreach { case (c, v) => arr(c) = v }
       arr
     }
   }
@@ -161,8 +181,29 @@ object Excel {
         .map(_.getAbsolutePath).sorted.toSeq
       require(files.nonEmpty, s"no .xlsx files under $path")
       val (schema, _) = toTyped(parseGrid(zipEntries(files.head), sheet), header)
+      // later files re-infer their OWN types/width, which need not match
+      // the driver schema (a 1.5 under a whole-number first file, an
+      // extra column) — coerce every task row to the driver schema
+      // instead of letting the encoder throw mid-job
+      val width = schema.length
+      val dts = schema.map(_.dataType).toIndexedSeq
       val rdd = spark.sparkContext.parallelize(files, files.size).flatMap { p =>
-        toTyped(parseGrid(zipEntries(p), sheet), header)._2
+        toTyped(parseGrid(zipEntries(p), sheet), header)._2.map { r =>
+          Row.fromSeq((0 until width).map { i =>
+            val v = if (i < r.length) r.get(i) else null
+            (v, dts(i)) match {
+              case (null, _) => null
+              case (x: Long, DoubleType) => x.toDouble
+              case (x: Double, LongType) => if (x.isWhole) x.toLong else null
+              case (x, StringType) if !x.isInstanceOf[String] => x.toString
+              case (x: Long, LongType) => x
+              case (x: Double, DoubleType) => x
+              case (x: Boolean, BooleanType) => x
+              case (x: String, StringType) => x
+              case _ => null // incompatible cell under the driver schema
+            }
+          })
+        }
       }
       spark.createDataFrame(rdd, schema)
     } else {
@@ -176,7 +217,11 @@ object Excel {
   private def xmlEscape(s: String): String =
     s.flatMap {
       case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
-      case '"' => "&quot;"; case c => c.toString
+      case '"' => "&quot;"
+      // XML 1.0 forbids most C0 controls — a raw \u0001 would make the
+      // workbook unreadable (including by this file's own reader)
+      case c if c < 0x20 && c != '\t' && c != '\n' && c != '\r' => ""
+      case c => c.toString
     }
 
   private def colName(i: Int): String = {

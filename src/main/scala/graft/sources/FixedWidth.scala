@@ -16,10 +16,14 @@ object FixedWidth {
   /** Read `path` as fixed-width text. `colspecs` are
     * (name, start, end, sparkType) with pandas' 0-based half-open
     * [start, end) character intervals. Values are trimmed before the
-    * cast, so both left- and right-aligned fields parse. */
+    * cast, so both left- and right-aligned fields parse; a blank or
+    * beyond-line-length field is NULL (pandas NaN) for every type —
+    * without the guard string columns would keep "" while numeric ones
+    * null out via the failed cast. */
   def read(spark: SparkSession, path: String,
       colspecs: Seq[(String, Int, Int, String)]): DataFrame =
     spark.read.text(path).select(colspecs.map { case (name, start, end, dt) =>
-      trim(substring(col("value"), start + 1, end - start)).cast(dt).as(name)
+      val field = trim(substring(col("value"), start + 1, end - start))
+      when(field =!= "", field).cast(dt).as(name)
     }: _*)
 }

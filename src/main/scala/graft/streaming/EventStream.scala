@@ -116,7 +116,11 @@ object EventStream {
       .flatMapGroupsWithState[OooSessionState, SessionUpdate](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId, batch, state: GroupState[OooSessionState]) =>
-          val wm = state.getCurrentWatermarkMs() * 1000L
+          // 0 = no watermark established yet (first batches): nothing is
+          // late, and pre-1970 (negative-micros) events must not be
+          // mistaken for it
+          val wmMs = state.getCurrentWatermarkMs()
+          val wm = if (wmMs == 0L) Long.MinValue else wmMs * 1000L
           val st0 = state.getOption.getOrElse(OooSessionState(Vector.empty, 0L, Long.MinValue))
           // incoming rows STRICTLY behind the watermark are late beyond
           // the tolerance: drop them (folding them now would interleave
@@ -135,7 +139,10 @@ object EventStream {
           state.update(OooSessionState(still, sessions, last))
           // re-arm: fire as soon as the watermark passes the earliest
           // pending event (must be strictly ahead of the current watermark)
-          if (still.nonEmpty) state.setTimeoutTimestamp(still.min / 1000L + 1L)
+          // clamp above the current watermark: a pre-1970 pending event
+          // would otherwise arm a timeout Spark rejects as not-in-future
+          if (still.nonEmpty) state.setTimeoutTimestamp(
+            math.max(still.min / 1000L + 1L, wmMs + 1L))
           if (ready.nonEmpty) Iterator(SessionUpdate(userId, sessions)) else Iterator.empty
       }
   }
@@ -178,7 +185,11 @@ object EventStream {
       .flatMapGroupsWithState[OooEnrichState, EnrichOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (_, batch, state: GroupState[OooEnrichState]) =>
-          val wm = state.getCurrentWatermarkMs() * 1000L
+          // 0 = no watermark established yet (first batches): nothing is
+          // late, and pre-1970 (negative-micros) events must not be
+          // mistaken for it
+          val wmMs = state.getCurrentWatermarkMs()
+          val wm = if (wmMs == 0L) Long.MinValue else wmMs * 1000L
           val st0 = state.getOption.getOrElse(OooEnrichState(Vector.empty, None))
           // same boundary rule as sessionizeOoo: at-watermark rows buffer
           // (they are not late), only strictly-passed rows fold
@@ -195,7 +206,8 @@ object EventStream {
             else out += EnrichOut(r.id, lastValue)
           }
           state.update(OooEnrichState(still, lastValue))
-          if (still.nonEmpty) state.setTimeoutTimestamp(still.map(_.micros).min / 1000L + 1L)
+          if (still.nonEmpty) state.setTimeoutTimestamp(
+            math.max(still.map(_.micros).min / 1000L + 1L, wmMs + 1L))
           out.iterator
       }
   }

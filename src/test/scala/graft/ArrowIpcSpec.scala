@@ -72,6 +72,22 @@ class ArrowIpcSpec extends SparkSuite {
     assert(back.count() == 3)
   }
 
+  test("re-write into the same directory clears stale parts; stray files are ignored") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_arrow_ow").toFile
+    dir.deleteOnExit()
+    graft.sources.ArrowIpc.write(
+      (1L to 8L).toDF("v").repartition(8), dir.getAbsolutePath)
+    // a marker file a distributed writer would leave behind
+    java.nio.file.Files.writeString(new java.io.File(dir, "_SUCCESS").toPath, "")
+    graft.sources.ArrowIpc.write(
+      (100L to 101L).toDF("v").repartition(1), dir.getAbsolutePath)
+    val back = ArrowIpc.read(spark, dir.getAbsolutePath)
+    // without the overwrite cleanup the 8 stale parts union in silently;
+    // without the extension filter the _SUCCESS file kills the scan
+    assert(back.orderBy("v").collect().map(_.getLong(0)).toSeq == Seq(100L, 101L))
+  }
+
   test("temporal types round-trip: date32, instant timestamp, wall-clock ntz") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

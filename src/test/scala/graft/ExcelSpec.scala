@@ -92,6 +92,42 @@ class ExcelSpec extends SparkSuite {
     }
   }
 
+  test("error cells, missing cell refs, and omitted blank rows parse like pandas") {
+    val contentTypes =
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/></Types>"""
+    val rootRels =
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>"""
+    val workbook =
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="s" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    val workbookRels =
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>"""
+    // row 1: header cells WITHOUT r attributes (optional per the spec);
+    // row 2: a formula-error cell (t="e" — would crash raw.toDouble);
+    // row 4 after an omitted blank row 3 (must surface as an all-null row)
+    val sheet1 =
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c t="inlineStr"><is><t>a</t></is></c><c t="inlineStr"><is><t>b</t></is></c></row><row r="2"><c r="A2"><v>1</v></c><c r="B2" t="e"><v>#DIV/0!</v></c></row><row r="4"><c r="A4"><v>4</v></c><c r="B4" t="str"><v>ok</v></c></row></sheetData></worksheet>"""
+    val f = java.io.File.createTempFile("graft_xl_edge", ".xlsx")
+    f.deleteOnExit()
+    val zos = new ZipOutputStream(new FileOutputStream(f.getAbsolutePath))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    try {
+      put("[Content_Types].xml", contentTypes)
+      put("_rels/.rels", rootRels)
+      put("xl/workbook.xml", workbook)
+      put("xl/_rels/workbook.xml.rels", workbookRels)
+      put("xl/worksheets/sheet1.xml", sheet1)
+    } finally zos.close()
+    val df = Excel.read(spark, f.getAbsolutePath)
+    assert(df.columns.toSeq == Seq("a", "b"))
+    val rows = df.collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(rows == Set(
+      (Some(1L), Some("#DIV/0!")), // error cell keeps its literal; b types to string
+      (None, None),                // the omitted blank row 3
+      (Some(4L), Some("ok"))))
+  }
+
   test("directory input parallelizes one task per workbook") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_xl_dir").toFile
