@@ -260,17 +260,21 @@ object Joins {
       bucketWidth: Long, maxBucketsPerInterval: Long = 10000L): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1: $bucketWidth")
     val B = "__rj_b__"
-    // Integral keys bucket in EXACT long arithmetic: (c - pmod(c, w)) is
-    // the floor multiple even for negatives, and `div` keeps the division
-    // integral. floor(c / w) goes through double division, which past
-    // 2^53 can round a point and its enclosing interval into different
-    // buckets — a silently dropped match the residual filter can't
-    // recover. Fractional keys keep the double path (their precision is
-    // bounded by the type itself).
+    // Integral keys bucket in EXACT long arithmetic via floor division:
+    // truncating `div`, minus 1 when a negative key has a remainder.
+    // floor(c / w) goes through double division, which past 2^53 can
+    // round a point and its enclosing interval into different buckets —
+    // a silently dropped match the residual filter can't recover. (The
+    // earlier `(c - pmod(c, w)) div w` form was exact too but its
+    // subtraction passes below Long.MinValue for keys within bucketWidth
+    // of the bottom of the range — an ANSI overflow; every intermediate
+    // here stays within the key's own range.) Fractional keys keep the
+    // double path (their precision is bounded by the type itself).
     import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
     def bucketOf(df: DataFrame, c: String): Column = df.schema(c).dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
-        expr(s"(`$c` - pmod(`$c`, ${bucketWidth}L)) div ${bucketWidth}L")
+        expr(s"(`$c` div ${bucketWidth}L) - " +
+          s"(case when `$c` < 0 and `$c` % ${bucketWidth}L != 0 then 1 else 0 end)")
       case _ => floor(col(c) / bucketWidth).cast("long")
     }
     val loB = bucketOf(intervals, loCol)

@@ -225,7 +225,7 @@ object PipelineQueries {
       Some("""
         WITH tok AS (
           SELECT doc_id,
-                 list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
+                 list_transform(regexp_extract_all(trim(lower(text)), '\S+'),
                                 t -> md5(t)) AS hs
           FROM documents),
         bits AS (

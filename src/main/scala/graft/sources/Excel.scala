@@ -124,6 +124,13 @@ object Excel {
     }
     val width = (indexed.flatMap(_._2.map(_._1)) :+ -1).max + 1
     val lastRow = (indexed.map(_._1) :+ 0).max
+    // last-one-wins toMap would silently drop data when two <row> elements
+    // carry the same r (or a sequential fallback collides with a later
+    // explicit r) — a malformed sheet must fail, not lose rows
+    val dupRows = indexed.map(_._1).groupBy(identity)
+      .collect { case (i, xs) if xs.size > 1 => i }.toSeq.sorted
+    require(dupRows.isEmpty,
+      s"duplicate row index ${dupRows.mkString(", ")} in sheet — malformed workbook")
     val byIdx = indexed.toMap
     (1 to lastRow).map { i =>
       val arr = new Array[Any](width)
@@ -142,6 +149,22 @@ object Excel {
       if (nn.forall { case d: Double => d.isWhole && math.abs(d) < 9.007199254740992e15 })
         LongType else DoubleType
     } else StringType
+  }
+
+  /** Widen two per-file inferred schemas, pandas-concat style: equal
+    * types keep, {long, double} → double, any other mix → string; width
+    * = max, a file's missing trailing columns read as null. */
+  private def mergeSchemas(a: StructType, b: StructType): StructType = {
+    def widen(x: DataType, y: DataType): DataType = (x, y) match {
+      case (s, t) if s == t => s
+      case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+      case _ => StringType
+    }
+    StructType((0 until math.max(a.length, b.length)).map { i =>
+      if (i >= a.length) b(i)
+      else if (i >= b.length) a(i)
+      else StructField(a(i).name, widen(a(i).dataType, b(i).dataType), nullable = true)
+    })
   }
 
   private def toTyped(grid: Seq[Array[Any]], header: Boolean): (StructType, Seq[Row]) = {
@@ -180,11 +203,16 @@ object Excel {
       val files = f.listFiles().filter(x => x.isFile && x.getName.endsWith(".xlsx"))
         .map(_.getAbsolutePath).sorted.toSeq
       require(files.nonEmpty, s"no .xlsx files under $path")
-      val (schema, _) = toTyped(parseGrid(zipEntries(files.head), sheet), header)
-      // later files re-infer their OWN types/width, which need not match
-      // the driver schema (a 1.5 under a whole-number first file, an
-      // extra column) — coerce every task row to the driver schema
-      // instead of letting the encoder throw mid-job
+      // Each file re-infers its OWN types/width, which need not match the
+      // first file's (a 1.5 under a whole-number first file, an extra
+      // column). Coercing everything to the FIRST schema would null
+      // incompatible cells — silent data loss where pandas concat widens
+      // the dtype instead. So: a distributed schema pass first, merge on
+      // the driver with the long ⊂ double ⊂ string lattice, then coerce
+      // each task row to the WIDENED schema (total — nothing can null).
+      val fileSchemas = spark.sparkContext.parallelize(files, files.size)
+        .map(p => toTyped(parseGrid(zipEntries(p), sheet), header)._1).collect()
+      val schema = fileSchemas.reduce(mergeSchemas)
       val width = schema.length
       val dts = schema.map(_.dataType).toIndexedSeq
       val rdd = spark.sparkContext.parallelize(files, files.size).flatMap { p =>
@@ -194,13 +222,10 @@ object Excel {
             (v, dts(i)) match {
               case (null, _) => null
               case (x: Long, DoubleType) => x.toDouble
-              case (x: Double, LongType) => if (x.isWhole) x.toLong else null
+              case (x: Double, StringType) =>
+                if (x.isWhole) x.toLong.toString else x.toString
               case (x, StringType) if !x.isInstanceOf[String] => x.toString
-              case (x: Long, LongType) => x
-              case (x: Double, DoubleType) => x
-              case (x: Boolean, BooleanType) => x
-              case (x: String, StringType) => x
-              case _ => null // incompatible cell under the driver schema
+              case (x, _) => x // merged type = this file's type by lattice
             }
           })
         }

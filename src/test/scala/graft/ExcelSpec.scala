@@ -141,4 +141,51 @@ class ExcelSpec extends SparkSuite {
     assert(df.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
+
+  test("multi-file reads widen long→double across files instead of nulling cells") {
+    import spark.implicits._
+    // file a infers x as long (whole numbers only); file b has 1.5 —
+    // pandas concat widens to float64; coercing b to a's schema would
+    // null the 1.5 (silent data loss)
+    val dir = java.nio.file.Files.createTempDirectory("graft_xl_widen").toFile
+    dir.deleteOnExit()
+    Excel.write(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x")
+        .selectExpr("id", "cast(x as long) as x"),
+      new java.io.File(dir, "a.xlsx").getAbsolutePath)
+    Excel.write(Seq((3L, 1.5)).toDF("id", "x"),
+      new java.io.File(dir, "b.xlsx").getAbsolutePath)
+    val df = Excel.read(spark, dir.getAbsolutePath)
+    assert(df.schema("x").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(df.orderBy("id").collect().map(_.getDouble(1)).toSeq == Seq(10.0, 20.0, 1.5))
+  }
+
+  test("duplicate row indices fail loudly instead of last-one-wins dropping data") {
+    val contentTypes =
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/></Types>"""
+    val rootRels =
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>"""
+    val workbook =
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="s" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    val workbookRels =
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>"""
+    // two <row> elements both claiming r="2" — a malformed sheet that the
+    // old toMap silently collapsed to one row
+    val sheet1 =
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c t="inlineStr"><is><t>a</t></is></c></row><row r="2"><c r="A2"><v>1</v></c></row><row r="2"><c r="A2"><v>2</v></c></row></sheetData></worksheet>"""
+    val f = java.io.File.createTempFile("graft_xl_dup", ".xlsx")
+    f.deleteOnExit()
+    val zos = new ZipOutputStream(new FileOutputStream(f.getAbsolutePath))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    try {
+      put("[Content_Types].xml", contentTypes)
+      put("_rels/.rels", rootRels)
+      put("xl/workbook.xml", workbook)
+      put("xl/_rels/workbook.xml.rels", workbookRels)
+      put("xl/worksheets/sheet1.xml", sheet1)
+    } finally zos.close()
+    val e = intercept[IllegalArgumentException] { Excel.read(spark, f.getAbsolutePath) }
+    assert(e.getMessage.contains("duplicate row index 2"))
+  }
 }

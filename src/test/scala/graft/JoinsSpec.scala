@@ -76,6 +76,20 @@ class JoinsSpec extends SparkSuite {
     assert(out.toSeq == Seq((1L, 10L), (2L, 20L)))
   }
 
+  test("rangeJoin handles keys within bucketWidth of Long.MinValue without overflow") {
+    import spark.implicits._
+    // the old `(c - pmod(c, w)) div w` floor form overflowed below
+    // Long.MinValue for keys in the bottom bucket (ANSI arithmetic error);
+    // the floor-div form must both survive and still co-bucket correctly
+    val lo = Long.MinValue
+    val points = Seq((1L, lo + 3L), (2L, lo + 150L)).toDF("pid", "t")
+    val intervals = Seq((10L, lo, lo + 10L), (20L, lo + 100L, lo + 200L))
+      .toDF("iid", "lo", "hi")
+    val out = Joins.rangeJoin(points, "t", intervals, "lo", "hi", bucketWidth = 64L)
+      .select("pid", "iid").orderBy("pid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 10L), (2L, 20L)))
+  }
+
   test("rangeJoin fails fast on an interval exceeding the bucket-expansion cap") {
     import spark.implicits._
     val pts = Seq((1L, 5L)).toDF("pid", "t")

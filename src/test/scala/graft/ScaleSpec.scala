@@ -107,4 +107,34 @@ class ScaleSpec extends SparkSuite {
     assert(zPart < 0.6 * sortPart,
       s"z-order l_partkey span $zPart should be well under single-sort $sortPart")
   }
+
+  test("q180's order contract: range partitioning + doc_id ordering survive the narrow map") {
+    // q180 deliberately has NO trailing orderBy: its deterministic output
+    // depends on RangePartitioning(doc_id) + in-partition sort surviving
+    // the repetition-stats projection and the sink concatenating
+    // partitions in index order. That is observed Spark behavior, not a
+    // spec contract — pin it here so an AQE/Spark upgrade that stops
+    // propagating the ordering fails THIS test loudly instead of
+    // silently flipping the order-sensitive compare.
+    import org.apache.spark.sql.catalyst.expressions.Ascending
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    val df = graft.ops.Corpus.repetitionStats(
+      queries.QueryKit.tSplitSorted(spark, sfDir, "documents", "doc_id"), "doc_id", "text")
+    // the AQE wrapper reports no ordering/partitioning of its own —
+    // assert on the current physical plan beneath it
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val ord = plan.outputOrdering
+    assert(ord.nonEmpty && ord.head.direction == Ascending &&
+        ord.head.child.references.exists(_.name == "doc_id"),
+      s"doc_id ascending must survive to the sink; outputOrdering=$ord")
+    plan.outputPartitioning match {
+      case r: RangePartitioning =>
+        assert(r.ordering.head.child.references.exists(_.name == "doc_id"),
+          s"RangePartitioning key drifted off doc_id: ${r.ordering}")
+      case p => fail(s"expected RangePartitioning(doc_id) to survive the narrow map; got $p")
+    }
+  }
 }
