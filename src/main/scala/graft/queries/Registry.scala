@@ -24,7 +24,8 @@ object Registry {
     MissingQueries.all,
     UdfQueries.all,
     PipelineQueries.all,
-    CorpusQueries.all
+    CorpusQueries.all,
+    StressQueries.all
   )
 
   lazy val all: Seq[Q] = {

@@ -81,6 +81,72 @@ class ErrorParitySpec extends SparkSuite {
       orders.sortValues(Seq(SortKey.asc("no_such_column"))).df.schema)
   }
 
+  test("tail and expanding without a declared ordering raise (positional ops need an order)") {
+    val e = intercept[IllegalArgumentException](orders.tail(5))
+    assert(e.getMessage.contains("ordering"))
+    val e2 = intercept[IllegalArgumentException](orders.expanding())
+    assert(e2.getMessage.contains("ordering"))
+  }
+
+  test("transpose past the cell cap raises with the cap in the message (declared valve)") {
+    val e = intercept[IllegalArgumentException](orders.transpose(maxCells = 10L))
+    assert(e.getMessage.contains("transpose limited to 10 cells"))
+  }
+
+  test("rangeJoin rejects a non-positive bucket width eagerly") {
+    val e = intercept[IllegalArgumentException](
+      graft.ops.Joins.rangeJoin(orders.df, "o_orderkey",
+        orders.df.selectExpr("o_orderkey AS lo", "o_orderkey + 5 AS hi"),
+        "lo", "hi", bucketWidth = 0L))
+    assert(e.getMessage.contains("bucketWidth"))
+  }
+
+  test("sample guards: frac outside [0,1] and negative n raise (pandas ValueError)") {
+    val e = intercept[IllegalArgumentException](orders.sampleByHash("o_orderkey", 1.5))
+    assert(e.getMessage.contains("[0,1]"))
+    intercept[IllegalArgumentException](orders.sampleByHashComplement("o_orderkey", -0.1))
+    val en = intercept[IllegalArgumentException](orders.sampleN("o_orderkey", -1))
+    assert(en.getMessage.contains(">= 0"))
+    intercept[IllegalArgumentException](
+      orders.sampleByHashStratified("o_orderkey", "o_orderstatus",
+        Map("O" -> 2.0)).df.schema)
+  }
+
+  test("to_numeric: errors='ignore' unsupported, 'raise' raises on bad text, 'coerce' nulls it") {
+    intercept[IllegalArgumentException](
+      orders.toNumeric("o_orderpriority", "p", errors = "ignore"))
+    // '1-URGENT' is not a number: raise must raise AT MATERIALIZATION
+    // (pandas ValueError), coerce must produce nulls and NOT raise
+    intercept[Exception](
+      orders.toNumeric("o_orderpriority", "p", errors = "raise").df.collect())
+    val coerced = orders.toNumeric("o_orderpriority", "p", errors = "coerce")
+      .df.select("p").limit(5).collect()
+    assert(coerced.forall(_.isNullAt(0)))
+  }
+
+  test("to_datetime rejects unknown errors= mode eagerly") {
+    intercept[IllegalArgumentException](
+      orders.toDatetime("o_orderpriority", "d", "yyyy-MM-dd", errors = "ignore"))
+  }
+
+  test("drop_duplicates with an unknown keep mode raises (pandas ValueError)") {
+    val e = intercept[RuntimeException](
+      orders.dropDuplicates(Seq("o_custkey"),
+        Seq(SortKey.asc("o_orderkey")), keep = "both"))
+    assert(e.getMessage.contains("first|last|none"))
+  }
+
+  test("groupby on a missing key column raises (pandas KeyError)") {
+    assertThrows[AnalysisException](
+      orders.groupby("no_such_key").agg("n" -> count(lit(1))).df.schema)
+  }
+
+  test("str.wrap with a non-positive width raises (textwrap ValueError)") {
+    val e = intercept[IllegalArgumentException](
+      graft.functions.Text.wrap(col("o_orderpriority"), 0))
+    assert(e.getMessage.contains("width"))
+  }
+
   test("duplicate query registration is rejected eagerly (engine invariant)") {
     // not a pandas case, but the same fail-fast contract: Registry refuses
     // colliding names at class load rather than shadowing one silently

@@ -1,0 +1,385 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+import graft.api.{Frame, SortKey}
+
+/**
+ * Differential random-pipeline fuzzer — the analog of the reference's
+ * fuzzydata harness (modin/experimental/fuzzydata/__init__.py:14,
+ * modin/tests/experimental/test_fuzzydata.py, which replays random
+ * workflows against pandas). A seeded generator draws 5–8 ops from the
+ * Frame surface (filter / derive / na / clip / groupby-agg / sort+head /
+ * drop_duplicates / grouped cumsum / rename / concat / join) and
+ * maintains, alongside the Frame chain, an INDEPENDENTLY TEXT-BUILT SQL
+ * replay of the same semantics run through spark.sql.
+ *
+ * The Frame chain exercises the API wrapper layer (ordering propagation
+ * into head(), window specs, keep=first/last/none reversal, na masks);
+ * the SQL string goes through the parser with hand-spelled semantics
+ * (explicit NULLS LAST, explicit CASE for clip/cumsum null rules). A
+ * divergence is a composition bug — the defect class the per-operator
+ * oracles can't see because they never chain 5+ ops.
+ *
+ * Everything is deterministic: seeds are fixed, ops draw from
+ * scala.util.Random(seed), the comparison is order-insensitive
+ * (assertParity), and any op needing an internal order (head, dedup
+ * keep-first, cumsum) orders by a maintained unique key so both sides
+ * agree bit-for-bit.
+ */
+class FuzzSpec extends SparkSuite {
+
+  /** kind: 'i' long, 'n' double, 's' string. dom = known value domain
+    * for strings (drives IN-filters); lowCard marks group-key
+    * candidates. */
+  private case class FCol(name: String, kind: Char, dom: Seq[String] = Nil,
+      lowCard: Boolean = false)
+
+  /** fr and sql must stay semantically identical; uniq = columns whose
+    * combination is unique per row ('' when a concat broke uniqueness —
+    * order-dependent ops are gated on it). */
+  private case class St(fr: Frame, sql: String, cols: Vector[FCol],
+      uniq: Vector[String], ops: List[String], joined: Boolean = false) {
+    def addOp(tag: String): St = copy(ops = tag :: ops)
+  }
+
+  private def pick[T](r: Random, xs: Seq[T]): T = xs(r.nextInt(xs.size))
+
+  private def wrap(sql: String): String = s"(\n$sql\n) "
+
+  private def sortText(name: String, asc: Boolean, nullsFirst: Boolean): String =
+    s"$name ${if (asc) "ASC" else "DESC"} ${if (nullsFirst) "NULLS FIRST" else "NULLS LAST"}"
+
+  /** SortKey defaults are asc/desc + NULLS LAST (pandas na_position);
+    * plain SQL ORDER BY would put nulls first on ASC — always spell it. */
+  private def uniqOrderText(uniq: Seq[String]): String =
+    uniq.map(sortText(_, asc = true, nullsFirst = false)).mkString(", ")
+
+  private def selectList(cols: Seq[FCol]): String = cols.map(_.name).mkString(", ")
+
+  // ---- base tables (cached once; domains measured, not assumed) ----
+
+  private lazy val strDoms: Map[String, Seq[String]] = {
+    def dom(view: String, c: String): Seq[String] =
+      spark.table(view).select(c).distinct().collect().map(_.getString(0)).sorted.toSeq
+    // the fixture's (l_orderkey, l_linenumber) is NOT unique — synthesize
+    // a uid by row_number over ALL columns (ties only among fully
+    // identical rows, which are interchangeable under the multiset
+    // compare) so order-dependent ops have a total order to anchor on.
+    // Both sides read this same view, so the uid is shared, not compared.
+    val liCols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus")
+    table("lineitem").select(liCols.head, liCols.tail: _*)
+      .withColumn("uid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(liCols.map(col): _*)))
+      .cache().createOrReplaceTempView("fz_lineitem")
+    table("orders").select("o_orderkey", "o_custkey", "o_totalprice",
+      "o_orderstatus", "o_orderpriority")
+      .cache().createOrReplaceTempView("fz_orders")
+    table("customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+      .cache().createOrReplaceTempView("fz_customer")
+    Map(
+      "l_returnflag" -> dom("fz_lineitem", "l_returnflag"),
+      "l_linestatus" -> dom("fz_lineitem", "l_linestatus"),
+      "o_orderstatus" -> dom("fz_orders", "o_orderstatus"),
+      "o_orderpriority" -> dom("fz_orders", "o_orderpriority"),
+      "c_mktsegment" -> dom("fz_customer", "c_mktsegment"))
+  }
+
+  private def baseState(r: Random): St =
+    if (r.nextInt(10) < 6) {
+      val cols = Vector(
+        FCol("l_orderkey", 'i'), FCol("l_linenumber", 'i', lowCard = true),
+        FCol("l_quantity", 'n'), FCol("l_extendedprice", 'n'), FCol("l_discount", 'n'),
+        FCol("l_returnflag", 's', strDoms("l_returnflag"), lowCard = true),
+        FCol("l_linestatus", 's', strDoms("l_linestatus"), lowCard = true),
+        FCol("uid", 'i'))
+      St(Frame(spark.table("fz_lineitem")), "SELECT * FROM fz_lineitem",
+        cols, Vector("uid"), List("base:lineitem"))
+    } else {
+      val cols = Vector(
+        FCol("o_orderkey", 'i'), FCol("o_custkey", 'i'), FCol("o_totalprice", 'n'),
+        FCol("o_orderstatus", 's', strDoms("o_orderstatus"), lowCard = true),
+        FCol("o_orderpriority", 's', strDoms("o_orderpriority"), lowCard = true))
+      St(Frame(spark.table("fz_orders")), "SELECT * FROM fz_orders",
+        cols, Vector("o_orderkey"), List("base:orders"))
+    }
+
+  // ---- op pool: (tag, guard, apply) ----
+
+  private def numeric(st: St) = st.cols.filter(c => c.kind == 'i' || c.kind == 'n')
+  // ops.size grows by one per applied op (and rename REPLACES a column,
+  // so cols.size would repeat and collide) — a per-step counter is the
+  // only collision-free fresh-name source
+  private def fresh(st: St, p: String) = s"$p${st.ops.size}"
+
+  private def opFilterNum(st: St, r: Random): St = {
+    val c = pick(r, numeric(st))
+    if (c.kind == 'i' && r.nextBoolean()) {
+      val m = pick(r, Seq(2, 3, 5, 7)); val v = r.nextInt(m)
+      st.copy(
+        fr = st.fr.filter(pmod(col(c.name), lit(m.toLong)) === v),
+        sql = s"SELECT * FROM ${wrap(st.sql)}WHERE pmod(${c.name}, $m) = $v")
+        .addOp(s"filter(${c.name}%$m=$v)")
+    } else {
+      val t = if (c.kind == 'i') pick(r, Seq(3L, 10L, 1000L, 100000L)).toDouble
+              else pick(r, Seq(0.03, 0.5, 3.0, 30.0, 900.0, 20000.0))
+      val gt = r.nextBoolean()
+      val opS = if (gt) ">" else "<="
+      st.copy(
+        fr = st.fr.filter(if (gt) col(c.name) > t else col(c.name) <= t),
+        sql = s"SELECT * FROM ${wrap(st.sql)}WHERE ${c.name} $opS $t")
+        .addOp(s"filter(${c.name}$opS$t)")
+    }
+  }
+
+  private def opFilterStr(st: St, r: Random): St = {
+    val cands = st.cols.filter(c => c.kind == 's' && c.dom.size >= 2)
+    val c = pick(r, cands)
+    val nKeep = 1 + r.nextInt(c.dom.size - 1)
+    val keep = r.shuffle(c.dom).take(nKeep).sorted
+    val inList = keep.map(v => s"'$v'").mkString(", ")
+    st.copy(
+      fr = st.fr.filter(col(c.name).isin(keep: _*)),
+      sql = s"SELECT * FROM ${wrap(st.sql)}WHERE ${c.name} IN ($inList)")
+      .addOp(s"filterIn(${c.name})")
+  }
+
+  private def opDerive(st: St, r: Random): St = {
+    val a = pick(r, numeric(st)); val b = pick(r, numeric(st))
+    val name = fresh(st, "d")
+    val kind = if (a.kind == 'n' || b.kind == 'n') 'n' else 'i'
+    val (c: Column, sqlExpr: String, tag: String) = r.nextInt(4) match {
+      case 0 => (col(a.name) + col(b.name), s"${a.name} + ${b.name}", "+")
+      case 1 => (col(a.name) - col(b.name), s"${a.name} - ${b.name}", "-")
+      case 2 => (abs(col(a.name) - col(b.name)), s"abs(${a.name} - ${b.name})", "absdiff")
+      case _ => (when(col(a.name) >= col(b.name), col(a.name)).otherwise(col(b.name)),
+        s"CASE WHEN ${a.name} >= ${b.name} THEN ${a.name} ELSE ${b.name} END", "max2")
+    }
+    st.copy(
+      fr = st.fr.withColumn(name, c),
+      sql = s"SELECT *, $sqlExpr AS $name FROM ${wrap(st.sql)}",
+      cols = st.cols :+ FCol(name, kind))
+      .addOp(s"derive($name=$tag(${a.name},${b.name}))")
+  }
+
+  private def opDeriveNullable(st: St, r: Random): St = {
+    val a = pick(r, numeric(st))
+    val t = if (a.kind == 'i') pick(r, Seq(5L, 50L, 5000L)).toDouble
+            else pick(r, Seq(1.0, 25.0, 4000.0))
+    val name = fresh(st, "m")
+    st.copy(
+      fr = st.fr.withColumn(name, when(col(a.name) > t, col(a.name))),
+      sql = s"SELECT *, CASE WHEN ${a.name} > $t THEN ${a.name} END AS $name FROM ${wrap(st.sql)}",
+      cols = st.cols :+ FCol(name, a.kind))
+      .addOp(s"deriveNull($name from ${a.name}>$t)")
+  }
+
+  private def opFillna(st: St, r: Random): St = {
+    val c = pick(r, st.cols.filter(_.kind == 'n'))
+    val items = st.cols.map(f =>
+      if (f.name == c.name) s"coalesce(${f.name}, CAST(0.0 AS DOUBLE)) AS ${f.name}"
+      else f.name)
+    st.copy(
+      fr = st.fr.fillna(0.0, Seq(c.name)),
+      sql = s"SELECT ${items.mkString(", ")} FROM ${wrap(st.sql)}")
+      .addOp(s"fillna(${c.name})")
+  }
+
+  private def opDropna(st: St, r: Random): St = {
+    val n = 1 + r.nextInt(2)
+    val subset = r.shuffle(st.cols).take(n).map(_.name)
+    st.copy(
+      fr = st.fr.dropna(how = "any", subset = subset),
+      sql = s"SELECT * FROM ${wrap(st.sql)}WHERE " +
+        subset.map(c => s"$c IS NOT NULL").mkString(" AND "))
+      .addOp(s"dropna(${subset.mkString("+")})")
+  }
+
+  private def opClip(st: St, r: Random): St = {
+    val c = pick(r, st.cols.filter(_.kind == 'n'))
+    val lo = pick(r, Seq(0.0, 1.0, 10.0)); val hi = lo + pick(r, Seq(5.0, 100.0, 10000.0))
+    // clip keeps null/NaN missing — spell the rule as independent CASE arms
+    st.copy(
+      fr = st.fr.clip(c.name, lo, hi),
+      sql = s"SELECT ${st.cols.map(f => if (f.name != c.name) f.name else
+        s"CASE WHEN ${f.name} IS NULL OR isnan(${f.name}) THEN CAST(NULL AS DOUBLE) " +
+        s"WHEN ${f.name} < $lo THEN $lo WHEN ${f.name} > $hi THEN $hi " +
+        s"ELSE ${f.name} END AS ${f.name}").mkString(", ")} FROM ${wrap(st.sql)}")
+      .addOp(s"clip(${c.name},$lo,$hi)")
+  }
+
+  private def opGroupAgg(st: St, r: Random): St = {
+    val keyCands = st.cols.filter(_.lowCard)
+    val nk = 1 + r.nextInt(math.min(2, keyCands.size))
+    val keys = r.shuffle(keyCands).take(nk)
+    val nums = numeric(st).filterNot(c => keys.exists(_.name == c.name))
+    val aggCands: Seq[(String, Column, String, Char)] =
+      ("cnt", count(lit(1)), "COUNT(*)", 'i') +: nums.flatMap { c =>
+        Seq(
+          (s"sum_${c.name}", sum(col(c.name)), s"SUM(${c.name})", c.kind),
+          (s"min_${c.name}", min(col(c.name)), s"MIN(${c.name})", c.kind),
+          (s"max_${c.name}", max(col(c.name)), s"MAX(${c.name})", c.kind),
+          (s"avg_${c.name}", avg(col(c.name)), s"AVG(${c.name})", 'n'),
+          (s"nuq_${c.name}", count_distinct(col(c.name)), s"COUNT(DISTINCT ${c.name})", 'i'))
+      }
+    val na = 1 + r.nextInt(math.min(3, aggCands.size))
+    val aggs = r.shuffle(aggCands).take(na)
+    val keyNames = keys.map(_.name)
+    st.copy(
+      fr = st.fr.groupby(keyNames: _*).agg(aggs.map(a => a._1 -> a._2): _*),
+      sql = s"SELECT ${keyNames.mkString(", ")}, " +
+        aggs.map(a => s"${a._3} AS ${a._1}").mkString(", ") +
+        s" FROM ${wrap(st.sql)}GROUP BY ${keyNames.mkString(", ")}",
+      cols = keys ++ aggs.map(a => FCol(a._1, a._4)).toVector,
+      uniq = keyNames.toVector)
+      .addOp(s"groupAgg(${keyNames.mkString("+")};${aggs.map(_._1).mkString(",")})")
+  }
+
+  private def opSortHead(st: St, r: Random): St = {
+    val sc = pick(r, st.cols)
+    val asc = r.nextBoolean()
+    val n = pick(r, Seq(7, 25, 97))
+    val keys = SortKey(col(sc.name), asc) +: st.uniq.filterNot(_ == sc.name).map(SortKey.asc)
+    val orderSql = (sortText(sc.name, asc, nullsFirst = false) +:
+      st.uniq.filterNot(_ == sc.name).map(sortText(_, asc = true, nullsFirst = false)))
+      .mkString(", ")
+    st.copy(
+      fr = st.fr.sortValues(keys).head(n),
+      sql = s"SELECT * FROM ${wrap(st.sql)}ORDER BY $orderSql LIMIT $n")
+      .addOp(s"sortHead(${sc.name}${if (asc) "↑" else "↓"},$n)")
+  }
+
+  private def opDedup(st: St, r: Random): St = {
+    val n = 1 + r.nextInt(2)
+    val subset = r.shuffle(st.cols).take(n).map(_.name)
+    val keep = pick(r, Seq("first", "last", "none"))
+    val firstBy = st.uniq.map(SortKey.asc)
+    val part = subset.mkString(", ")
+    val sql = keep match {
+      case "none" =>
+        s"SELECT ${selectList(st.cols)} FROM (SELECT *, COUNT(*) OVER " +
+          s"(PARTITION BY $part) AS __n FROM ${wrap(st.sql)}) WHERE __n = 1"
+      case k =>
+        // keep=last is keep=first under the reversed order: SortKey.reversed
+        // flips direction AND null placement (nulls-last -> nulls-first)
+        val ord = if (k == "first") uniqOrderText(st.uniq)
+          else st.uniq.map(sortText(_, asc = false, nullsFirst = true)).mkString(", ")
+        s"SELECT ${selectList(st.cols)} FROM (SELECT *, row_number() OVER " +
+          s"(PARTITION BY $part ORDER BY $ord) AS __rn FROM ${wrap(st.sql)}) WHERE __rn = 1"
+    }
+    st.copy(
+      fr = st.fr.dropDuplicates(subset, firstBy, keep),
+      sql = sql,
+      uniq = subset.toVector)
+      .addOp(s"dedup(${subset.mkString("+")},$keep)")
+  }
+
+  private def opGbCumsum(st: St, r: Random): St = {
+    val k = pick(r, st.cols.filter(_.lowCard))
+    val c = pick(r, numeric(st).filterNot(_.name == k.name))
+    val name = fresh(st, "cs")
+    val ord = uniqOrderText(st.uniq)
+    st.copy(
+      fr = st.fr.groupby(k.name).cumsum(c.name, name, st.uniq.map(SortKey.asc)),
+      sql = s"SELECT *, CASE WHEN ${c.name} IS NOT NULL THEN SUM(${c.name}) OVER " +
+        s"(PARTITION BY ${k.name} ORDER BY $ord ROWS BETWEEN UNBOUNDED PRECEDING " +
+        s"AND CURRENT ROW) END AS $name FROM ${wrap(st.sql)}",
+      cols = st.cols :+ FCol(name, if (c.kind == 'i') 'i' else 'n'))
+      .addOp(s"gbCumsum(${k.name};${c.name})")
+  }
+
+  private def opRename(st: St, r: Random): St = {
+    val c = pick(r, st.cols)
+    val name = fresh(st, "r")
+    st.copy(
+      fr = st.fr.rename((c.name, name)),
+      sql = s"SELECT ${st.cols.map(f => if (f.name == c.name) s"${f.name} AS $name"
+        else f.name).mkString(", ")} FROM ${wrap(st.sql)}",
+      cols = st.cols.map(f => if (f.name == c.name) f.copy(name = name) else f),
+      uniq = st.uniq.map(u => if (u == c.name) name else u))
+      .addOp(s"rename(${c.name}→$name)")
+  }
+
+  private def opConcat(st: St, r: Random): St = {
+    val c = pick(r, numeric(st))
+    val m = pick(r, Seq(2, 3, 5)); val v = r.nextInt(m)
+    st.copy(
+      fr = st.fr.concat(st.fr.filter(pmod(col(c.name), lit(m.toLong)) === v)),
+      sql = s"SELECT * FROM ${wrap(st.sql)}UNION ALL SELECT * FROM ${wrap(st.sql)}" +
+        s"WHERE pmod(${c.name}, $m) = $v",
+      uniq = Vector.empty) // duplicated keys: order-dependent ops gate off
+      .addOp(s"concat(self%$m=$v)")
+  }
+
+  private def opJoinCustomer(st: St, r: Random): St = {
+    val how = pick(r, Seq("inner", "left"))
+    val cust = Frame(spark.table("fz_customer"))
+    st.copy(
+      fr = st.fr.mergeOn(cust, Seq("o_custkey"), Seq("c_custkey"), how).drop("c_custkey"),
+      sql = s"SELECT l.${st.cols.map(_.name).mkString(", l.")}, r.c_mktsegment, r.c_acctbal " +
+        s"FROM ${wrap(st.sql)}l ${if (how == "inner") "JOIN" else "LEFT JOIN"} " +
+        s"fz_customer r ON l.o_custkey = r.c_custkey",
+      cols = st.cols :+ FCol("c_mktsegment", 's', strDoms("c_mktsegment"), lowCard = true)
+        :+ FCol("c_acctbal", 'n'),
+      joined = true)
+      .addOp(s"join(customer,$how)")
+  }
+
+  // guards: an op is drawable only when its inputs exist
+  private def available(st: St): Seq[(Int, (St, Random) => St)] = {
+    val hasNum = numeric(st).nonEmpty
+    val hasDbl = st.cols.exists(_.kind == 'n')
+    val hasStr = st.cols.exists(c => c.kind == 's' && c.dom.size >= 2)
+    val hasLow = st.cols.exists(_.lowCard)
+    val hasUniq = st.uniq.nonEmpty
+    Seq(
+      (if (hasNum) 3 else 0) -> (opFilterNum _),
+      (if (hasStr) 2 else 0) -> (opFilterStr _),
+      (if (hasNum) 2 else 0) -> (opDerive _),
+      (if (hasNum) 1 else 0) -> (opDeriveNullable _),
+      (if (hasDbl) 1 else 0) -> (opFillna _),
+      1 -> (opDropna _),
+      (if (hasDbl) 1 else 0) -> (opClip _),
+      (if (hasLow) 2 else 0) -> (opGroupAgg _),
+      (if (hasUniq) 2 else 0) -> (opSortHead _),
+      (if (hasUniq) 2 else 0) -> (opDedup _),
+      (if (hasUniq && hasLow && numeric(st).size >= 2) 2 else 0) -> (opGbCumsum _),
+      1 -> (opRename _),
+      (if (hasNum) 1 else 0) -> (opConcat _),
+      (if (st.cols.exists(_.name == "o_custkey") && !st.joined) 3 else 0)
+        -> (opJoinCustomer _))
+      .filter(_._1 > 0)
+  }
+
+  private def drawOp(st: St, r: Random): St = {
+    val pool = available(st)
+    val total = pool.map(_._1).sum
+    var roll = r.nextInt(total)
+    val f = pool.find { case (w, _) => roll -= w; roll < 0 }.get._2
+    f(st, r)
+  }
+
+  private def runPipeline(seed: Int): Unit = {
+    val r = new Random(seed)
+    var st = baseState(r)
+    val len = 5 + r.nextInt(4)
+    (0 until len).foreach(_ => st = drawOp(st, r))
+    try assertParity(st.fr.df, spark.sql(st.sql))
+    catch {
+      case e: Throwable =>
+        fail(s"fuzz seed=$seed pipeline=${st.ops.reverse.mkString(" | ")}\n" +
+          s"sql replay:\n${st.sql}\n--> ${e.getMessage}")
+    }
+  }
+
+  for (batch <- 0 until 4) {
+    val from = batch * 30; val to = from + 29
+    test(s"random pipelines $from..$to match their independent SQL replay") {
+      strDoms // force base views
+      (from to to).foreach(runPipeline)
+    }
+  }
+}
