@@ -195,9 +195,10 @@ object PipelineQueries {
                 FROM documents)),
         e AS (
           SELECT doc_id, sh, b,
-                 array_to_string([list_min([md5(CAST(b*4 + r AS VARCHAR) || ':' || s)
-                                            for s in sh])
-                                  for r in range(0, 4)], '|') AS key
+                 unhex(substr(md5(array_to_string(
+                   [list_min([md5(CAST(b*4 + r AS VARCHAR) || ':' || s)
+                              for s in sh])
+                    for r in range(0, 4)], '|')), 1, 16)) AS key
           FROM t CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(b))
         SELECT DISTINCT id_a, id_b, round(j, 6) AS jaccard FROM (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -271,7 +272,8 @@ object PipelineQueries {
                 FROM documents)),
         e AS (
           SELECT doc_id, sh, b,
-                 list_min([md5(CAST(b AS VARCHAR) || ':' || s) for s in sh]) AS key
+                 unhex(substr(md5(list_min([md5(CAST(b AS VARCHAR) || ':' || s)
+                                            for s in sh])), 1, 16)) AS key
           FROM t CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(b))
         SELECT DISTINCT id_a, id_b, round(j, 6) AS jaccard FROM (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
