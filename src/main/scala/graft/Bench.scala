@@ -375,13 +375,18 @@ object SkewBench {
         val o = orders(dir).select(col("o_orderkey").as("k"), col("o_totalprice"))
         l.join(o, Seq("k")).select(col("k"), col("l_extendedprice"), col("o_totalprice"))
       },
-      // q50's shape: keyed running sum; a hot window partition can't
-      // split — linear-per-task is the pass criterion
+      // q50's shape through the engine's skew-safe path (q216 pins its
+      // semantics to q50's oracle): the hot group splits across range
+      // partitions via Cumulative.groupedRunning instead of serializing
+      // through one window task, so the ratio should hold near 1
       "window_cumsum" -> { (dir, skew) =>
         val o = orders(dir)
         val k = if (skew) skewKey(col("o_custkey")) else col("o_custkey")
-        val w = Window.partitionBy(k).orderBy(col("o_orderdate"), col("o_orderkey"))
-        o.select(col("o_orderkey"), sum(col("o_totalprice")).over(w).as("cs"))
+        graft.api.Frame(o.withColumn("k", k))
+          .groupby("k")
+          .cumsumSkewSafe("o_totalprice", "cs",
+            Seq(graft.api.SortKey.asc("o_orderdate"), graft.api.SortKey.asc("o_orderkey")))
+          .df.select(col("o_orderkey"), col("cs"))
       },
       // q100's shape: dedup groupBy where half the corpus collapses onto
       // 10 fingerprints — map-side partial aggregation is the defense

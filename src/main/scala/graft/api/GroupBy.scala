@@ -72,6 +72,19 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
   def cumsum(c: String, as: String, order: Seq[SortKey]): Frame =
     frame.withColumn(as, when(col(c).isNotNull, sum(col(c)).over(running(order))))
 
+  /** [[cumsum]] with hot-key-proof physics: identical semantics (same
+    * null-position mask), but the running sum comes from
+    * [[graft.ops.Cumulative.groupedRunning]] — the dominant group is
+    * SPLIT across range partitions and stitched with boundary offsets
+    * instead of serializing through one window task. Use when a single
+    * key can hold a data-sized share of rows (the 50%-on-10-keys shape
+    * in SkewBench); the plain window path stays default because its one
+    * hash exchange beats two range passes when groups are balanced. */
+  def cumsumSkewSafe(c: String, as: String, order: Seq[SortKey]): Frame = {
+    val run = graft.ops.Cumulative.groupedRunning(df, keys, order, "sum", Seq(c -> as))
+    Frame(run.withColumn(as, when(col(c).isNotNull, col(as))), frame.indexCols)
+  }
+
   /** reference groupby_cummax/cummin (base QC:3954,3978). */
   def cummax(c: String, as: String, order: Seq[SortKey]): Frame =
     frame.withColumn(as, when(col(c).isNotNull, max(col(c)).over(running(order))))

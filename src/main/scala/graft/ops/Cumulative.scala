@@ -64,9 +64,13 @@ object Cumulative {
       case other => sys.error(s"globalRunning: unsupported $other")
     }
     def combine(local: Column, prefix: Column): Column = fn match {
-      // null-guard instead of `+ coalesce(prefix, 0.0)`: a double literal
-      // would silently promote decimal inputs back to double.
-      case "sum" => when(prefix.isNull, local).otherwise(local + prefix)
+      // null-guards instead of `+ coalesce(prefix, 0.0)`: a double literal
+      // would silently promote decimal inputs back to double. The inner
+      // guard covers a partition whose rows are all-null so far (local
+      // running sum still null) — the carried prefix IS the running value
+      // there, exactly as a single window would emit.
+      case "sum" => when(prefix.isNull, local)
+        .otherwise(when(local.isNull, prefix).otherwise(local + prefix))
       case "max" => when(prefix.isNull, local).otherwise(greatest(local, prefix))
       case "min" => when(prefix.isNull, local).otherwise(least(local, prefix))
     }
@@ -91,6 +95,107 @@ object Cumulative {
       }: _*)
 
     val joined = local.join(broadcast(prefixes), Seq(Pid))
+    val out = cols.zipWithIndex.foldLeft(joined) { case (d, ((_, outName), i)) =>
+      d.withColumn(outName, combine(col(outName), col(s"__p${i}__")))
+    }
+    out.drop(Pid +: cols.indices.map(i => s"__p${i}__"): _*)
+  }
+
+  /** GROUPED running aggregate that survives hot keys — the scale path
+    * behind GroupBy.cumsum/cummax/cummin when one group dominates.
+    *
+    * `Window.partitionBy(key)` places each group in ONE task: a key
+    * holding 50% of 100 TB serializes half the data through one thread —
+    * the skew_runs watch-item from round 6 (ratio 1.684 at 32×). Here the
+    * hot group is split across range partitions instead and stitched with
+    * the same skip-and-carry trick as [[globalRunning]]:
+    *
+    *   1. range-repartition + sort on (keys ++ order): a group's rows are
+    *      CONTIGUOUS across partitions, so a key spans >1 partition only
+    *      when it is the first or last key of one;
+    *   2. per-(partition, key) local running aggregate — the hot group's
+    *      chunks run in parallel;
+    *   3. offsets only for partition-BOUNDARY keys (≤ 2 rows per
+    *      partition, constant-size at any data scale — unlike a naive
+    *      per-(pid, key) totals table, which would be #groups-sized):
+    *      exclusive prefix per key over partition ids on the tiny side,
+    *      broadcast back on (pid, keys).
+    *
+    * Same null rule as SQL window aggregates (a null-valued row carries
+    * the running value); callers add pandas' null-position mask on top.
+    */
+  def groupedRunning(
+      df: DataFrame,
+      keys: Seq[String],
+      order: Seq[SortKey],
+      fn: String,
+      cols: Seq[(String, String)],
+      numPartitions: Option[Int] = None): DataFrame = {
+
+    require(keys.nonEmpty, "groupedRunning: use globalRunning when there are no keys")
+    require(order.nonEmpty, "groupedRunning: an in-group ordering is required")
+    require(!cols.map(_._2).exists(out => cols.map(_._1).contains(out)),
+      s"groupedRunning: output names ${cols.map(_._2)} must not collide with inputs")
+    val n = numPartitions.getOrElse(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val keyCols = keys.map(col)
+    val sortCols = keyCols ++ order.map(_.toColumn)
+    val sorted = df
+      .repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn(Pid, spark_partition_id())
+      .localCheckpoint(true)
+
+    def agg(c: Column): Column = fn match {
+      case "sum" => sum(c)
+      case "max" => max(c)
+      case "min" => min(c)
+      case other => sys.error(s"groupedRunning: unsupported $other")
+    }
+    def combine(local: Column, prefix: Column): Column = fn match {
+      // same null rules as globalRunning's combine (see above)
+      case "sum" => when(prefix.isNull, local)
+        .otherwise(when(local.isNull, prefix).otherwise(local + prefix))
+      case "max" => when(prefix.isNull, local).otherwise(greatest(local, prefix))
+      case "min" => when(prefix.isNull, local).otherwise(least(local, prefix))
+    }
+
+    val wLocal = Window.partitionBy(col(Pid) +: keyCols: _*)
+      .orderBy(order.map(_.toColumn): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = cols.foldLeft(sorted) { case (d, (v, out)) =>
+      d.withColumn(out, agg(col(v)).over(wLocal))
+    }
+
+    // Boundary totals, all computed under the SAME (pid) partitioning —
+    // no data-sized exchange. first/last key of each partition come from
+    // an unordered whole-partition window; a (pid, key) group is kept
+    // only when its key touches a partition edge, then reduced to one
+    // carrier row (row_number == 1 within the group).
+    val keyStruct = struct(keyCols: _*)
+    val wPart = Window.partitionBy(col(Pid))
+    val wGroupAll = Window.partitionBy(col(Pid) +: keyCols: _*)
+    val wGroupOrd = wGroupAll.orderBy(order.map(_.toColumn): _*)
+    val boundary = sorted
+      .withColumn("__kf__", min(keyStruct).over(wPart))
+      .withColumn("__kl__", max(keyStruct).over(wPart))
+      .filter(keyStruct === col("__kf__") || keyStruct === col("__kl__"))
+      .withColumn("__rn__", row_number().over(wGroupOrd))
+      .withColumns(
+        cols.zipWithIndex.map { case ((v, _), i) => s"__t${i}__" -> agg(col(v)).over(wGroupAll) }.toMap)
+      .filter(col("__rn__") === 1)
+      .select(col(Pid) +: keyCols ++: cols.indices.map(i => col(s"__t${i}__")): _*)
+
+    // ≤ 2 rows per partition: the exclusive per-key prefix over pids is
+    // a tiny exchange, never data-sized.
+    val wPrefix = Window.partitionBy(keyCols: _*).orderBy(col(Pid))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = boundary.select(
+      col(Pid) +: keyCols ++: cols.indices.map { i =>
+        agg(col(s"__t${i}__")).over(wPrefix).as(s"__p${i}__")
+      }: _*)
+
+    val joined = local.join(broadcast(prefixes), Pid +: keys, "left")
     val out = cols.zipWithIndex.foldLeft(joined) { case (d, ((_, outName), i)) =>
       d.withColumn(outName, combine(col(outName), col(s"__p${i}__")))
     }

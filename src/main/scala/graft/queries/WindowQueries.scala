@@ -39,6 +39,25 @@ object WindowQueries {
         FROM orders ORDER BY o_orderkey"""),
       headline = true),
 
+    // q50's semantics under the skew-safe physics: the SAME oracle SQL as
+    // q50, computed via Cumulative.groupedRunning (hot group split across
+    // range partitions + boundary-offset stitch) instead of one window
+    // task per group — proving the 100 TB hot-key path is semantically
+    // identical to the plain window before SkewBench leans on it.
+    Q("q216_window_cumsum_skewsafe",
+      (s, dir) => f(s, dir, "orders")
+        .groupby("o_custkey")
+        .cumsumSkewSafe("o_totalprice", "cum_total", ord)
+        .selectExprs(col("o_orderkey"), col("o_custkey"),
+          round(col("cum_total"), 2).as("cum_total"))
+        .sortValues(Seq(SortKey.asc("o_orderkey"))).df,
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_total
+        FROM orders ORDER BY o_orderkey""")),
+
     // groupby shift/diff/pct_change (reference base QC:4324,4247,4260).
     Q("q51_shift_diff",
       (s, dir) => {

@@ -42,6 +42,34 @@ class OpsSpec extends SparkSuite {
       naive.select(col("o_orderkey"), col("cs").cast("double")))
   }
 
+  test("groupedRunning equals the naive keyed window under heavy skew and null edges") {
+    import spark.implicits._
+    // one hot key (0) holding ~70% of rows — forced to span several of
+    // the 6 range partitions — plus singleton keys, a key whose rows are
+    // all null, and a group whose FIRST rows are null (the carried-prefix
+    // edge in combine)
+    val rows = (0 until 700).map(i => (0L, i.toLong, Option(i.toDouble))) ++
+      (0 until 100).map(i => (1L + i % 7, 1000L + i, if (i % 5 == 0) None else Some(i.toDouble))) ++
+      Seq((99L, 1L, None), (99L, 2L, None),
+        (98L, 1L, None), (98L, 2L, Some(5.0)), (98L, 3L, None), (98L, 4L, Some(7.0)))
+    val d = rows.toDF("k", "o", "v")
+    val run = Cumulative.groupedRunning(d, Seq("k"), Seq(SortKey.asc("o")), "sum",
+      Seq("v" -> "cs"), numPartitions = Some(6))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("o")
+      .rowsBetween(Long.MinValue, 0)
+    val naive = d.withColumn("cs", sum(col("v")).over(w))
+    assertParity(
+      run.select(col("k"), col("o"), col("cs")),
+      naive.select(col("k"), col("o"), col("cs")))
+    // max flavor too (greatest-based combine)
+    val runMax = Cumulative.groupedRunning(d, Seq("k"), Seq(SortKey.asc("o")), "max",
+      Seq("v" -> "cm"), numPartitions = Some(6))
+    val naiveMax = d.withColumn("cm", max(col("v")).over(w))
+    assertParity(
+      runMax.select(col("k"), col("o"), col("cm")),
+      naiveMax.select(col("k"), col("o"), col("cm")))
+  }
+
   test("ewm recurrence matches the closed-form weighted mean") {
     import spark.implicits._
     val d = Seq((1L, 1L, 1L, 10.0), (1L, 2L, 2L, 20.0), (1L, 3L, 3L, 30.0))
