@@ -103,6 +103,51 @@ final case class Frame(
   def addSuffix(s: String): Frame =
     rename(df.columns.filterNot(indexCols.contains).map(c => c -> s"$c$s").toIndexedSeq: _*)
 
+  // ---------------------------------------------------------------------
+  // MultiIndex levels (reference set_index/reset_index/swaplevel/
+  // sort_index — dataframe.py:4310, base.py:2654, base.py:3297; the index
+  // is carried as `indexCols` metadata, so level ops are metadata
+  // reorders and only reset_index/sort_index touch the plan)
+  // ---------------------------------------------------------------------
+
+  /** pandas set_index(keys): the named columns become the row index
+    * (2+ names → MultiIndex). */
+  def setIndex(cols: String*): Frame = {
+    cols.foreach(c => require(df.columns.contains(c), s"set_index: unknown column $c"))
+    copy(indexCols = cols.toIndexedSeq)
+  }
+
+  /** pandas reset_index(): index levels return to ordinary columns,
+    * placed leftmost in level order like pandas does. */
+  def resetIndex(): Frame = copy(
+    df = df.select((indexCols ++ df.columns.filterNot(indexCols.contains)).map(col): _*),
+    indexCols = Nil)
+
+  /** pandas swaplevel(i, j) — reorder two MultiIndex levels. Pure
+    * metadata: no plan change until sort_index/reset_index observe it. */
+  def swapLevel(i: Int = 0, j: Int = 1): Frame = {
+    require(indexCols.size >= 2, "swaplevel: need a MultiIndex (2+ index levels)")
+    require(i >= 0 && j >= 0 && i < indexCols.size && j < indexCols.size,
+      s"swaplevel: levels ($i, $j) out of range for ${indexCols.size} levels")
+    val arr = indexCols.toArray
+    val t = arr(i); arr(i) = arr(j); arr(j) = t
+    copy(indexCols = arr.toIndexedSeq)
+  }
+
+  /** pandas sort_index(): sort by the index levels left to right. */
+  def sortIndex(ascending: Boolean = true): Frame = {
+    require(indexCols.nonEmpty, "sort_index: no index levels set")
+    sortValues(indexCols.map(c =>
+      if (ascending) SortKey.asc(c) else SortKey.desc(c)).toIndexedSeq)
+  }
+
+  /** pandas groupby(level=...): group by index levels by position. */
+  def groupbyLevel(levels: Int*): GroupBy = {
+    levels.foreach(l => require(l >= 0 && l < indexCols.size,
+      s"groupby(level=$l): index has ${indexCols.size} levels"))
+    new GroupBy(this, levels.map(indexCols).toIndexedSeq)
+  }
+
   /** pandas `to_numeric(errors=)`: 'coerce' nulls unparseable input
     * (try_cast); 'raise' is the ANSI cast (Spark 4 ANSI mode throws on
     * bad input — the same contract as pandas raise). */

@@ -166,5 +166,29 @@ object ReshapeExtraQueries {
                  l_quantity AS amount, l_discount AS rate FROM lineitem
           UNION ALL
           SELECT l_orderkey, l_linenumber, 1, l_extendedprice, l_tax FROM lineitem)
-        ORDER BY l_orderkey, l_linenumber, pos""")))
+        ORDER BY l_orderkey, l_linenumber, pos""")),
+
+    // MultiIndex round trip (reference set_index dataframe.py:4310,
+    // swaplevel base.py:3297, sort_index base.py:2654): set_index(2) →
+    // groupby(level=[0,1]) → swaplevel → sort_index → reset_index. The
+    // level ops are indexCols-metadata reorders; what the oracle checks
+    // is that they PROPAGATE — the reset puts the swapped levels
+    // leftmost and sort_index orders rows by the post-swap level order.
+    Q("q217_multiindex_roundtrip",
+      (s, dir) => f(s, dir, "lineitem")
+        .setIndex("l_returnflag", "l_linestatus")
+        .groupbyLevel(0, 1)
+        .agg(
+          "n" -> count(lit(1)),
+          "qty" -> round(sum(col("l_quantity")), 2),
+          "rev" -> round(sum(col("l_extendedprice")), 2))
+        .swapLevel()
+        .sortIndex()
+        .resetIndex().df,
+      Some("""
+        SELECT l_linestatus, l_returnflag, count(*) AS n,
+               round(sum(l_quantity), 2) AS qty,
+               round(sum(l_extendedprice), 2) AS rev
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_linestatus, l_returnflag""")))
 }
