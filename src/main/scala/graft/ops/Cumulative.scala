@@ -195,10 +195,23 @@ object Cumulative {
         agg(col(s"__t${i}__")).over(wPrefix).as(s"__p${i}__")
       }: _*)
 
-    val joined = local.join(broadcast(prefixes), Pid +: keys, "left")
+    // NULL-SAFE stitch: Window.partitionBy (the semantics this matches)
+    // treats a null key as one ordinary group, but an equi-join would
+    // never match it — a null-keyed group spanning a partition boundary
+    // would silently lose its carried prefix. Rename the tiny side and
+    // join on <=> per key column instead.
+    val pfx = prefixes.select(
+      col(Pid).as("__ppid__") +:
+        keys.zipWithIndex.map { case (k, i) => col(k).as(s"__pk${i}__") } ++:
+        cols.indices.map(i => col(s"__p${i}__")): _*)
+    val cond = keys.zipWithIndex
+      .map { case (k, i) => col(k) <=> col(s"__pk${i}__") }
+      .foldLeft(col(Pid) === col("__ppid__"))(_ && _)
+    val joined = local.join(broadcast(pfx), cond, "left")
     val out = cols.zipWithIndex.foldLeft(joined) { case (d, ((_, outName), i)) =>
       d.withColumn(outName, combine(col(outName), col(s"__p${i}__")))
     }
-    out.drop(Pid +: cols.indices.map(i => s"__p${i}__"): _*)
+    out.drop(Pid +: "__ppid__" +: keys.indices.map(i => s"__pk${i}__") ++:
+      cols.indices.map(i => s"__p${i}__"): _*)
   }
 }

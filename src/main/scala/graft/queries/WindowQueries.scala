@@ -44,18 +44,25 @@ object WindowQueries {
     // range partitions + boundary-offset stitch) instead of one window
     // task per group — proving the 100 TB hot-key path is semantically
     // identical to the plain window before SkewBench leans on it.
+    // Summed through decimal(30,6) on BOTH sides: groupedRunning's
+    // chunk-then-prefix association order differs from the oracle's
+    // strictly sequential window sum, so a double sum could land on the
+    // other side of a half-cent round tie (ADVICE r7). Decimal makes both
+    // sums exact → association-independent → the round is deterministic.
     Q("q216_window_cumsum_skewsafe",
       (s, dir) => f(s, dir, "orders")
+        .withColumn("__price_dec__", col("o_totalprice").cast("decimal(30,6)"))
         .groupby("o_custkey")
-        .cumsumSkewSafe("o_totalprice", "cum_total", ord)
+        .cumsumSkewSafe("__price_dec__", "cum_total", ord)
         .selectExprs(col("o_orderkey"), col("o_custkey"),
-          round(col("cum_total"), 2).as("cum_total"))
+          round(col("cum_total"), 2).cast("double").as("cum_total"))
         .sortValues(Seq(SortKey.asc("o_orderkey"))).df,
       Some("""
         SELECT o_orderkey, o_custkey,
-               round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+               cast(round(sum(cast(o_totalprice AS decimal(30,6))) OVER (
+                 PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_total
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS double) AS cum_total
         FROM orders ORDER BY o_orderkey""")),
 
     // groupby shift/diff/pct_change (reference base QC:4324,4247,4260).

@@ -151,20 +151,28 @@ object Excel {
     } else StringType
   }
 
-  /** Widen two per-file inferred schemas, pandas-concat style: equal
-    * types keep, {long, double} → double, any other mix → string; width
-    * = max, a file's missing trailing columns read as null. */
+  /** Widen two per-file inferred schemas, pandas-concat style: aligned
+    * BY NAME (two files with the same columns in different header order
+    * still line up — position-zipping them would land data in the wrong
+    * columns), equal types keep, {long, double} → double, any other mix
+    * → string; names unique to one file append and read null for the
+    * others. With header=false the names are positional `_c{i}` so this
+    * degrades to the positional merge. */
   private def mergeSchemas(a: StructType, b: StructType): StructType = {
     def widen(x: DataType, y: DataType): DataType = (x, y) match {
       case (s, t) if s == t => s
       case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
       case _ => StringType
     }
-    StructType((0 until math.max(a.length, b.length)).map { i =>
-      if (i >= a.length) b(i)
-      else if (i >= b.length) a(i)
-      else StructField(a(i).name, widen(a(i).dataType, b(i).dataType), nullable = true)
-    })
+    val bByName = b.fields.map(f => f.name -> f).toMap
+    val merged = a.fields.map { fa =>
+      bByName.get(fa.name) match {
+        case Some(fb) => StructField(fa.name, widen(fa.dataType, fb.dataType), nullable = true)
+        case None => fa.copy(nullable = true)
+      }
+    }
+    val aNames = a.fieldNames.toSet
+    StructType(merged ++ b.fields.filterNot(f => aNames(f.name)).map(_.copy(nullable = true)))
   }
 
   private def toTyped(grid: Seq[Array[Any]], header: Boolean): (StructType, Seq[Row]) = {
@@ -212,13 +220,24 @@ object Excel {
       // each task row to the WIDENED schema (total — nothing can null).
       val fileSchemas = spark.sparkContext.parallelize(files, files.size)
         .map(p => toTyped(parseGrid(zipEntries(p), sheet), header)._1).collect()
+      // name-alignment is ambiguous under duplicate headers — fail loudly
+      // like the duplicate-row-index guard rather than guess
+      files.zip(fileSchemas).foreach { case (p, s) =>
+        val dup = s.fieldNames.groupBy(identity).collect { case (n, xs) if xs.size > 1 => n }
+        require(dup.isEmpty,
+          s"duplicate column name(s) ${dup.mkString(", ")} in $p — cannot align multi-file read by name")
+      }
       val schema = fileSchemas.reduce(mergeSchemas)
-      val width = schema.length
       val dts = schema.map(_.dataType).toIndexedSeq
+      val names = schema.fieldNames.toIndexedSeq
       val rdd = spark.sparkContext.parallelize(files, files.size).flatMap { p =>
-        toTyped(parseGrid(zipEntries(p), sheet), header)._2.map { r =>
-          Row.fromSeq((0 until width).map { i =>
-            val v = if (i < r.length) r.get(i) else null
+        val (fs, rows) = toTyped(parseGrid(zipEntries(p), sheet), header)
+        // align THIS file's columns to the merged schema by name; a name
+        // this file lacks reads null (pandas concat outer-align)
+        val pos = fs.fieldNames.zipWithIndex.toMap
+        rows.map { r =>
+          Row.fromSeq(names.indices.map { i =>
+            val v = pos.get(names(i)).map(r.get).orNull
             (v, dts(i)) match {
               case (null, _) => null
               case (x: Long, DoubleType) => x.toDouble

@@ -159,6 +159,25 @@ class ExcelSpec extends SparkSuite {
     assert(df.orderBy("id").collect().map(_.getDouble(1)).toSeq == Seq(10.0, 20.0, 1.5))
   }
 
+  test("multi-file reads align columns by NAME across differing header orders") {
+    import spark.implicits._
+    // same columns, opposite header order — position-zipping would land
+    // strings under `id` and numbers under `s` (ADVICE r7); pandas concat
+    // aligns by name. A column unique to one file appends and reads null
+    // for the other.
+    val dir = java.nio.file.Files.createTempDirectory("graft_xl_names").toFile
+    dir.deleteOnExit()
+    Excel.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"),
+      new java.io.File(dir, "a.xlsx").getAbsolutePath)
+    Excel.write(Seq(("c", 3L, 9.5)).toDF("s", "id", "extra"),
+      new java.io.File(dir, "b.xlsx").getAbsolutePath)
+    val df = Excel.read(spark, dir.getAbsolutePath)
+    assert(df.columns.toSeq == Seq("id", "s", "extra"))
+    val got = df.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSeq
+    assert(got == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(9.5))))
+  }
+
   test("duplicate row indices fail loudly instead of last-one-wins dropping data") {
     val contentTypes =
       """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/></Types>"""

@@ -70,6 +70,33 @@ class OpsSpec extends SparkSuite {
       naiveMax.select(col("k"), col("o"), col("cm")))
   }
 
+  test("groupedRunning carries the prefix for a NULL-keyed group spanning partitions") {
+    import spark.implicits._
+    // Window.partitionBy treats a null key as one ordinary group; the
+    // boundary stitch must join null-safely (<=>) or the null group's
+    // chunks past the first partition silently lose their carried prefix
+    // (ADVICE r7, medium). 400 null-keyed rows across 6 range partitions
+    // force the group over several boundaries.
+    val rows: Seq[(java.lang.Long, Long, java.lang.Double)] =
+      (0 until 400).map(i => (null: java.lang.Long, i.toLong,
+        java.lang.Double.valueOf((i % 9).toDouble))) ++
+      (0 until 60).map(i => (java.lang.Long.valueOf(i % 5), 1000L + i,
+        if (i % 7 == 0) null else java.lang.Double.valueOf(1.0)))
+    val d = rows.toDF("k", "o", "v")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("o")
+      .rowsBetween(Long.MinValue, 0)
+    for (f <- Seq("sum", "max", "min")) {
+      val run = Cumulative.groupedRunning(d, Seq("k"), Seq(SortKey.asc("o")), f,
+        Seq("v" -> "cs"), numPartitions = Some(6))
+      val naiveAgg = f match {
+        case "sum" => sum(col("v")) case "max" => max(col("v")) case _ => min(col("v"))
+      }
+      val naive = d.withColumn("cs", naiveAgg.over(w))
+      assertParity(run.select(col("k"), col("o"), col("cs")),
+        naive.select(col("k"), col("o"), col("cs")))
+    }
+  }
+
   test("ewm recurrence matches the closed-form weighted mean") {
     import spark.implicits._
     val d = Seq((1L, 1L, 1L, 10.0), (1L, 2L, 2L, 20.0), (1L, 3L, 3L, 30.0))
