@@ -112,8 +112,9 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // events.ts is TIMESTAMP(NANOS); read it as raw long (QueryKit's knob)
-    // so the amplified copy round-trips through the same conversion path
+    // older events fixtures ship ts as TIMESTAMP(NANOS); the knob lets
+    // those read as raw long so QueryKit's normalizer can convert them
+    // (newer micros fixtures ignore it)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }

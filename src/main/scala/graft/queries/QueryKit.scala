@@ -15,15 +15,28 @@ final case class Q(
     headline: Boolean = false)
 
 object QueryKit {
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects — readable only as raw long via the legacy
+    * knob) and, in newer fixture drops, as plain TIMESTAMP(MICROS). Accept
+    * either physical layout and normalize to a microsecond TIMESTAMP_NTZ:
+    * every downstream query sees one dtype regardless of the writer.
+    * Long nanos convert with integer division (ns since epoch overflow
+    * double precision, so no `/ 1000.0`). */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+      case Some(TimestampType) =>
+        df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      case _ => df // TimestampNTZType already, or no ts column
+    }
+
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects outright. Read the raw nanos as long (legacy knob)
-      // and convert to a microsecond TIMESTAMP_NTZ with integer division
-      // (ns since epoch overflow double precision, so no `/ 1000.0`).
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+      normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
     } else s.read.parquet(s"$dir/$name.parquet")
 
   def f(s: SparkSession, dir: String, name: String): Frame = Frame(t(s, dir, name))

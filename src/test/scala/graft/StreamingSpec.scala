@@ -19,19 +19,16 @@ class StreamingSpec extends SparkSuite {
     dir.toString
   }
 
-  /** Raw parquet schema (ts is TIMESTAMP(NANOS) read as long — see
-    * QueryKit) + the same nanos→micros conversion the batch path does. */
+  /** Stream with the file's own physical schema (ts has shipped both as
+    * TIMESTAMP(NANOS)-as-long and as TIMESTAMP(MICROS) — see QueryKit),
+    * then the same normalization the batch path does. */
   private def rawStream() = {
-    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = StructType(table("events").schema.map {
-      case f if f.name == "ts" => StructField("ts", LongType)
-      case f => f
-    })
+    val raw = spark.read.parquet(eventsDir).schema
     // watermark requires TIMESTAMP (not NTZ); session TZ is UTC so the
     // instant values match the batch path's NTZ reading exactly
-    EventStream.read(spark, eventsDir, raw)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    queries.QueryKit.normalizeTs(EventStream.read(spark, eventsDir, raw))
+      .withColumn("ts", col("ts").cast("timestamp"))
   }
 
   test("streaming hourly agg equals the batch tumbling aggregate") {
