@@ -25,7 +25,8 @@ object Registry {
     UdfQueries.all,
     PipelineQueries.all,
     CorpusQueries.all,
-    StressQueries.all
+    StressQueries.all,
+    StreamingQueries.all
   )
 
   lazy val all: Seq[Q] = {

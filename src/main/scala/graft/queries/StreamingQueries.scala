@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+import graft.streaming.EventStream
+import QueryKit._
+
+/**
+ * §2.14 streaming surplus — ORACLE-gated out-of-order twins (the r6/r7
+ * carry-over: sessionizeOoo / enrichLatestOoo were ScalaTest-pinned only).
+ *
+ * Each query replays the `events` fixture as a shuffled file-drop: three
+ * parquet files split by event_id mod 3, so EVERY file spans the whole
+ * time range and cross-micro-batch arrival order is maximally out of
+ * order. The lateness horizon is computed from the data to cover the full
+ * span (nothing is beyond-watermark-late), and two far-future sentinel
+ * drops (user/key = -1, filtered from the result) push the watermark past
+ * the real data so every buffered event folds. The folded result must
+ * then equal the batch semantics bit-for-bit — which is exactly what the
+ * DuckDB oracle computes. At real scale the same operators run with a
+ * short horizon and bounded state; the full-span horizon here is the
+ * replay harness, not the production shape.
+ */
+object StreamingQueries {
+
+  /** Stage the shuffled replay + return (streamDir, maxTs, spanDays). */
+  private def stageReplay(s: SparkSession, dir: String, tag: String): (String, java.sql.Timestamp, Long) = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(s"/tmp/graft_stream/${tag}_${System.nanoTime()}")
+    val flat = root.resolve("stream")
+    Files.createDirectories(flat)
+    val ev = t(s, dir, "events").select(
+      col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"),
+      col("event_type"), coalesce(col("value"), lit(0.0)).as("value"))
+    (0 until 3).foreach { i =>
+      val part = root.resolve(s"drop$i")
+      ev.filter(pmod(col("event_id"), lit(3)) === i).coalesce(1)
+        .write.mode("overwrite").parquet(part.toString)
+      val src = part.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(src.toPath, flat.resolve(f"replay$i%02d.parquet"))
+    }
+    val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+    val (minTs, maxTs) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+    val spanDays = (maxTs.getTime - minTs.getTime) / 86400000L + 2L
+    (flat.toString, maxTs, spanDays)
+  }
+
+  /** Drop a single-row far-future sentinel file into the replay dir. */
+  private def sentinel(s: SparkSession, flat: String, maxTs: java.sql.Timestamp,
+      daysAhead: Long, name: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import s.implicits._
+    val tmp = Paths.get(s"$flat/../$name")
+    Seq((-daysAhead, -1L,
+      new java.sql.Timestamp(maxTs.getTime + daysAhead * 86400000L), "click", 0.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val src = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+    Files.copy(src.toPath, Paths.get(flat).resolve(s"z_$name.parquet"))
+  }
+
+  private val replaySchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("ts", TimestampType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  val all: Seq[Q] = Seq(
+
+    // Out-of-order gap-sessionization (30 min) over the shuffled replay:
+    // per-user final session count must equal the batch two-stacked-window
+    // computation no matter the arrival order. State folds strictly in
+    // event-time order under the watermark — the streaming twin of q92.
+    Q("q218_streaming_sessionize_ooo",
+      (s, dir) => {
+        val (flat, maxTs, spanDays) = stageReplay(s, dir, "q218")
+        val stream = EventStream.read(s, flat, replaySchema)
+        val query = EventStream.sessionizeOoo(stream, delay = s"$spanDays days")
+          .writeStream.format("memory").queryName("q218_sink")
+          .outputMode(OutputMode.Append()).start()
+        try {
+          query.processAllAvailable() // drain the three shuffled drops
+          sentinel(s, flat, maxTs, spanDays + 10, "flush1")
+          sentinel(s, flat, maxTs, 2 * spanDays + 20, "flush2")
+          query.processAllAvailable() // watermark passes real data → folds
+          s.table("q218_sink")
+            .filter(col("userId") >= 0)
+            .groupBy(col("userId").as("user_id"))
+            .agg(max(col("sessions")).as("n_sessions"))
+            .orderBy(col("user_id"))
+        } finally query.stop()
+      },
+      Some("""
+        SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions
+        FROM (
+          SELECT user_id,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events))
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // Out-of-order latest-value enrichment (streaming merge_asof backward,
+    // allow_exact_matches) over the shuffled replay: every non-purchase
+    // event stamps the latest purchase value of its user at-or-before its
+    // time. Folding is (time, right-before-left, id)-ordered under the
+    // watermark, so the oracle replays the identical order as a window.
+    Q("q219_streaming_enrich_ooo",
+      (s, dir) => {
+        val (flat, maxTs, spanDays) = stageReplay(s, dir, "q219")
+        val stream = EventStream.read(s, flat, replaySchema)
+          .select(col("user_id").as("key"), col("ts"),
+            (col("event_type") === "purchase").as("isRight"),
+            col("value"), col("event_id").as("id"))
+        val query = EventStream.enrichLatestOoo(stream, delay = s"$spanDays days")
+          .writeStream.format("memory").queryName("q219_sink")
+          .outputMode(OutputMode.Append()).start()
+        try {
+          query.processAllAvailable()
+          sentinel(s, flat, maxTs, spanDays + 10, "flush1")
+          sentinel(s, flat, maxTs, 2 * spanDays + 20, "flush2")
+          query.processAllAvailable()
+          s.table("q219_sink")
+            .filter(col("id") >= 0)
+            .select(col("id"), col("value").as("v"))
+            .orderBy(col("id"))
+        } finally query.stop()
+      },
+      Some("""
+        SELECT id, v FROM (
+          SELECT event_id AS id, event_type,
+                 last_value(CASE WHEN event_type = 'purchase' THEN coalesce(value, 0.0) END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+          FROM events)
+        WHERE event_type <> 'purchase' ORDER BY id""")))
+}
