@@ -215,5 +215,55 @@ object IoQueries {
         SELECT l_orderkey % 10 AS okey_mod, count(*) AS n,
                round(sum(l_extendedprice), 2) AS rev
         FROM lineitem WHERE l_orderkey < 15000 AND l_partkey < 1000
-        GROUP BY 1 ORDER BY 1""")))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // to_excel + read_excel round-trip, oracle-checked against the source
+    // parquet (upgrades the Excel source from tested-only to a green
+    // CORRECTNESS row): write the customer slice to one workbook, read it
+    // back through the zip/XML parser, aggregate — a cell-level drift in
+    // either direction (number formatting, type inference, row indexing)
+    // shifts the aggregate and fails the hash. The write is the
+    // documented driver-side valve (reference to_excel is likewise
+    // single-node pandas, core/io/io.py:218-410).
+    Q("q220_excel_roundtrip",
+      (s, dir) => {
+        val src = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        val path = tmp(s, "cust_xlsx")
+        new java.io.File(path).mkdirs()
+        graft.sources.Excel.write(src, s"$path/customer.xlsx")
+        val back = graft.sources.Excel.read(s, s"$path/customer.xlsx")
+        Frame(back.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("c_acctbal")), 2).as("total"),
+            min(col("c_custkey")).as("min_key")))
+          .sortValues(Seq(SortKey.asc("c_mktsegment"))).df
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS total,
+               min(c_custkey) AS min_key
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // to_feather + read_feather (Arrow IPC file) round-trip, oracle-checked
+    // against the source parquet — same upgrade as q220 for the Arrow
+    // source (was ArrowIpcSpec-only): a drift in the IPC encoder/decoder
+    // (endianness, validity bitmaps, varchar offsets) shifts the aggregate.
+    Q("q221_feather_roundtrip",
+      (s, dir) => {
+        val src = t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"), col("s_name"))
+        val path = tmp(s, "supp_feather")
+        new java.io.File(path).mkdirs()
+        graft.sources.ArrowIpc.writeFeather(src, s"$path/supplier.arrow")
+        val back = graft.sources.ArrowIpc.readFeather(s, s"$path/supplier.arrow")
+        Frame(back.groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("s_acctbal")), 2).as("total"),
+            min(col("s_name")).as("first_name")))
+          .sortValues(Seq(SortKey.asc("s_nationkey"))).df
+      },
+      Some("""
+        SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS total,
+               min(s_name) AS first_name
+        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")))
 }

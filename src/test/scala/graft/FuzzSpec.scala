@@ -14,7 +14,12 @@ import graft.api.{Frame, SortKey}
  * Frame surface (filter / derive / na / clip / groupby-agg / sort+head /
  * drop_duplicates / grouped cumsum / rename / concat / join) and
  * maintains, alongside the Frame chain, an INDEPENDENTLY TEXT-BUILT SQL
- * replay of the same semantics run through spark.sql.
+ * replay of the same semantics run through spark.sql. Round 9 widened the
+ * pool into windows/reshape/resample: grouped rolling (count window +
+ * min_periods gate), global expanding (the two-phase-prefix path vs a
+ * single-partition SQL window), melt/unpivot (null-RETAINING, pandas
+ * semantics — probed against Spark's Unpivot node), and a date_trunc
+ * downsample over o_orderdate.
  *
  * The Frame chain exercises the API wrapper layer (ordering propagation
  * into head(), window specs, keep=first/last/none reversal, na masks);
@@ -76,7 +81,7 @@ class FuzzSpec extends SparkSuite {
         org.apache.spark.sql.expressions.Window.orderBy(liCols.map(col): _*)))
       .cache().createOrReplaceTempView("fz_lineitem")
     table("orders").select("o_orderkey", "o_custkey", "o_totalprice",
-      "o_orderstatus", "o_orderpriority")
+      "o_orderstatus", "o_orderpriority", "o_orderdate")
       .cache().createOrReplaceTempView("fz_orders")
     table("customer").select("c_custkey", "c_mktsegment", "c_acctbal")
       .cache().createOrReplaceTempView("fz_customer")
@@ -102,7 +107,8 @@ class FuzzSpec extends SparkSuite {
       val cols = Vector(
         FCol("o_orderkey", 'i'), FCol("o_custkey", 'i'), FCol("o_totalprice", 'n'),
         FCol("o_orderstatus", 's', strDoms("o_orderstatus"), lowCard = true),
-        FCol("o_orderpriority", 's', strDoms("o_orderpriority"), lowCard = true))
+        FCol("o_orderpriority", 's', strDoms("o_orderpriority"), lowCard = true),
+        FCol("o_orderdate", 'd'))
       St(Frame(spark.table("fz_orders")), "SELECT * FROM fz_orders",
         cols, Vector("o_orderkey"), List("base:orders"))
     }
@@ -328,6 +334,117 @@ class FuzzSpec extends SparkSuite {
       .addOp(s"join(customer,$how)")
   }
 
+  private def winText(part: Option[String], ord: String, frame: String): String =
+    s"${part.map(p => s"PARTITION BY $p ").getOrElse("")}ORDER BY $ord $frame"
+
+  /** groupby(k).rolling(w, min_periods=mp).{sum|mean|min|max} — the
+    * plain bounded window path; the SQL twin spells the pandas
+    * valid-count min_periods gate as an explicit CASE. */
+  private def opGbRolling(st: St, r: Random): St = {
+    val k = pick(r, st.cols.filter(_.lowCard))
+    val c = pick(r, numeric(st).filterNot(_.name == k.name))
+    val w = pick(r, Seq(2, 4, 9))
+    val mp = 1 + r.nextInt(w)
+    val name = fresh(st, "rw")
+    val (fn, sqlAgg, kind) = pick(r, Seq[(String, String, Char)](
+      ("sum", s"SUM(${c.name})", c.kind), ("mean", s"AVG(${c.name})", 'n'),
+      ("min", s"MIN(${c.name})", c.kind), ("max", s"MAX(${c.name})", c.kind)))
+    val roll = st.fr.groupby(k.name).rolling(w, st.uniq.map(SortKey.asc), Some(mp))
+    val fr2 = fn match {
+      case "sum" => roll.sum(c.name, name)
+      case "mean" => roll.mean(c.name, name)
+      case "min" => roll.min(c.name, name)
+      case _ => roll.max(c.name, name)
+    }
+    val win = winText(Some(k.name), uniqOrderText(st.uniq),
+      s"ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW")
+    st.copy(
+      fr = fr2,
+      sql = s"SELECT *, CASE WHEN count(${c.name}) OVER ($win) >= $mp " +
+        s"THEN $sqlAgg OVER ($win) END AS $name FROM ${wrap(st.sql)}",
+      cols = st.cols :+ FCol(name, kind))
+      .addOp(s"gbRolling(${k.name};$fn(${c.name}),w=$w,mp=$mp)")
+  }
+
+  /** Global expanding over the declared order — the engine runs the
+    * scalable two-phase prefix (Cumulative.globalRunning), the replay a
+    * single-partition SQL window; divergence means the distributed
+    * prefix stitch drifted from the sequential definition. */
+  private def opExpanding(st: St, r: Random): St = {
+    val c = pick(r, numeric(st))
+    val mp = 1 + r.nextInt(3)
+    val name = fresh(st, "ex")
+    val exp = st.fr.sortValues(st.uniq.map(SortKey.asc)).expanding(mp)
+    val (fr2, valueSql, kind) = r.nextInt(3) match {
+      case 0 => (exp.sum(c.name, name), s"SUM(${c.name})", c.kind)
+      case 1 => (exp.count(c.name, name), s"COUNT(${c.name})", 'i')
+      // mean = running sum / running valid count, spelled the same way
+      case _ => (exp.mean(c.name, name),
+        s"SUM(${c.name}) OVER (%WIN%) / COUNT(${c.name})", 'n')
+    }
+    val win = winText(None, uniqOrderText(st.uniq),
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+    val core = valueSql.replace("%WIN%", win)
+    // round BOTH sides to 6dp: the engine's two-phase prefix sums in a
+    // different association order than the sequential SQL window, and a
+    // last-ulp drift would reshuffle the comparator's string row sort
+    st.copy(
+      fr = fr2.withColumn(name, round(col(name), 6)),
+      sql = s"SELECT *, CASE WHEN count(${c.name}) OVER ($win) >= $mp " +
+        s"THEN round($core OVER ($win), 6) END AS $name FROM ${wrap(st.sql)}",
+      cols = st.cols :+ FCol(name, kind))
+      .addOp(s"expanding($name=${c.name},mp=$mp)")
+  }
+
+  /** melt/unpivot of two same-kind value columns over the uniq ids.
+    * Spark's Unpivot RETAINS null values (pandas melt semantics — probed
+    * empirically), so the twin is a plain two-arm UNION ALL. */
+  private def opMelt(st: St, r: Random): St = {
+    val uniqSet = st.uniq.toSet
+    val cands = numeric(st).filterNot(c => uniqSet(c.name))
+    val byKind = cands.groupBy(_.kind).filter(_._2.size >= 2)
+    val pool = byKind(pick(r, byKind.keys.toSeq))
+    val vals = r.shuffle(pool).take(2).map(_.name)
+    val varName = fresh(st, "var")
+    val valName = s"${varName}v"
+    val idCols = st.cols.filter(c => uniqSet(c.name))
+    val ids = idCols.map(_.name)
+    val fr2 = Frame(graft.ops.Reshape.melt(st.fr.df, ids, vals, varName, valName))
+    val arms = vals.map(v =>
+      s"SELECT ${ids.mkString(", ")}, '$v' AS $varName, $v AS $valName FROM ${wrap(st.sql)}")
+    st.copy(
+      fr = fr2,
+      sql = arms.mkString("\nUNION ALL\n"),
+      cols = idCols :+ FCol(varName, 's', vals.sorted, lowCard = true)
+        :+ FCol(valName, pool.head.kind),
+      uniq = st.uniq :+ varName)
+      .addOp(s"melt(${vals.mkString("+")})")
+  }
+
+  /** resample-downsample: date_trunc bucket groupBy over o_orderdate —
+    * the one-exchange tumbling aggregate (engine Resample.downsample). */
+  private def opResample(st: St, r: Random): St = {
+    val d = pick(r, st.cols.filter(_.kind == 'd'))
+    val unit = pick(r, Seq("week", "month", "quarter"))
+    val nums = numeric(st)
+    val aggCands: Seq[(String, Column, String, Char)] =
+      ("cnt", count(lit(1)), "COUNT(*)", 'i') +: nums.flatMap { c =>
+        Seq((s"sum_${c.name}", sum(col(c.name)), s"SUM(${c.name})", c.kind),
+          (s"max_${c.name}", max(col(c.name)), s"MAX(${c.name})", c.kind))
+      }
+    val na = 1 + r.nextInt(math.min(3, aggCands.size))
+    val aggs = r.shuffle(aggCands).take(na)
+    st.copy(
+      fr = Frame(graft.ops.Resample.downsample(
+        st.fr.df, d.name, unit, aggs.map(a => a._1 -> a._2): _*)),
+      sql = s"SELECT date_trunc('$unit', ${d.name}) AS bucket, " +
+        aggs.map(a => s"${a._3} AS ${a._1}").mkString(", ") +
+        s" FROM ${wrap(st.sql)}GROUP BY date_trunc('$unit', ${d.name})",
+      cols = FCol("bucket", 'd') +: aggs.map(a => FCol(a._1, a._4)).toVector,
+      uniq = Vector("bucket"))
+      .addOp(s"resample($unit(${d.name});${aggs.map(_._1).mkString(",")})")
+  }
+
   // guards: an op is drawable only when its inputs exist
   private def available(st: St): Seq[(Int, (St, Random) => St)] = {
     val hasNum = numeric(st).nonEmpty
@@ -347,6 +464,11 @@ class FuzzSpec extends SparkSuite {
       (if (hasUniq) 2 else 0) -> (opSortHead _),
       (if (hasUniq) 2 else 0) -> (opDedup _),
       (if (hasUniq && hasLow && numeric(st).size >= 2) 2 else 0) -> (opGbCumsum _),
+      (if (hasUniq && hasLow && numeric(st).size >= 2) 2 else 0) -> (opGbRolling _),
+      (if (hasUniq && hasNum) 2 else 0) -> (opExpanding _),
+      (if (hasUniq && numeric(st).filterNot(c => st.uniq.contains(c.name))
+        .groupBy(_.kind).exists(_._2.size >= 2)) 1 else 0) -> (opMelt _),
+      (if (st.cols.exists(_.kind == 'd') && hasNum) 2 else 0) -> (opResample _),
       1 -> (opRename _),
       (if (hasNum) 1 else 0) -> (opConcat _),
       (if (st.cols.exists(_.name == "o_custkey") && !st.joined) 3 else 0)
@@ -375,7 +497,7 @@ class FuzzSpec extends SparkSuite {
     }
   }
 
-  for (batch <- 0 until 4) {
+  for (batch <- 0 until 6) {
     val from = batch * 30; val to = from + 29
     test(s"random pipelines $from..$to match their independent SQL replay") {
       strDoms // force base views
