@@ -167,18 +167,29 @@ object Cumulative {
       d.withColumn(out, agg(col(v)).over(wLocal))
     }
 
-    // Boundary totals, all computed under the SAME (pid) partitioning —
-    // no data-sized exchange. first/last key of each partition come from
-    // an unordered whole-partition window; a (pid, key) group is kept
-    // only when its key touches a partition edge, then reduced to one
-    // carrier row (row_number == 1 within the group).
+    // Boundary totals WITHOUT a second full-data exchange (r9 — the r7/r8
+    // shape re-shuffled everything a second time: a partition-id-only
+    // window needs hashpartitioning(pid), which the (pid, keys) exchange
+    // the local pass made cannot satisfy, so Catalyst inserted a second
+    // data-sized shuffle+sort just to find each partition's first/last
+    // key). Split the two concerns:
+    //   - edge keys per partition: a groupBy(pid) min/max aggregate —
+    //     partial aggregation makes its exchange #partitions-sized, and
+    //     the result broadcasts back;
+    //   - per-(pid, key) group totals: windows over the SAME (pid, keys)
+    //     clustering as wLocal, chained on `local` so Catalyst reuses
+    //     that one exchange (broadcast joins and filters preserve the
+    //     streamed side's partitioning).
+    // The edge filter keeps whole groups (it tests only pid + key), so
+    // the post-filter group windows still see every row of a kept group.
     val keyStruct = struct(keyCols: _*)
-    val wPart = Window.partitionBy(col(Pid))
     val wGroupAll = Window.partitionBy(col(Pid) +: keyCols: _*)
     val wGroupOrd = wGroupAll.orderBy(order.map(_.toColumn): _*)
-    val boundary = sorted
-      .withColumn("__kf__", min(keyStruct).over(wPart))
-      .withColumn("__kl__", max(keyStruct).over(wPart))
+    val edges = sorted.groupBy(col(Pid))
+      .agg(min(keyStruct).as("__kf__"), max(keyStruct).as("__kl__"))
+      .withColumnRenamed(Pid, "__epid__")
+    val boundary = local
+      .join(broadcast(edges), col(Pid) === col("__epid__"))
       .filter(keyStruct === col("__kf__") || keyStruct === col("__kl__"))
       .withColumn("__rn__", row_number().over(wGroupOrd))
       .withColumns(

@@ -13,10 +13,12 @@ object PlanPeek {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    args.foreach { name =>
+    val verbose = args.contains("-v")
+    args.filterNot(_ == "-v").foreach { name =>
       Registry.all.find(_.name == name) match {
         case Some(q) =>
           val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
+          if (verbose) println(plan)
           // word-bounded: "Exchange" alone also matches Reused/Broadcast
           val ex = "(?<![A-Za-z])Exchange".r.findAllIn(plan).size
           val bc = "BroadcastExchange".r.findAllIn(plan).size
