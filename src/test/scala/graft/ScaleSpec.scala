@@ -108,6 +108,46 @@ class ScaleSpec extends SparkSuite {
       s"z-order l_partkey span $zPart should be well under single-sort $sortPart")
   }
 
+  /** Regex shuffle audit of a query's physical plan (PlanPeek's counts,
+    * pinned as assertions). */
+  private def planCounts(df: org.apache.spark.sql.DataFrame): (Int, Int, Int, Int) = {
+    val plan = df.queryExecution.executedPlan.toString
+    def n(re: String) = re.r.findAllIn(plan).size
+    (n("(?<![A-Za-z])Exchange hashpartitioning") + n("(?<![A-Za-z])Exchange rangepartitioning"),
+      n("BroadcastHashJoin"), n("SortMergeJoin"), n("CartesianProduct"))
+  }
+
+  test("q213-q215 broadcast their small sides; no SMJ or cartesian in the e2e chains") {
+    def q(name: String) = queries.Registry.all.find(_.name == name).get.fn(spark, sfDir)
+    val (_, bc213, smj213, cart213) = planCounts(q("q213_e2e_customer_features"))
+    assert(bc213 >= 1 && smj213 == 0 && cart213 == 0,
+      s"q213: want broadcast-only joins, got bc=$bc213 smj=$smj213 cart=$cart213")
+    val (_, bc214, smj214, cart214) = planCounts(q("q214_e2e_monthly_revenue"))
+    assert(bc214 >= 1 && smj214 == 0 && cart214 == 0,
+      s"q214: want broadcast-only joins, got bc=$bc214 smj=$smj214 cart=$cart214")
+    val (_, bc215, smj215, cart215) = planCounts(q("q215_e2e_part_pricing"))
+    assert(bc215 >= 2 && smj215 == 0 && cart215 == 0,
+      s"q215: want broadcast joins + broadcast scalar cross, got bc=$bc215 smj=$smj215 cart=$cart215")
+  }
+
+  test("q216's op plans ONE data-sized shuffle: boundary branch reuses the local clustering") {
+    // cumsumSkewSafe WITHOUT the trailing sort (that range exchange is
+    // the query's, not the op's): the r9 shape is exchange(pid,keys) for
+    // the local pass + two tiny exchanges (edge-key aggregate at
+    // #partitions rows, boundary carriers at ≤2 rows/partition) + two
+    // broadcasts (edge keys in, prefix stitch back). A regression that
+    // reintroduces the second full-data shuffle shows up as a fifth
+    // shuffle exchange; one that degrades the stitch to SMJ shows there.
+    val df = graft.api.Frame(table("orders"))
+      .groupby("o_custkey")
+      .cumsumSkewSafe("o_totalprice", "cs",
+        Seq(graft.api.SortKey.asc("o_orderdate"), graft.api.SortKey.asc("o_orderkey"))).df
+    val (shuffles, bc, smj, cart) = planCounts(df)
+    assert(shuffles <= 4, s"groupedRunning shuffle count grew: $shuffles > 4")
+    assert(bc == 2 && smj == 0 && cart == 0,
+      s"groupedRunning stitch shape drifted: bc=$bc smj=$smj cart=$cart")
+  }
+
   test("q180's order contract: range partitioning + doc_id ordering survive the narrow map") {
     // q180 deliberately has NO trailing orderBy: its deterministic output
     // depends on RangePartitioning(doc_id) + in-partition sort surviving
