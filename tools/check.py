@@ -118,7 +118,13 @@ def main():
                          "Guards against blessing a regression or leaving stale fixtures.")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
-    golden_dir = Path(__file__).resolve().parent / "golden"
+    # golden fixtures are SF-specific by construction (the no-oracle
+    # queries' outputs depend on the corpus): the legacy flat layout
+    # serves the default sf0.01 gate, other SFs read/bless
+    # tools/golden/<sfname>/.
+    root_golden = Path(__file__).resolve().parent / "golden"
+    sf_base = Path(args.sf).name
+    golden_dir = root_golden if sf_base == "sf0.01" else root_golden / sf_base
 
     outdir = Path(args.out)
     if not args.skip_run:
@@ -162,7 +168,7 @@ def main():
                 if name not in args.names:
                     print(f"-- {name}: skipped by --bless (name it explicitly to bless)")
                     continue
-                golden_dir.mkdir(exist_ok=True)
+                golden_dir.mkdir(parents=True, exist_ok=True)
                 sdf.to_parquet(fixture, index=False)
                 print(f"ok   {name} ({len(sdf)} rows)  [blessed golden fixture]")
                 ok += 1
