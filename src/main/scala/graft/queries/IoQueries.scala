@@ -265,5 +265,37 @@ object IoQueries {
       Some("""
         SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS total,
                min(s_name) AS first_name
-        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")))
+        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
+    // to_html + read_html round-trip (r9 — closes the read_html slice of
+    // the io.py:218-410 row; reference runs it single-node via
+    // default_to_pandas). One document per nation region written
+    // driver-side, read back as a directory (one task per document, the
+    // many-small-pages crawl-ingestion shape), aggregated vs DuckDB on
+    // the source parquet — a drift in tag parsing, entity escaping, or
+    // dtype inference shifts the hash.
+    Q("q222_html_roundtrip",
+      (s, dir) => {
+        val src = t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        val path = tmp(s, "nation_html")
+        val d = new java.io.File(path)
+        d.mkdirs()
+        d.listFiles().filter(_.getName.endsWith(".html")).foreach(_.delete())
+        (0L until 5L).foreach { rk =>
+          graft.sources.Html.write(
+            src.filter(col("n_regionkey") === rk).orderBy(col("n_nationkey")),
+            s"$path/region_$rk.html")
+        }
+        val back = graft.sources.Html.read(s, path)
+        Frame(back.groupBy(col("n_regionkey"))
+          .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"),
+            sum(col("n_nationkey")).as("key_sum")))
+          .sortValues(Seq(SortKey.asc("n_regionkey"))).df
+      },
+      Some("""
+        SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n,
+               min(n_name) AS first_name,
+               CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        FROM nation GROUP BY 1 ORDER BY 1""")))
 }
