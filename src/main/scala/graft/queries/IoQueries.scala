@@ -297,5 +297,33 @@ object IoQueries {
         SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n,
                min(n_name) AS first_name,
                CAST(sum(n_nationkey) AS BIGINT) AS key_sum
-        FROM nation GROUP BY 1 ORDER BY 1""")))
+        FROM nation GROUP BY 1 ORDER BY 1""")),
+
+    // to_stata + read_stata round-trip (r9 — the .dta v114 binary format,
+    // reference io.py:218-410 default_to_pandas; StataSpec additionally
+    // validates the reader against a genuine pandas-written fixture and
+    // pandas reads our writer's output back). Long narrows to st_int
+    // here (keys fit int32), doubles carry the "." missing code; the
+    // read-back aggregate must hash-match DuckDB on the source parquet.
+    Q("q223_stata_roundtrip",
+      (s, dir) => {
+        val src = t(s, dir, "region")
+          .join(t(s, dir, "nation"), col("r_regionkey") === col("n_regionkey"))
+          .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        val path = tmp(s, "nation_dta")
+        new java.io.File(path).mkdirs()
+        graft.sources.Stata.write(src, s"$path/nations.dta")
+        val back = graft.sources.Stata.read(s, s"$path/nations.dta")
+        Frame(back.groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_nationkey")).cast("long").as("key_sum"),
+            min(col("n_name")).as("first_name")))
+          .sortValues(Seq(SortKey.asc("r_name"))).df
+      },
+      Some("""
+        SELECT r_name, count(*) AS n,
+               CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+               min(n_name) AS first_name
+        FROM region JOIN nation ON r_regionkey = n_regionkey
+        GROUP BY r_name ORDER BY r_name""")))
 }
