@@ -325,5 +325,33 @@ object IoQueries {
                CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
                min(n_name) AS first_name
         FROM region JOIN nation ON r_regionkey = n_regionkey
-        GROUP BY r_name ORDER BY r_name""")))
+        GROUP BY r_name ORDER BY r_name""")),
+
+    // to_sas + read_sas round-trip (r9 — XPORT v5, reference
+    // io.py:218-410 default_to_pandas; SasXportSpec additionally pins
+    // the reader to pandas.read_sas's parse of a committed fixture and
+    // validates the IBM hex-float codec bit-exactly). The format's only
+    // numeric type is the IBM double and names cap at 8 ASCII bytes, so
+    // keys alias short and come back as doubles — cast to long before
+    // the aggregate so the oracle schema matches.
+    Q("q224_sas_roundtrip",
+      (s, dir) => {
+        val src = t(s, dir, "supplier")
+          .select(col("s_suppkey").as("SUPPKEY"),
+            col("s_nationkey").as("NATKEY"), col("s_acctbal").as("ACCTBAL"))
+        val path = tmp(s, "supp_xpt")
+        new java.io.File(path).mkdirs()
+        graft.sources.SasXport.write(src, s"$path/supplier.xpt")
+        val back = graft.sources.SasXport.read(s, s"$path/supplier.xpt")
+        Frame(back.groupBy(col("NATKEY").cast("long").as("s_nationkey"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("ACCTBAL")), 2).as("total"),
+            min(col("SUPPKEY")).cast("long").as("min_key")))
+          .sortValues(Seq(SortKey.asc("s_nationkey"))).df
+      },
+      Some("""
+        SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,
+               round(sum(s_acctbal), 2) AS total,
+               CAST(min(s_suppkey) AS BIGINT) AS min_key
+        FROM supplier GROUP BY 1 ORDER BY 1""")))
 }
