@@ -15,11 +15,17 @@ import graft.api.{Frame, SortKey}
  * drop_duplicates / grouped cumsum / rename / concat / join) and
  * maintains, alongside the Frame chain, an INDEPENDENTLY TEXT-BUILT SQL
  * replay of the same semantics run through spark.sql. Round 9 widened the
- * pool into windows/reshape/resample: grouped rolling (count window +
- * min_periods gate), global expanding (the two-phase-prefix path vs a
- * single-partition SQL window), melt/unpivot (null-RETAINING, pandas
- * semantics — probed against Spark's Unpivot node), and a date_trunc
- * downsample over o_orderdate.
+ * pool twice: first into windows/reshape/resample — grouped rolling
+ * (count window + min_periods gate), global expanding (the
+ * two-phase-prefix path vs a single-partition SQL window), melt/unpivot
+ * (null-RETAINING, pandas semantics — probed against Spark's Unpivot
+ * node), a date_trunc downsample over o_orderdate — and then into the
+ * remaining op families: the pandas expression dialect (queryPandas /
+ * evalPandas through the PandasExpr translator vs hand-spelled SQL,
+ * covering and/or/not, in-lists, ** → POWER, // → FLOOR), string derives
+ * that mint new group-key domains mid-pipeline, and the global backward
+ * asof join (Joins.asofGlobal's union+prefix shape vs a left-join +
+ * row_number replay).
  *
  * The Frame chain exercises the API wrapper layer (ordering propagation
  * into head(), window specs, keep=first/last/none reversal, na masks);
@@ -374,24 +380,33 @@ class FuzzSpec extends SparkSuite {
     val c = pick(r, numeric(st))
     val mp = 1 + r.nextInt(3)
     val name = fresh(st, "ex")
-    val exp = st.fr.sortValues(st.uniq.map(SortKey.asc)).expanding(mp)
+    // Quantize the input to small integers (pmod(round(c), 1000)) so the
+    // running sums are EXACT in floating point — integer-valued doubles
+    // bounded by 1000 sum associatively far below 2^53, so the engine's
+    // two-phase prefix and the sequential SQL window agree bit-for-bit
+    // and no output rounding is needed. (Output rounding was tried and
+    // is not sound: a true value within an ulp of a .5 boundary rounds
+    // differently per association order — seed 29 hit exactly that.)
+    val Q = "__exq"
+    val qCol = pmod(round(col(c.name), 0), lit(1000.0))
+    val qSql = s"pmod(round(${c.name}, 0), 1000)"
+    val exp = st.fr.withColumn(Q, qCol).sortValues(st.uniq.map(SortKey.asc)).expanding(mp)
     val (fr2, valueSql, kind) = r.nextInt(3) match {
-      case 0 => (exp.sum(c.name, name), s"SUM(${c.name})", c.kind)
-      case 1 => (exp.count(c.name, name), s"COUNT(${c.name})", 'i')
-      // mean = running sum / running valid count, spelled the same way
-      case _ => (exp.mean(c.name, name),
-        s"SUM(${c.name}) OVER (%WIN%) / COUNT(${c.name})", 'n')
+      case 0 => (exp.sum(Q, name), s"SUM($qSql)", 'n')
+      case 1 => (exp.count(Q, name), s"COUNT($qSql)", 'i')
+      // mean = exact running sum / running valid count: identical
+      // operands on both sides, so the division is bit-identical too
+      case _ => (exp.mean(Q, name),
+        s"SUM($qSql) OVER (%WIN%) / COUNT($qSql)", 'n')
     }
     val win = winText(None, uniqOrderText(st.uniq),
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
     val core = valueSql.replace("%WIN%", win)
-    // round BOTH sides to 6dp: the engine's two-phase prefix sums in a
-    // different association order than the sequential SQL window, and a
-    // last-ulp drift would reshuffle the comparator's string row sort
     st.copy(
-      fr = fr2.withColumn(name, round(col(name), 6)),
-      sql = s"SELECT *, CASE WHEN count(${c.name}) OVER ($win) >= $mp " +
-        s"THEN round($core OVER ($win), 6) END AS $name FROM ${wrap(st.sql)}",
+      fr = fr2.drop(Q),
+      sql = s"SELECT ${selectList(st.cols)}, $name FROM (SELECT *, " +
+        s"CASE WHEN count($qSql) OVER ($win) >= $mp " +
+        s"THEN $core OVER ($win) END AS $name FROM ${wrap(st.sql)})",
       cols = st.cols :+ FCol(name, kind))
       .addOp(s"expanding($name=${c.name},mp=$mp)")
   }
@@ -445,6 +460,113 @@ class FuzzSpec extends SparkSuite {
       .addOp(s"resample($unit(${d.name});${aggs.map(_._1).mkString(",")})")
   }
 
+  /** Filter through the PANDAS expression dialect (Frame.queryPandas →
+    * PandasExpr translation) while the twin spells the same predicate in
+    * native SQL — a translator bug (and/or/not precedence, in-list,
+    * == rewriting) diverges the row sets. */
+  private def opQueryPandas(st: St, r: Random): St = {
+    val n = pick(r, numeric(st))
+    val strs = st.cols.filter(c => c.kind == 's' && c.dom.size >= 2)
+    val t = if (n.kind == 'i') pick(r, Seq(3L, 100L, 10000L)).toDouble
+            else pick(r, Seq(0.05, 5.0, 1000.0))
+    if (strs.nonEmpty && r.nextBoolean()) {
+      val c = pick(r, strs)
+      val keep = r.shuffle(c.dom).take(1 + r.nextInt(c.dom.size - 1)).sorted
+      val pdList = keep.map(v => s"'$v'").mkString("[", ", ", "]")
+      val sqlList = keep.map(v => s"'$v'").mkString("(", ", ", ")")
+      st.copy(
+        fr = st.fr.queryPandas(s"${n.name} > $t and ${c.name} in $pdList"),
+        sql = s"SELECT * FROM ${wrap(st.sql)}WHERE ${n.name} > $t AND ${c.name} IN $sqlList")
+        .addOp(s"queryPandas(${n.name}>$t and ${c.name} in)")
+    } else {
+      st.copy(
+        fr = st.fr.queryPandas(s"not (${n.name} <= $t or ${n.name} == ${t * 2})"),
+        sql = s"SELECT * FROM ${wrap(st.sql)}WHERE NOT (${n.name} <= $t OR ${n.name} = ${t * 2})")
+        .addOp(s"queryPandas(not ${n.name}<=$t)")
+    }
+  }
+
+  /** Derive through the pandas eval dialect — `**` must become POWER and
+    * `//` FLOOR division in the translation; the twin spells the SQL
+    * functions directly. Both sides evaluate in Spark, so any numeric
+    * result is bit-identical unless the translation itself drifts. */
+  private def opEvalPandas(st: St, r: Random): St = {
+    val a = pick(r, numeric(st))
+    val name = fresh(st, "ev")
+    if (r.nextBoolean()) {
+      st.copy(
+        fr = st.fr.evalPandas(name, s"${a.name} ** 2 + 1"),
+        sql = s"SELECT *, POWER(${a.name}, 2) + 1 AS $name FROM ${wrap(st.sql)}",
+        cols = st.cols :+ FCol(name, 'n'))
+        .addOp(s"evalPandas($name=${a.name}**2+1)")
+    } else {
+      // `//` accepts simple operands only (PandasExpr contract); FLOOR of
+      // Spark's always-double `/` returns LONG for either input kind
+      st.copy(
+        fr = st.fr.evalPandas(name, s"${a.name} // 3"),
+        sql = s"SELECT *, FLOOR(${a.name} / 3) AS $name FROM ${wrap(st.sql)}",
+        cols = st.cols :+ FCol(name, 'i'))
+        .addOp(s"evalPandas($name=${a.name}//3)")
+    }
+  }
+
+  /** String derives that mint NEW group-key material mid-pipeline: a
+    * numeric threshold CASE label, or upper(substring) of an existing
+    * domain column — the derived domain is computed by the same rule, so
+    * downstream IN-filters and groupbys keep drawing on it. */
+  private def opStrDerive(st: St, r: Random): St = {
+    val name = fresh(st, "sd")
+    val strs = st.cols.filter(c => c.kind == 's' && c.dom.nonEmpty && c.dom.forall(_.nonEmpty))
+    if (strs.nonEmpty && r.nextBoolean()) {
+      val c = pick(r, strs)
+      val k = 1 + r.nextInt(2)
+      val dom = c.dom.map(v => v.substring(0, math.min(k, v.length)).toUpperCase).distinct.sorted
+      st.copy(
+        fr = st.fr.withColumn(name, upper(substring(col(c.name), 1, k))),
+        sql = s"SELECT *, UPPER(SUBSTRING(${c.name}, 1, $k)) AS $name FROM ${wrap(st.sql)}",
+        cols = st.cols :+ FCol(name, 's', dom, lowCard = dom.size <= 8))
+        .addOp(s"strDerive($name=upper(substr(${c.name},$k)))")
+    } else {
+      val n = pick(r, numeric(st))
+      val t = if (n.kind == 'i') pick(r, Seq(5L, 500L, 50000L)).toDouble
+              else pick(r, Seq(1.0, 30.0, 5000.0))
+      // null comparisons fall to the ELSE arm on both sides
+      st.copy(
+        fr = st.fr.withColumn(name, when(col(n.name) > t, lit("hi")).otherwise(lit("lo"))),
+        sql = s"SELECT *, CASE WHEN ${n.name} > $t THEN 'hi' ELSE 'lo' END AS $name " +
+          s"FROM ${wrap(st.sql)}",
+        cols = st.cols :+ FCol(name, 's', Seq("hi", "lo"), lowCard = true))
+        .addOp(s"strDerive($name=${n.name}>$t)")
+    }
+  }
+
+  /** Global backward asof against a literal threshold ladder — the
+    * engine runs the two-phase union+prefix shape (Joins.asofGlobal),
+    * the twin a left-join + row_number pick of the greatest right key
+    * <= the left key. Null left keys keep their row with null payload
+    * on both sides (engine rule; SQL: NULL <= NULL matches nothing). */
+  private def opAsofGlobal(st: St, r: Random): St = {
+    val n = pick(r, numeric(st))
+    val name = fresh(st, "av")
+    val view = s"fz_asof${st.ops.size}"
+    val ladder = Seq(0.0, 2.0, 7.0, 30.0, 120.0, 900.0, 4500.0, 30000.0, 150000.0)
+    val right = spark.createDataFrame(
+      ladder.zipWithIndex.map { case (k, i) => (k, s"b$i") }).toDF("__ark", name)
+    right.createOrReplaceTempView(view)
+    val fr2 = Frame(graft.ops.Joins.asofGlobal(
+      st.fr.df.withColumn("__alk", col(n.name).cast("double")),
+      right, "__alk", "__ark", Seq(name), lit(0L)).drop("__alk", "__ark"))
+    val part = st.uniq.mkString(", ")
+    st.copy(
+      fr = fr2,
+      sql = s"SELECT ${selectList(st.cols)}, $name FROM (" +
+        s"SELECT l.*, r.$name, row_number() OVER (PARTITION BY $part " +
+        s"ORDER BY r.__ark DESC) AS __rn FROM ${wrap(st.sql)}l " +
+        s"LEFT JOIN $view r ON r.__ark <= CAST(l.${n.name} AS DOUBLE)) WHERE __rn = 1",
+      cols = st.cols :+ FCol(name, 's', ladder.indices.map(i => s"b$i"), lowCard = true))
+      .addOp(s"asofGlobal(${n.name})")
+  }
+
   // guards: an op is drawable only when its inputs exist
   private def available(st: St): Seq[(Int, (St, Random) => St)] = {
     val hasNum = numeric(st).nonEmpty
@@ -469,6 +591,11 @@ class FuzzSpec extends SparkSuite {
       (if (hasUniq && numeric(st).filterNot(c => st.uniq.contains(c.name))
         .groupBy(_.kind).exists(_._2.size >= 2)) 1 else 0) -> (opMelt _),
       (if (st.cols.exists(_.kind == 'd') && hasNum) 2 else 0) -> (opResample _),
+      (if (hasNum) 2 else 0) -> (opQueryPandas _),
+      (if (hasNum) 1 else 0) -> (opEvalPandas _),
+      (if (hasNum || st.cols.exists(c => c.kind == 's' && c.dom.nonEmpty)) 1 else 0)
+        -> (opStrDerive _),
+      (if (hasUniq && hasNum) 1 else 0) -> (opAsofGlobal _),
       1 -> (opRename _),
       (if (hasNum) 1 else 0) -> (opConcat _),
       (if (st.cols.exists(_.name == "o_custkey") && !st.joined) 3 else 0)
