@@ -289,4 +289,74 @@ object Corpus {
           col("ellipsis_line_ratio") <= 0.3 &&
           !col("has_lorem") && !col("has_brace"))
   }
+
+  /**
+   * Temperature-flattened domain mixture sampling (the multinomial
+   * α-sampling of XLM-R / mT5 / GPT-3 data mixing): given documents
+   * tagged with a domain column, downsample each domain deterministically
+   * so the kept mixture follows q_d ∝ p_d^α — α < 1 flattens the natural
+   * distribution toward rare domains without upsampling. Rates solve
+   * m_d = c·q_d with m_d ≤ n_d and c maximal, i.e. rate_d =
+   * q_d/n_d · min_d'(n_d'/q_d'): at least one (rare) domain keeps rate
+   * 1.0 and every other domain sheds rows to match the target shape.
+   *
+   * 100 TB shape: one partial-agg count shuffle over the domain key, a
+   * two-window rate computation over the |domains|-row aggregate (tiny
+   * by construction — the unpartitioned window never sees row-scale
+   * data), and a broadcast join back onto the corpus with a codegen'd
+   * md5-threshold filter. The per-row keep decision is pure and
+   * deterministic (salt + id), so re-runs and incremental reprocessing
+   * agree. Null-domain rows are dropped (no domain, no rate) — filter
+   * or fill upstream to keep them.
+   */
+  def temperatureMixture(df: DataFrame, srcCol: String, idCol: String,
+      alpha: Double, salt: String): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
+    val all = Window.partitionBy()
+    val counts = df.filter(col(srcCol).isNotNull)
+      .groupBy(col(srcCol)).agg(count(lit(1)).cast("double").as("__n__"))
+    val rates = counts
+      .withColumn("__w__", pow(col("__n__") / sum("__n__").over(all), alpha))
+      .withColumn("__q__", col("__w__") / sum("__w__").over(all))
+      .withColumn("__rate__", least(lit(1.0),
+        col("__q__") / col("__n__") * min(col("__n__") / col("__q__")).over(all)))
+      .select(col(srcCol).as("__src__"), col("__rate__"))
+    val keep = conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("double") < col("__rate__") * 4294967296.0
+    df.join(broadcast(rates), col(srcCol) === col("__src__"))
+      .filter(keep)
+      .drop("__src__", "__rate__")
+  }
+
+  /**
+   * Sliding-window document chunking — the context-window preparation
+   * step that turns documents into fixed-size training chunks with
+   * overlap (stride < chunkWords ⇒ consecutive chunks share
+   * chunkWords − stride tokens, the standard long-document strategy).
+   * Chunk starts are 0, stride, 2·stride … while < n_tokens; the last
+   * chunk may run short, and empty documents yield no chunks.
+   *
+   * 100 TB shape: tokenize + explode is map-only (zero exchanges, one
+   * generated stage over the scan); output rows carry (id, chunk_id,
+   * chunk_text, n_tokens) so downstream packing/sharding can hash- or
+   * range-partition on (id, chunk_id) without revisiting the text.
+   */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int, strideWords: Int): DataFrame = {
+    require(chunkWords > 0 && strideWords > 0 && strideWords <= chunkWords,
+      s"need 0 < strideWords <= chunkWords: chunk=$chunkWords stride=$strideWords")
+    val toks = "__toks__"
+    val nStarts = ((size(col(toks)) + strideWords - 1) / strideWords).cast("int")
+    // empty documents: sequence(0, -1) THROWS (illegal boundaries) rather
+    // than returning [], so gate it behind a when — the null array makes
+    // explode (not explode_outer) drop the row entirely
+    val chunkSlice = slice(col(toks), col("chunk_id") * strideWords + 1, lit(chunkWords))
+    df.select(col(idCol), wsTokens(col(textCol)).as(toks))
+      .select(col(idCol), col(toks),
+        explode(when(size(col(toks)) > 0,
+          sequence(lit(0), nStarts - 1, lit(1)))).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(chunkSlice, " ").as("chunk_text"),
+        size(chunkSlice).as("n_tokens"))
+  }
 }

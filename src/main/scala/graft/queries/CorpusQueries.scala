@@ -247,5 +247,66 @@ object CorpusQueries {
                (alpha_word_ratio >= 0.8 AND mean_word_len BETWEEN 3.0 AND 10.0
                 AND bullet_line_ratio <= 0.9 AND ellipsis_line_ratio <= 0.3
                 AND NOT has_lorem AND NOT has_brace) AS keep
-        FROM f ORDER BY doc_id""")))
+        FROM f ORDER BY doc_id""")),
+
+    // Temperature-flattened domain mixture sampling (XLM-R/mT5/GPT-3
+    // α-sampling, α=0.5): one count shuffle, a two-window rate over the
+    // |domains|-row aggregate, broadcast join + md5-threshold filter.
+    // Both sides spell the identical rate arithmetic (sqrt via pow is
+    // correctly rounded, so the only cross-engine drift is summation
+    // order over a handful of domains — a ~1e-15 boundary-flip risk per
+    // row, the same float-compare exposure the sampler family already
+    // carries). The checked aggregate is per-domain kept count + kept
+    // chars: any rate or hash drift moves both.
+    Q("q225_temperature_mixture",
+      (s, dir) => Frame(
+        Corpus.temperatureMixture(t(s, dir, "documents"), "source", "doc_id", 0.5, "mix9")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("chars_kept")))
+        .sortValues(Seq(SortKey.asc("source"))).df,
+      Some("""
+        WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+                   FROM documents WHERE source IS NOT NULL GROUP BY source),
+        w AS (SELECT source, n, pow(n / sum(n) OVER (), 0.5) AS w FROM c),
+        q AS (SELECT source, n, w / sum(w) OVER () AS q FROM w),
+        r AS (SELECT source, least(1.0, q / n * min(n / q) OVER ()) AS rate FROM q)
+        SELECT d.source, count(*) AS n_kept, CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
+        FROM documents d JOIN r USING (source)
+        WHERE CAST(('0x' || substr(md5('mix9' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+              < rate * 4294967296.0
+        GROUP BY d.source ORDER BY d.source""")),
+
+    // Sliding-window chunking (context-window prep: 16-word chunks,
+    // stride 8 = 8-word overlap). Map-only explode — zero exchanges
+    // before the digest groupBy. The per-doc digest md5's the ordered
+    // chunk concatenation, so a drift in any chunk's text, count, or
+    // order flips the row.
+    Q("q226_doc_chunking",
+      (s, dir) => {
+        val ch = Corpus.chunkDocuments(t(s, dir, "documents"), "doc_id", "text", 16, 8)
+        Frame(ch.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(col("n_tokens")).cast("long").as("tok_sum"),
+            md5(array_join(
+              transform(
+                array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+                x => x.getField("chunk_text")),
+              "|")).as("digest")))
+          .sortValues(Seq(SortKey.asc("doc_id"))).df
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS l FROM documents),
+        chunks AS (
+          SELECT doc_id, ci AS chunk_id,
+                 array_to_string(list_slice(l, ci*8 + 1, least(ci*8 + 16, len(l))), ' ')
+                   AS chunk_text,
+                 least(ci*8 + 16, len(l)) - ci*8 AS n_tok
+          FROM (SELECT doc_id, l,
+                       unnest(range(0, CAST((len(l) + 7) // 8 AS INT))) AS ci
+                FROM toks))
+        SELECT doc_id, count(*) AS n_chunks, CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+               md5(string_agg(chunk_text, '|' ORDER BY chunk_id)) AS digest
+        FROM chunks GROUP BY doc_id ORDER BY doc_id""")))
 }

@@ -103,4 +103,52 @@ class CorpusSpec extends SparkSuite {
     assert(Corpus.decontaminate(d.filter(col("id") === 2), d.filter(col("id") === 1),
       "id", "text", 2).count() == 0)
   }
+
+  test("chunkDocuments: exact windows, short tail, stride=chunk disjoint, empty doc") {
+    val d = docs(
+      1L -> "a b c d e f g h i j",  // 10 tokens
+      2L -> "x y",                  // shorter than one chunk
+      3L -> "")                     // no chunks at all
+    val ch = Corpus.chunkDocuments(d, "id", "text", 4, 2)
+      .orderBy("id", "chunk_id").collect()
+    val doc1 = ch.filter(_.getLong(0) == 1L)
+    // starts 0,2,4,6,8 — last two run short
+    assert(doc1.map(_.getString(2)).toSeq == Seq(
+      "a b c d", "c d e f", "e f g h", "g h i j", "i j"))
+    assert(doc1.map(_.getInt(3)).toSeq == Seq(4, 4, 4, 4, 2))
+    val doc2 = ch.filter(_.getLong(0) == 2L)
+    assert(doc2.map(r => (r.getInt(1), r.getString(2))).toSeq == Seq((0, "x y")))
+    assert(!ch.exists(_.getLong(0) == 3L))
+    // stride = chunk: disjoint cover, no overlap
+    val disj = Corpus.chunkDocuments(d.filter(col("id") === 1), "id", "text", 5, 5)
+      .orderBy("chunk_id").collect()
+    assert(disj.map(_.getString(2)).toSeq == Seq("a b c d e", "f g h i j"))
+  }
+
+  test("temperatureMixture: alpha=1 keeps everything; alpha<1 flattens toward rare") {
+    import spark.implicits._
+    // 400 common rows vs 20 rare
+    val d = ((1L to 400L).map(i => (i, "common")) ++ (401L to 420L).map(i => (i, "rare")))
+      .toDF("id", "src")
+    val all = Corpus.temperatureMixture(d, "src", "id", 1.0, "s1")
+    assert(all.count() == 420) // identity mixture: every rate is exactly 1
+    val flat = Corpus.temperatureMixture(d, "src", "id", 0.5, "s1")
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the rare (binding) domain keeps rate 1.0; common sheds to match
+    // q_common/q_rare = sqrt(400/20) ≈ 4.47 → expect ~89 common rows
+    assert(flat("rare") == 20)
+    assert(flat("common") < 150 && flat("common") > 40,
+      s"expected ~89 common rows, got ${flat.get("common")}")
+  }
+
+  test("temperatureMixture drops null-domain rows and is deterministic") {
+    import spark.implicits._
+    val d = Seq((1L, Some("a")), (2L, None), (3L, Some("b")), (4L, Some("a")))
+      .toDF("id", "src")
+    val out = Corpus.temperatureMixture(d, "src", "id", 0.7, "s2")
+    assert(!out.collect().exists(_.isNullAt(1)))
+    val again = Corpus.temperatureMixture(d, "src", "id", 0.7, "s2")
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq ==
+      again.collect().map(_.getLong(0)).sorted.toSeq)
+  }
 }
