@@ -141,6 +141,27 @@ final case class Frame(
       if (ascending) SortKey.asc(c) else SortKey.desc(c)).toIndexedSeq)
   }
 
+  /** pandas sort_index(axis=1): reorder columns by label. A pure
+    * projection — metadata-only for Catalyst, exactly like the
+    * reference's columnar reindex — but semantically observable through
+    * any order-sensitive consumer (to_records, concat_ws signatures,
+    * positional iloc), which is what the oracle query checks. */
+  def sortIndexAxis1(ascending: Boolean = true): Frame = {
+    val sorted = df.columns.sorted.toIndexedSeq
+    val names = if (ascending) sorted else sorted.reverse
+    copy(df = df.select(names.map(col): _*))
+  }
+
+  /** pandas squeeze(axis=1): a one-data-column frame collapses to its
+    * Series analog — here a single-column Frame with the index dropped
+    * from the column set; frames with more columns return unchanged,
+    * like pandas. */
+  def squeeze(): Frame = {
+    val dataCols = df.columns.filterNot(indexCols.contains)
+    if (dataCols.length == 1) Frame(df.select(col(dataCols.head)))
+    else this
+  }
+
   /** pandas groupby(level=...): group by index levels by position. */
   def groupbyLevel(levels: Int*): GroupBy = {
     levels.foreach(l => require(l >= 0 && l < indexCols.size,

@@ -148,5 +148,33 @@ object SortQueries {
         .select("l_quantity").df.distinct()
         .orderBy(col("l_quantity")),
       Some("""
-        SELECT DISTINCT l_quantity FROM lineitem ORDER BY l_quantity""")))
+        SELECT DISTINCT l_quantity FROM lineitem ORDER BY l_quantity""")),
+
+    // sort_index(axis=1) + squeeze (r9 — upgrades the two tested-only
+    // §2 rows to oracle rows). Column order is invisible to the gate's
+    // name-sorted compare, so the query OBSERVES it: a md5 signature
+    // concat_ws'd over the post-sort frame's column sequence — if the
+    // reorder drifts from the label sort the signature flips. squeeze
+    // collapses the one-column signature frame to its Series analog
+    // before the final aggregate.
+    Q("q227_sort_axis1_squeeze",
+      (s, dir) => {
+        // deliberately scrambled projection order
+        val base = t(s, dir, "lineitem")
+          .select(col("l_quantity"), col("l_orderkey"), col("l_returnflag"),
+            col("l_linenumber"))
+        val sorted = Frame(base).sortIndexAxis1() // linenumber, orderkey, quantity, returnflag
+        val sig = sorted.df.select(md5(concat_ws("|",
+          sorted.df.columns.toIndexedSeq.map(c => col(c).cast("string")): _*)).as("sig"))
+        val series = Frame(sig).squeeze()
+        series.df.agg(count(lit(1)).as("n"),
+          count_distinct(col("sig")).as("n_distinct"),
+          min(col("sig")).as("first_sig"))
+      },
+      Some("""
+        SELECT count(*) AS n, count(DISTINCT sig) AS n_distinct, min(sig) AS first_sig
+        FROM (SELECT md5(concat_ws('|',
+                CAST(l_linenumber AS VARCHAR), CAST(l_orderkey AS VARCHAR),
+                CAST(l_quantity AS VARCHAR), CAST(l_returnflag AS VARCHAR))) AS sig
+              FROM lineitem)""")))
 }

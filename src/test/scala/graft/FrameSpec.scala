@@ -211,4 +211,18 @@ class FrameSpec extends SparkSuite {
     assert(vals(2).isPosInfinity) // -5 / -0.0
     assert(vals(3).isNaN)         //  0 /  0.0
   }
+
+  test("sortIndexAxis1 orders columns by label both ways; squeeze collapses one data column") {
+    import spark.implicits._
+    val f = Frame(Seq((1L, "x", 2.0)).toDF("b", "c", "a"))
+    assert(f.sortIndexAxis1().df.columns.toSeq == Seq("a", "b", "c"))
+    assert(f.sortIndexAxis1(ascending = false).df.columns.toSeq == Seq("c", "b", "a"))
+    // multi-data-column frame: squeeze is the identity, like pandas
+    assert(f.squeeze().df.columns.toSeq == f.df.columns.toSeq)
+    // one data column beside the index: squeeze drops the index columns
+    val indexed = Frame(Seq((1L, 2.0), (3L, 4.0)).toDF("k", "v"), indexCols = Seq("k"))
+    val s = indexed.squeeze()
+    assert(s.df.columns.toSeq == Seq("v"))
+    assert(s.df.orderBy("v").collect().map(_.getDouble(0)).toSeq == Seq(2.0, 4.0))
+  }
 }
