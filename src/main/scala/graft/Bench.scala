@@ -420,3 +420,46 @@ object SkewBench {
     spark.stop()
   }
 }
+
+/**
+ * Scale-slope test for the round-9 corpus additions: sliding-window
+ * chunking (map-only — slope should track the scan, well under 1) and
+ * temperature mixture sampling (count shuffle + broadcast rate join —
+ * the domain count is CONSTANT as the corpus grows, so the rate stage
+ * is O(1) and the slope is the scan+filter's). Uses the same
+ * disjoint-replica amplification as ScaleBench; replica text is tagged,
+ * which changes no token counts, so chunk volume scales exactly with
+ * rows.
+ */
+object ScaleCorpusBench {
+  import org.apache.spark.sql.functions._
+  import graft.ops.Corpus
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "8").toInt
+    val spark = ScaleBench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val bigDir = ScaleBench.ensureAmplified(spark, baseDir, factor)
+    def docs(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
+    val shapes: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
+      "doc_chunking" -> (dir =>
+        Corpus.chunkDocuments(docs(dir), "doc_id", "text", 16, 8)),
+      "temperature_mixture" -> (dir =>
+        Corpus.temperatureMixture(docs(dir), "source", "doc_id", 0.5, "mix9")))
+    docs(baseDir).queryExecution.toRdd.foreach(_ => ())
+    docs(bigDir).queryExecution.toRdd.foreach(_ => ())
+    val rows = shapes.map { case (name, f) =>
+      def t(dir: String) =
+        ScaleBench.minTime(2)(f(dir).queryExecution.toRdd.foreach(_ => ()))
+      val (tb, ts) = (t(baseDir), t(bigDir))
+      (name, tb, ts, (ts / tb) / factor)
+    }
+    val flagged = rows.collect { case (n, _, _, s) if s > 1.5 => n }
+    val qs = rows.map { case (n, tb, ts, s) =>
+      f""""$n":{"base":$tb%.3f,"scaled":$ts%.3f,"slope":$s%.3f}"""
+    }.mkString("{", ",", "}")
+    val fl = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"scale_slope_corpus","factor":$factor,"queries":$qs,"flagged":$fl,"base":"$baseDir"}""")
+    spark.stop()
+  }
+}
