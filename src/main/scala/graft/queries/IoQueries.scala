@@ -353,5 +353,34 @@ object IoQueries {
         SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,
                round(sum(s_acctbal), 2) AS total,
                CAST(min(s_suppkey) AS BIGINT) AS min_key
-        FROM supplier GROUP BY 1 ORDER BY 1""")))
+        FROM supplier GROUP BY 1 ORDER BY 1""")),
+
+    // to_spss + read_spss round-trip (r9 — .sav system file per the
+    // public PSPP format doc; no external .sav implementation ships in
+    // this env, so unlike stata/sas the gate proves the WRITE→READ loop
+    // + aggregate against the source parquet, with format edges pinned
+    // in SpssSpec). Bytecode compression on the write path: customer
+    // keys are small integers, so both the biased-bytecode and
+    // literal-double branches execute. Like SAS, the dictionary has two
+    // types — keys come back as doubles and cast to long before the
+    // aggregate.
+    Q("q228_spss_roundtrip",
+      (s, dir) => {
+        val src = t(s, dir, "customer")
+          .select(col("c_custkey").as("CUSTKEY"),
+            col("c_mktsegment").as("SEGMENT"), col("c_acctbal").as("ACCTBAL"))
+        val path = tmp(s, "cust_sav")
+        new java.io.File(path).mkdirs()
+        graft.sources.Spss.write(src, s"$path/customer.sav")
+        val back = graft.sources.Spss.read(s, s"$path/customer.sav")
+        Frame(back.groupBy(col("SEGMENT").as("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("ACCTBAL")), 2).as("total"),
+            min(col("CUSTKEY")).cast("long").as("min_key")))
+          .sortValues(Seq(SortKey.asc("c_mktsegment"))).df
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS total,
+               CAST(min(c_custkey) AS BIGINT) AS min_key
+        FROM customer GROUP BY 1 ORDER BY 1""")))
 }
