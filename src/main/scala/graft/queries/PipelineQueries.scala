@@ -507,6 +507,44 @@ object PipelineQueries {
           WHERE rk = 1)
         GROUP BY centroid_id ORDER BY centroid_id""")),
 
+    // SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup —
+    // nearest-centroid assignment bounds the exact-cosine pair space to
+    // within-cluster self-joins, then keep-first drops any vector with a
+    // >=-threshold smaller-id neighbor in its cluster. Centroids here
+    // are the fixed data-derived set (vec_id < 8, the q109 oracle-
+    // expressible configuration); the k-means-trained path is covered by
+    // q134/KmeansSpec. Assignment tie-break (sim DESC, cid ASC) and the
+    // q148-proven threshold comparison are mirrored verbatim.
+    Q("q229_semantic_dedup",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+        val kept = graft.ops.Dedup.semDedup(
+          emb, "vec_id", "embedding", cents, "centroid_id", "cvec", threshold = 0.45)
+        kept.agg(count(lit(1)).as("n_kept"),
+          sum(col("vec_id")).cast("long").as("id_sum"),
+          min(col("vec_id")).cast("long").as("first_kept"))
+      },
+      Some("""
+        WITH assigned AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT c.vec_id, c.embedding, ct.vec_id AS centroid_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                     ORDER BY list_cosine_similarity(c.embedding, ct.embedding) DESC,
+                              ct.vec_id) AS rk
+            FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) ct)
+          WHERE rk = 1),
+        dropped AS (
+          SELECT DISTINCT a.vec_id
+          FROM assigned a JOIN assigned b
+            ON a.centroid_id = b.centroid_id AND a.vec_id > b.vec_id
+          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+            AND NOT isnan(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+        SELECT count(*) AS n_kept, CAST(sum(vec_id) AS BIGINT) AS id_sum,
+               CAST(min(vec_id) AS BIGINT) AS first_kept
+        FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""")),
+
     // Near-dup clustering: candidate pairs (exact cosine baseline) →
     // connected components via hash-min label propagation — the
     // transitive-closure step between pair generation and representative

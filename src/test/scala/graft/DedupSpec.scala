@@ -220,4 +220,29 @@ class DedupSpec extends SparkSuite {
       .select(Text.fingerprint(col("x")) === Text.fingerprint(col("y"))).head().getBoolean(0)
     assert(out)
   }
+
+  test("semDedup keeps first per within-cluster dup set; cross-cluster twins both survive") {
+    import spark.implicits._
+    // centroids along +x and +y; ids 1/2/3 cluster on x, 4/5 on y
+    val emb = Seq(
+      (1L, Array(1.0f, 0.1f)),   // near-dup of 2 (same cluster) -> keeps (first)
+      (2L, Array(1.0f, 0.11f)),  // dropped (neighbor 1 has smaller id)
+      (3L, Array(1.0f, -0.9f)),  // x-cluster but dissimilar -> kept
+      (4L, Array(0.1f, 1.0f)),   // y cluster
+      (5L, Array(0.1f, 1.0f)),   // exact twin of 4 in same cluster -> dropped
+      (6L, Array(0.0f, 0.0f)))   // zero norm: NaN cosine never counts as dup
+      .toDF("id", "vec")
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("cid", "cvec")
+    val kept = Dedup.semDedup(emb, "id", "vec", cents, "cid", "cvec", 0.95)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L, 6L))
+    // identical twins in DIFFERENT clusters are invisible to semDedup by
+    // design (the cluster partition IS the candidate bound)
+    val split = Seq((10L, Array(1.0f, 0.02f)), (11L, Array(0.02f, 1.0f)))
+      .toDF("id", "vec")
+    val kept2 = Dedup.semDedup(split, "id", "vec", cents, "cid", "cvec", 0.0)
+      .count()
+    assert(kept2 == 2)
+  }
 }
