@@ -250,4 +250,25 @@ class StreamingSpec extends SparkSuite {
       assertParity(streamed, batch)
     } finally q.stop()
   }
+
+  test("map-only corpus ops run unchanged under streaming: chunking parity") {
+    // chunkDocuments is stateless/map-only, so the SAME code path must
+    // work as a streaming transform with Append output and produce
+    // exactly the batch result on the same file drop — the ingest-time
+    // preprocessing shape (tokenize/chunk as documents land).
+    val stream = rawStream().select(col("event_id").as("doc_id"),
+      concat_ws(" ", col("event_type"), col("props"), col("event_type")).as("text"))
+    val chunked = graft.ops.Corpus.chunkDocuments(stream, "doc_id", "text", 4, 2)
+    val q = EventStream.runToMemory(chunked, "chunks_stream", OutputMode.Append())
+    try {
+      val streamed = spark.table("chunks_stream")
+      val batch = graft.ops.Corpus.chunkDocuments(
+        queries.QueryKit.t(spark, sfDir, "events")
+          .select(col("event_id").as("doc_id"),
+            concat_ws(" ", col("event_type"), col("props"), col("event_type")).as("text")),
+        "doc_id", "text", 4, 2)
+      assert(streamed.count() > 0)
+      assertParity(streamed, batch)
+    } finally q.stop()
+  }
 }
