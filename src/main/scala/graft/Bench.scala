@@ -305,6 +305,16 @@ object ScaleDedupBench {
           .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
         Similarity.topKLsh(e, "vec_id", "embedding", q, "query_id", "qvec",
           k = 5, nPlanes = planesByDir(dir), nTables = 4)
+      },
+      "sem_dedup" -> { dir =>
+        val e = emb(dir).select(col("vec_id"), col("embedding"))
+        // centroid count scales with the corpus (SemDeDup's own tuning
+        // rule, k ≈ n / cluster size) — same growth discipline as the
+        // LSH plane counts above; 2^planes ≈ n/30 centroids
+        val k = 1 << planesByDir(dir)
+        val cents = e.limit(k)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+        Dedup.semDedup(e, "vec_id", "embedding", cents, "centroid_id", "cvec", 0.9)
       })
 
     // row ratios are measured, not assumed — and PER TABLE: the dup
@@ -313,7 +323,7 @@ object ScaleDedupBench {
     // table it actually scans
     val docRatio = docs(bigDir).count().toDouble / docs(oneDir).count()
     val embRatio = emb(bigDir).count().toDouble / emb(oneDir).count()
-    val embOps = Set("emb_neardup_lsh", "ann_lsh")
+    val embOps = Set("emb_neardup_lsh", "ann_lsh", "sem_dedup")
     // warmup both scan paths of both tables
     Seq(oneDir, bigDir).foreach { d =>
       docs(d).queryExecution.toRdd.foreach(_ => ())
