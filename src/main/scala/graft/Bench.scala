@@ -315,6 +315,18 @@ object ScaleDedupBench {
         val cents = e.limit(k)
           .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
         Dedup.semDedup(e, "vec_id", "embedding", cents, "centroid_id", "cvec", 0.9)
+      },
+      "sem_dedup_2level" -> { dir =>
+        // same k-grows-with-n configuration through the two-level
+        // assignment: exact path is n·k cosines (quadratic once k ∝ n),
+        // this one is ≈ n·√k — the slope gap between the two rows IS the
+        // measured claim
+        val e = emb(dir).select(col("vec_id"), col("embedding"))
+        val k = 1 << planesByDir(dir)
+        val cents = e.limit(k)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+        Dedup.semDedupScalable(e, "vec_id", "embedding", cents, 0.9,
+          coarseK = math.max(2, math.sqrt(k.toDouble).toInt), nProbe = 2)
       })
 
     // row ratios are measured, not assumed — and PER TABLE: the dup
@@ -323,7 +335,7 @@ object ScaleDedupBench {
     // table it actually scans
     val docRatio = docs(bigDir).count().toDouble / docs(oneDir).count()
     val embRatio = emb(bigDir).count().toDouble / emb(oneDir).count()
-    val embOps = Set("emb_neardup_lsh", "ann_lsh", "sem_dedup")
+    val embOps = Set("emb_neardup_lsh", "ann_lsh", "sem_dedup", "sem_dedup_2level")
     // warmup both scan paths of both tables
     Seq(oneDir, bigDir).foreach { d =>
       docs(d).queryExecution.toRdd.foreach(_ => ())

@@ -92,4 +92,63 @@ object Kmeans {
       .filter(col("__rk__") <= k)
       .select(col(queryId), col(corpusId), col("cosine"), col("__rk__").cast("long").as("rank"))
   }
+
+  /**
+   * Two-level (coarse-quantizer) nearest-centroid assignment — the scale
+   * path for centroid counts that GROW with the corpus (SemDeDup / IVF
+   * tuning: k ≈ n / cluster size). Exact [[assign]] scores n·k cosines,
+   * which turns quadratic in n once k tracks n; following the faiss
+   * IVF-on-centroids design, the centroid table is itself clustered into
+   * `coarseK` (≈ √k) groups — k·√k work on the TINY table — and each
+   * corpus vector scores only the √k coarse vectors (broadcast fold,
+   * top-`nProbe` groups kept per row) plus the centroids inside its
+   * probed groups (broadcast equi-join + max_by). Total ≈
+   * n·(√k + nProbe·k/√k) cosines ≈ O(n·√k) — linear again when k ∝ n.
+   *
+   * Approximate only at coarse-group boundaries (raise nProbe to trade
+   * cosines for recall; nProbe ≥ coarseK reproduces the exact argmax by
+   * construction — pinned in KmeansSpec). Tie rule matches
+   * [[Similarity.assignCentroid]]: sim desc, centroid id asc. Vectors
+   * whose every candidate cosine is NaN (zero norm) get no row —
+   * callers treat missing assignment as "no cluster", the same
+   * never-a-duplicate outcome the exact path's NaN guard produces.
+   *
+   * Returns (idCol, vecCol, centroid_id).
+   */
+  def assignTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, coarseK: Int, nProbe: Int = 2): DataFrame = {
+    require(coarseK >= 1 && nProbe >= 1, s"need coarseK/nProbe >= 1: $coarseK/$nProbe")
+    GraftExtensions.register(corpus.sparkSession)
+    val coarse = train(centroids.select(col("centroid_id").as("__cid0__"),
+      col("cvec").as("__cv0__")), "__cid0__", "__cv0__", coarseK, iters = 2)
+      .select(col("centroid_id").as("__gid__"), col("cvec").as("__gvec__"))
+    // centroid -> coarse group (k·coarseK cosines on the small table)
+    val grouped = Similarity.assignCentroid(
+      centroids.select(col("centroid_id").as("__cid__"), col("cvec").as("__cvec__")),
+      "__cvec__", coarse, "__gid__", "__gvec__")
+      .select(col("centroid_id").as("__g__"), col("__cid__"), col("__cvec__"))
+    // corpus vector -> top-nProbe coarse groups via one broadcast fold:
+    // sort key struct(-sim, gid) makes plain ascending array_sort mean
+    // (sim desc, gid asc); NaN (-NaN = NaN) sorts last, so defined
+    // similarities always probe first
+    val packed = coarse.agg(collect_list(struct(col("__gid__"), col("__gvec__"))).as("__cl__"))
+    val scored = transform(col("__cl__"), c => struct(
+      (-call_function("graft_cosine", col(vecCol), c.getField("__gvec__"))).as("ns"),
+      c.getField("__gid__").as("gid")))
+    val probes = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(packed))
+      .withColumn("__probe__", explode(
+        slice(array_sort(scored), 1, nProbe)))
+      .select(col(idCol), col(vecCol), col("__probe__").getField("gid").as("__g__"))
+    // rerank inside the probed groups; max(struct) picks sim desc then
+    // smallest centroid id (negated id field) — the exact tie rule
+    probes.join(broadcast(grouped), Seq("__g__"))
+      .withColumn("__sim__",
+        call_function("graft_cosine", col(vecCol), col("__cvec__")))
+      .filter(!isnan(col("__sim__")) && col("__sim__").isNotNull)
+      .groupBy(col(idCol))
+      .agg(first(col(vecCol)).as(vecCol),
+        max(struct(col("__sim__").as("s"), (-col("__cid__")).as("nc"),
+          col("__cid__").as("c"))).getField("c").as("centroid_id"))
+  }
 }

@@ -245,4 +245,14 @@ class DedupSpec extends SparkSuite {
       .count()
     assert(kept2 == 2)
   }
+
+  test("semDedupScalable with full probing equals exact semDedup on the fixture") {
+    val emb = table("embeddings").select(col("vec_id"), col("embedding"))
+    val cents = graft.ops.Kmeans.train(emb, "vec_id", "embedding", k = 16, iters = 1)
+    val exact = Dedup.semDedup(emb, "vec_id", "embedding",
+      cents, "centroid_id", "cvec", 0.45).select("vec_id")
+    val scalable = Dedup.semDedupScalable(emb, "vec_id", "embedding",
+      cents, 0.45, coarseK = 4, nProbe = 4).select("vec_id")
+    assertParity(scalable, exact)
+  }
 }

@@ -56,4 +56,28 @@ class KmeansSpec extends SparkSuite {
     val recall = (brute intersect ivf).size.toDouble / brute.size
     assert(recall >= 0.6, s"IVF recall $recall")
   }
+
+  test("two-level assignment with full probing reproduces the exact argmax") {
+    val cents = Kmeans.train(emb, "vec_id", "embedding", k = 16, iters = 1)
+    // nProbe >= coarseK probes every coarse group -> every centroid is a
+    // candidate -> identical (sim desc, cid asc) argmax as assign()
+    val exact = Kmeans.assign(emb, "embedding", cents)
+      .select(col("vec_id"), col("centroid_id"))
+    val two = Kmeans.assignTwoLevel(emb, "vec_id", "embedding", cents,
+      coarseK = 4, nProbe = 4).select(col("vec_id"), col("centroid_id"))
+    assertParity(two, exact)
+  }
+
+  test("two-level assignment with nProbe=2 keeps assignment agreement >= 80%") {
+    val cents = Kmeans.train(emb, "vec_id", "embedding", k = 16, iters = 1)
+    val exact = Kmeans.assign(emb, "embedding", cents)
+      .select(col("vec_id"), col("centroid_id").as("e"))
+    val two = Kmeans.assignTwoLevel(emb, "vec_id", "embedding", cents,
+      coarseK = 4, nProbe = 2).select(col("vec_id"), col("centroid_id").as("t"))
+    val joined = exact.join(two, "vec_id")
+    val n = joined.count().toDouble
+    val same = joined.filter(col("e") === col("t")).count()
+    assert(n == emb.count(), "two-level must assign every defined vector")
+    assert(same / n >= 0.8, s"two-level agreement ${same / n}")
+  }
 }
