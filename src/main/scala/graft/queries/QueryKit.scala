@@ -22,12 +22,25 @@ object QueryKit {
     * knob) and, in newer fixture drops, as plain TIMESTAMP(MICROS). Accept
     * either physical layout and normalize to a microsecond TIMESTAMP_NTZ:
     * every downstream query sees one dtype regardless of the writer.
-    * Long nanos convert with integer division (ns since epoch overflow
-    * double precision, so no `/ 1000.0`). */
+    *
+    * A LONG column no longer assumes nanos (the r8 fixture drop switched
+    * units and crashed 45 time queries out of the gate): one sample row
+    * decides the epoch unit by magnitude — 2020s instants are ~1.7e18 in
+    * ns, ~1.7e15 in µs, ~1.7e12 in ms, ~1.7e9 in s, four orders apart,
+    * so the thresholds are unambiguous for any plausible fixture. Nanos
+    * convert with integer division (they overflow double precision, so
+    * never `/ 1000.0`). */
   def normalizeTs(df: DataFrame): DataFrame =
     df.schema.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+        val sample = df.filter(col("ts").isNotNull).select(col("ts")).head(1)
+          .headOption.map(r => math.abs(r.getLong(0))).getOrElse(0L)
+        val micros =
+          if (sample >= 100000000000000000L) expr("ts DIV 1000") // nanos
+          else if (sample >= 100000000000000L) col("ts")         // micros
+          else if (sample >= 100000000000L) col("ts") * 1000L    // millis
+          else col("ts") * 1000000L                              // seconds
+        df.withColumn("ts", timestamp_micros(micros.cast("long")).cast("timestamp_ntz"))
       case Some(TimestampType) =>
         df.withColumn("ts", col("ts").cast("timestamp_ntz"))
       case _ => df // TimestampNTZType already, or no ts column
