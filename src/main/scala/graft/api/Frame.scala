@@ -141,6 +141,19 @@ final case class Frame(
       if (ascending) SortKey.asc(c) else SortKey.desc(c)).toIndexedSeq)
   }
 
+  /** pandas truncate(before, after): keep rows whose (single-level) index
+    * lies in the closed label range — a plain range filter, which Catalyst
+    * pushes to the scan. pandas requires a sorted index only because its
+    * implementation slices positionally; the semantics ARE the range
+    * filter, so no sort is needed here. Pass null for an open end. */
+  def truncate(before: Any = null, after: Any = null): Frame = {
+    require(indexCols.size == 1, s"truncate: needs exactly one index level, have $indexCols")
+    val ix = col(indexCols.head)
+    val lo = Option(before).map(b => ix >= lit(b))
+    val hi = Option(after).map(a => ix <= lit(a))
+    (lo ++ hi).reduceOption(_ && _).map(p => copy(df = df.filter(p))).getOrElse(this)
+  }
+
   /** pandas sort_index(axis=1): reorder columns by label. A pure
     * projection — metadata-only for Catalyst, exactly like the
     * reference's columnar reindex — but semantically observable through

@@ -212,6 +212,20 @@ class FrameSpec extends SparkSuite {
     assert(vals(3).isNaN)         //  0 /  0.0
   }
 
+  test("truncate keeps the closed index-label range; open ends; index required") {
+    import spark.implicits._
+    val f = Frame(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v"),
+      indexCols = Seq("k"))
+    def ks(fr: Frame) = fr.df.orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(ks(f.truncate(2L, 3L)) == Seq(2L, 3L))
+    assert(ks(f.truncate(before = 3L)) == Seq(3L, 4L))
+    assert(ks(f.truncate(after = 2L)) == Seq(1L, 2L))
+    assert(ks(f.truncate()) == Seq(1L, 2L, 3L, 4L))
+    val noIx = Frame(Seq((1L, "a")).toDF("k", "v"))
+    assert(intercept[IllegalArgumentException](noIx.truncate(1L, 2L))
+      .getMessage.contains("index"))
+  }
+
   test("sortIndexAxis1 orders columns by label both ways; squeeze collapses one data column") {
     import spark.implicits._
     val f = Frame(Seq((1L, "x", 2.0)).toDF("b", "c", "a"))
