@@ -144,6 +144,72 @@ object Ewm {
       }(enc)
   }
 
+  /** Adds `out` = pandas `ewm(alpha).cov(other, bias=False)` and
+    * `<out>_corr` = `ewm(alpha).corr(other)` per `keyCol` group,
+    * adjust=True. Seven decayed power sums (Σw, Σw², Σwx, Σwy, Σwxy,
+    * Σwx², Σwy²) with the same O(1) update as [[varByKey]]; cov gets the
+    * Bessel debias factor (Σw)²/((Σw)²−Σw²) while corr is computed from
+    * the biased central moments directly — the debias factors cancel in
+    * the ratio, exactly as in pandas. A pair is an observation only when
+    * BOTH series are present (null/NaN in either = missing pair;
+    * `ignoreNa=false` still decays weights across missing rows). corr is
+    * clamped to [-1, 1] against fp residue and null when either variance
+    * term is ~0 (constant series — pandas NaN). */
+  def covByKey(
+      df: DataFrame, keyCol: String, orderCol: String, idCol: String,
+      xCol: String, yCol: String, alpha: Double, out: String,
+      ignoreNa: Boolean = false): DataFrame = {
+
+    val src = df
+      .filter(col(keyCol).isNotNull && col(orderCol).isNotNull && col(idCol).isNotNull)
+      .select(
+        col(keyCol).cast("long"),
+        ewmOrderKey(df, orderCol).as(orderCol),
+        col(idCol).cast("long"),
+        col(xCol).cast("double"),
+        col(yCol).cast("double"))
+    val outSchema = StructType(src.schema.fields :+
+      StructField(out, DoubleType) :+ StructField(s"${out}_corr", DoubleType))
+    val enc = Encoders.row(outSchema)
+
+    src.groupByKey(_.getLong(0))(Encoders.scalaLong)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(r => (r.getLong(1), r.getLong(2)))
+        val d = 1.0 - alpha
+        var sw = 0.0; var sw2 = 0.0
+        var swx = 0.0; var swy = 0.0; var swxy = 0.0
+        var swx2 = 0.0; var swy2 = 0.0
+        var nObs = 0L
+        rows.iterator.map { r =>
+          val isObs = !r.isNullAt(3) && !r.getDouble(3).isNaN &&
+            !r.isNullAt(4) && !r.getDouble(4).isNaN
+          if (isObs || (!ignoreNa && nObs > 0)) {
+            sw *= d; sw2 *= d * d
+            swx *= d; swy *= d; swxy *= d; swx2 *= d; swy2 *= d
+          }
+          if (isObs) {
+            val x = r.getDouble(3); val y = r.getDouble(4)
+            sw += 1.0; sw2 += 1.0
+            swx += x; swy += y; swxy += x * y; swx2 += x * x; swy2 += y * y
+            nObs += 1
+          }
+          val denom = sw * sw - sw2
+          var cv: Any = null
+          var cr: Any = null
+          if (nObs >= 2 && denom > 0) {
+            val mx = swx / sw; val my = swy / sw
+            val covB = swxy / sw - mx * my
+            val varxB = math.max(swx2 / sw - mx * mx, 0.0)
+            val varyB = math.max(swy2 / sw - my * my, 0.0)
+            cv = (sw * sw / denom) * covB
+            if (varxB > 0 && varyB > 0)
+              cr = math.max(-1.0, math.min(1.0, covB / math.sqrt(varxB * varyB)))
+          }
+          Row.fromSeq(r.toSeq :+ cv :+ cr)
+        }
+      }(enc)
+  }
+
   /** Order key in exact long units: timestamps keep microsecond
     * resolution (a bare cast("long") truncates to whole SECONDS and
     * sub-second order would silently fall to the id tie-break — the

@@ -518,6 +518,55 @@ object WindowExtraQueries {
                          * (swx2 / sw - (swx / sw) * (swx / sw)), 0)), 4) END AS ewm_std
         FROM sums ORDER BY event_id""")),
 
+    // ewm.cov / ewm.corr (r9 — completes the ewm family): the O(n)
+    // seven-sum recurrence vs the oracle's O(n²) closed form over decayed
+    // weights, same pairing as q195. The second series is a
+    // deterministic never-null function of event_id so both sides share
+    // the no-missing-pair case exactly; corr's debias factors cancel, so
+    // the oracle computes it from biased central moments directly.
+    Q("q230_ewm_cov",
+      (s, dir) => {
+        val src = t(s, dir, "events")
+          .withColumn("__ord__", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("y", pmod(col("event_id"), lit(997)).cast("double"))
+        Frame(Ewm.covByKey(src, "user_id", "__ord__", "event_id", "value", "y",
+          alpha = 0.5, out = "ec")
+          .select(col("event_id"), round(col("ec"), 4).as("ewm_cov"),
+            round(col("ec_corr"), 4).as("ewm_corr")))
+          .sortValues(Seq(SortKey.asc("event_id"))).df
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, value,
+                 CAST(event_id % 997 AS DOUBLE) AS y,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events),
+        sums AS (
+          SELECT a.event_id,
+                 count(*) AS n,
+                 sum(power(0.5, a.rn - b.rn)) AS sw,
+                 sum(power(0.5, 2 * (a.rn - b.rn))) AS sw2,
+                 sum(power(0.5, a.rn - b.rn) * b.value) AS swx,
+                 sum(power(0.5, a.rn - b.rn) * b.y) AS swy,
+                 sum(power(0.5, a.rn - b.rn) * b.value * b.y) AS swxy,
+                 sum(power(0.5, a.rn - b.rn) * b.value * b.value) AS swx2,
+                 sum(power(0.5, a.rn - b.rn) * b.y * b.y) AS swy2
+          FROM e a JOIN e b ON a.user_id = b.user_id AND b.rn <= a.rn
+          GROUP BY a.event_id)
+        SELECT event_id,
+               CASE WHEN n >= 2 AND sw * sw - sw2 > 0
+                    THEN round((sw * sw / (sw * sw - sw2))
+                         * (swxy / sw - (swx / sw) * (swy / sw)), 4) END AS ewm_cov,
+               CASE WHEN n >= 2 AND sw * sw - sw2 > 0
+                         AND swx2 / sw - (swx / sw) * (swx / sw) > 0
+                         AND swy2 / sw - (swy / sw) * (swy / sw) > 0
+                    THEN round(greatest(-1.0, least(1.0,
+                         (swxy / sw - (swx / sw) * (swy / sw))
+                         / sqrt(greatest(swx2 / sw - (swx / sw) * (swx / sw), 0)
+                              * greatest(swy2 / sw - (swy / sw) * (swy / sw), 0)))), 4)
+                    END AS ewm_corr
+        FROM sums ORDER BY event_id""")),
+
     // expanding.corr / expanding.cov — six running sums in one parallel
     // prefix (api/Expanding.corrCov), inputs centered by constants so the
     // closed form stays accurate at price magnitudes. The oracle uses

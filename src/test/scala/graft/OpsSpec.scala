@@ -346,6 +346,42 @@ class OpsSpec extends SparkSuite {
     assert(math.abs(out(2).get - 2.5) < 1e-12)
   }
 
+  test("ewm cov(x,x) equals ewm var; corr is ±1 on linear pairs, null on constants") {
+    import spark.implicits._
+    val d = Seq((1L, 1L, 1L, 1.0, 1.0), (1L, 2L, 2L, 2.0, 2.0), (1L, 3L, 3L, 4.0, 4.0))
+      .toDF("k", "o", "id", "x", "y")
+    // cov of a series with itself IS its variance — pandas identity
+    val cov = Ewm.covByKey(d, "k", "o", "id", "x", "y", alpha = 0.5, out = "ec")
+      .orderBy("o").collect()
+    val vr = Ewm.varByKey(d, "k", "o", "id", "x", alpha = 0.5, out = "ev")
+      .orderBy("o").collect()
+    (1 until 3).foreach { i =>
+      assert(math.abs(cov(i).getAs[Double]("ec") - vr(i).getAs[Double]("ev")) < 1e-12)
+      assert(math.abs(cov(i).getAs[Double]("ec_corr") - 1.0) < 1e-12)
+    }
+    assert(cov(0).isNullAt(cov(0).fieldIndex("ec")))
+    // y = -2x + 7: corr exactly -1
+    val neg = Seq((1L, 1L, 1L, 1.0, 5.0), (1L, 2L, 2L, 2.0, 3.0), (1L, 3L, 3L, 4.0, -1.0))
+      .toDF("k", "o", "id", "x", "y")
+    val nc = Ewm.covByKey(neg, "k", "o", "id", "x", "y", alpha = 0.5, out = "ec")
+      .orderBy("o").collect()
+    assert(math.abs(nc(2).getAs[Double]("ec_corr") + 1.0) < 1e-12)
+    // constant y: corr undefined (null), cov 0
+    val const = Seq((1L, 1L, 1L, 1.0, 9.0), (1L, 2L, 2L, 2.0, 9.0))
+      .toDF("k", "o", "id", "x", "y")
+    val cc = Ewm.covByKey(const, "k", "o", "id", "x", "y", alpha = 0.5, out = "ec")
+      .orderBy("o").collect()
+    assert(cc(1).isNullAt(cc(1).fieldIndex("ec_corr")))
+    assert(math.abs(cc(1).getAs[Double]("ec")) < 1e-12)
+    // a null in EITHER series is a missing PAIR: decays but adds no obs
+    val gappy = Seq((1L, 1L, 1L, Some(1.0), Some(1.0)), (1L, 2L, 2L, Some(2.0), None),
+      (1L, 3L, 3L, Some(4.0), Some(4.0))).toDF("k", "o", "id", "x", "y")
+    val gp = Ewm.covByKey(gappy, "k", "o", "id", "x", "y", alpha = 0.5, out = "ec")
+      .orderBy("o").collect()
+    assert(gp(1).isNullAt(gp(1).fieldIndex("ec"))) // still one pair only
+    assert(gp(2).getAs[Double]("ec") > 0)          // second pair arrives
+  }
+
   test("kendall tau-b is ±1 on monotone data and guards high-cardinality cells") {
     import spark.implicits._
     val d = (1 to 100).map(i => (i.toLong, i.toLong * 2, -i.toLong)).toDF("x", "up", "down")
