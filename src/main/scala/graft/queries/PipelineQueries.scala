@@ -639,5 +639,56 @@ object PipelineQueries {
           SELECT lang, row_number() OVER (
             PARTITION BY md5(trim(regexp_replace(lower(text), '[^\p{L}\p{N}_]+', ' ', 'g')))
             ORDER BY doc_id) AS rn
-          FROM documents) WHERE rn = 1 GROUP BY lang ORDER BY lang""")))
+          FROM documents) WHERE rn = 1 GROUP BY lang ORDER BY lang""")),
+
+    // Product-quantization ADC search (Jégou et al. 2011): vectors snap
+    // to per-subspace codebooks (m=4 subspaces × ksub=4 centroids — the
+    // oracle-expressible data-derived configuration, codebooks = slices
+    // of vec_id<4 as in q109's fixed centroids), search runs over the
+    // 4-byte codes via lookup-table distance. The oracle recomputes the
+    // identical dimension-ordered squared-L2 folds (list_transform over
+    // generate_series), the same argmin tie rule (dist asc, cid asc),
+    // and sums the m partials in subspace order — double-for-double the
+    // engine's arithmetic. Scale story at ops/Pq.scala: encode is a
+    // zero-shuffle projection, ADC scans 32× fewer bytes than raw.
+    Q("q231_ann_pq",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val cb = graft.ops.Pq.codebooksFromRows(emb, "vec_id", "embedding", m = 4, ksub = 4)
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        Frame(graft.ops.Pq.topK(emb, "vec_id", "embedding",
+          queries, "query_id", "qvec", cb, k = 5)
+          .select(col("query_id"), col("vec_id"),
+            round(col("dist"), 6).as("dist"), col("rank")))
+          .sortValues(Seq(SortKey.asc("query_id"), SortKey.asc("rank"))).df
+      },
+      Some("""
+        WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 4),
+        js AS (SELECT unnest(generate_series(0, 3)) AS j),
+        codes AS (
+          SELECT vec_id, j, code FROM (
+            SELECT c.vec_id, js.j, b.cid AS code,
+                   row_number() OVER (PARTITION BY c.vec_id, js.j ORDER BY
+                     list_sum(list_transform(generate_series(1, 16), i ->
+                       (c.embedding[js.j*16+i]::DOUBLE - b.embedding[js.j*16+i]::DOUBLE)
+                     * (c.embedding[js.j*16+i]::DOUBLE - b.embedding[js.j*16+i]::DOUBLE))) ASC,
+                     b.cid ASC) AS rk
+            FROM embeddings c, js, cb b) WHERE rk = 1),
+        lut AS (
+          SELECT q.vec_id AS query_id, js.j, b.cid,
+                 list_sum(list_transform(generate_series(1, 16), i ->
+                   (q.embedding[js.j*16+i]::DOUBLE - b.embedding[js.j*16+i]::DOUBLE)
+                 * (q.embedding[js.j*16+i]::DOUBLE - b.embedding[js.j*16+i]::DOUBLE))) AS pd
+          FROM embeddings q, js, cb b WHERE q.vec_id < 3),
+        dists AS (
+          SELECT l.query_id, c.vec_id,
+                 list_sum(list(l.pd ORDER BY l.j)) AS dist
+          FROM codes c JOIN lut l ON l.j = c.j AND l.cid = c.code
+          GROUP BY 1, 2)
+        SELECT query_id, vec_id, round(dist, 6) AS dist, rank FROM (
+          SELECT query_id, vec_id, dist,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dist ASC, vec_id ASC) AS rank
+          FROM dists) WHERE rank <= 5 ORDER BY query_id, rank""")))
 }
