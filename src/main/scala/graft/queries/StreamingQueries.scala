@@ -139,5 +139,60 @@ object StreamingQueries {
                          ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
           FROM events)
-        WHERE event_type <> 'purchase' ORDER BY id""")))
+        WHERE event_type <> 'purchase' ORDER BY id""")),
+
+    // Streaming MinHash-LSH near-dup suppression over a documents
+    // file-drop (the ingestion-side pipeline stage): every doc explodes
+    // into its 4 engine-portable md5 band keys (Dedup.md5BandKeys — the
+    // exact q104b banding), keyed state claims each band bucket for its
+    // first arrival, and a doc survives iff it claimed all 4. Event time
+    // is synthesized from doc_id, so arrival order == doc_id order and
+    // the kept set equals the batch rule "dropped iff ANY band key is
+    // shared with a smaller doc_id" — which is what the oracle computes
+    // with the identical md5 fold.
+    Q("q232_streaming_neardup",
+      (s, dir) => {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val stage = Paths.get(s"/tmp/graft_stream/q232_docs")
+        Files.createDirectories(stage)
+        Files.copy(Paths.get(s"$dir/documents.parquet"),
+          stage.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+          .withColumn("__ts__", timestamp_micros((col("doc_id") + 1) * 1000000L))
+        val claims = EventStream.nearDupBandClaims(stream, "__ts__", "doc_id", "text",
+          shingleN = 3, numHashes = 16, bands = 4)
+        val query = EventStream.runToMemory(claims, "q232_claims_sink", OutputMode.Append())
+        try {
+          val kept = EventStream.keptFromClaims(s.table("q232_claims_sink"), bands = 4)
+          t(s, dir, "documents").join(kept, col("doc_id") === col("docId"))
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).cast("long").as("id_sum"))
+            .orderBy(col("lang"))
+        } finally query.stop()
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) >= 3
+                      THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                          for i in range(1, len(w) - 1)])
+                      ELSE [array_to_string(w, ' ')] END AS sh
+          FROM (SELECT doc_id, regexp_extract_all(trim(lower(text)), '\S+') AS w
+                FROM documents)),
+        e AS (
+          SELECT doc_id, b,
+                 unhex(substr(md5(array_to_string(
+                   [list_min([md5(CAST(b*4 + r AS VARCHAR) || ':' || s)
+                              for s in sh])
+                    for r in range(0, 4)], '|')), 1, 16)) AS key
+          FROM t CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(b)),
+        collided AS (
+          SELECT DISTINCT b.doc_id
+          FROM e a JOIN e b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT lang, count(*) AS n_kept, sum(doc_id)::BIGINT AS id_sum
+        FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM collided)
+        GROUP BY lang ORDER BY lang""")))
 }

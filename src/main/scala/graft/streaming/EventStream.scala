@@ -257,6 +257,94 @@ object EventStream {
       .dropDuplicatesWithinWatermark("__fp__")
       .drop("__fp__")
 
+  /** One first-claim of an LSH band bucket: `docId` was the earliest
+    * arrival carrying this band's key ([[nearDupBandClaims]]). */
+  final case class BandClaim(docId: Long, band: Int)
+
+  /**
+   * Streaming MinHash-LSH near-duplicate SUPPRESSION — the ingestion-side
+   * twin of [[graft.ops.Dedup]]'s batch near-dup removal: drop a document
+   * at arrival if it *probably* duplicates something already ingested,
+   * without ever joining the stream against the corpus. Stage 1 (this
+   * op): each document explodes into its `bands` engine-portable md5 band
+   * keys ([[graft.ops.Dedup.md5BandKeys]] — the SAME expression the batch
+   * pair generator and the DuckDB oracle band with), and keyed state per
+   * (band, key) bucket records the first arrival: the first document to
+   * carry a bucket emits a [[BandClaim]]; later carriers emit nothing.
+   * Stage 2 ([[keptFromClaims]]): a document is kept iff it claimed EVERY
+   * band — i.e. dropped iff ANY of its band keys was seen on an earlier
+   * arrival, the pair-based keep-first rule (collision with an earlier
+   * document suppresses even if that document was itself suppressed,
+   * exactly as batch keep-first drops by smaller-id collision without
+   * re-examining the dropped side).
+   *
+   * This is band-collision suppression, NOT Jaccard-verified dedup: per
+   * band P(collision) = J^rowsPerBand, so false-positive suppression is
+   * governed by the (bands, rowsPerBand) S-curve the batch family tunes.
+   * The streaming trade is one pass, bounded memory, no verify join.
+   *
+   * State is one byte per band bucket seen within the horizon and is
+   * EVICTED `horizonSeconds` of event time after a bucket's last sighting
+   * (sliding window, EventTimeTimeout) — bounded on an infinite stream;
+   * a re-crawl later than the horizon re-claims its buckets, the same
+   * window contract as [[dedupeByFingerprint]]. Within a micro-batch,
+   * bucket ownership is decided by (event time, docId) order, so a replay
+   * that respects event-time order reproduces the batch rule exactly
+   * (StreamingSpec pins the parity; q232 oracle-checks it end to end).
+   */
+  def nearDupBandClaims(docs: DataFrame, tsCol: String, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      delay: String = "2 hours", horizonSeconds: Long = 7200L): Dataset[BandClaim] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    import docs.sparkSession.implicits._
+    val rowsPerBand = numHashes / bands
+    // cast before the watermark (see sessionizeOoo); the band explode is
+    // a narrow projection, so the watermark attribute rides through it
+    val typed = docs
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, delay)
+      .withColumn("__sh__",
+        array_distinct(graft.functions.Text.shingles(col(textCol), shingleN)))
+      .select(col(idCol).cast("long").as("__id__"), col(tsCol).as("__ts__"),
+        posexplode(graft.ops.Dedup.md5BandKeys(col("__sh__"), bands, rowsPerBand)))
+      .select(
+        concat_ws(":", col("pos").cast("string"), hex(col("col"))).as("_1"),
+        col("__id__").as("_2"), col("pos").cast("int").as("_3"), col("__ts__").as("_4"))
+      .as[(String, Long, Int, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, BandClaim](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rs = rows.toVector
+            val wmMs = state.getCurrentWatermarkMs()
+            // sliding eviction horizon from the bucket's latest sighting,
+            // clamped strictly ahead of the watermark (Spark rejects
+            // not-in-future timeouts; pre-1970 fixtures otherwise trip it)
+            val armAt = math.max(
+              rs.map(r => toMicros(r._4) / 1000L).max + horizonSeconds * 1000L,
+              wmMs + 1L)
+            if (state.exists) { state.setTimeoutTimestamp(armAt); Iterator.empty }
+            else {
+              val w = rs.minBy(r => (toMicros(r._4), r._2))
+              state.update(true)
+              state.setTimeoutTimestamp(armAt)
+              Iterator(BandClaim(w._2, w._3))
+            }
+          }
+      }
+  }
+
+  /** Stage-2 finisher over accumulated [[BandClaim]]s (a batch aggregate —
+    * run it per sink table or inside foreachBatch): a document survives
+    * iff it claimed all `bands` of its band buckets first. */
+  def keptFromClaims(claims: DataFrame, bands: Int): DataFrame =
+    claims.groupBy(col("docId"))
+      .agg(count(lit(1)).as("__n__"))
+      .filter(col("__n__") === bands)
+      .select(col("docId"))
+
   /** Watermarked stream-stream interval join: each left event (e.g. a
     * click) pairs with every right event (e.g. a view) of the SAME user
     * within `lookbackSeconds` BEFORE it. The event-time bound plus both

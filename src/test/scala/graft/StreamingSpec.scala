@@ -251,6 +251,99 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH near-dup suppression equals the batch band-collision rule") {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(s"/tmp/graft_stream/neardup_${System.nanoTime()}")
+    val flat = root.resolve("stream")
+    Files.createDirectories(flat)
+    val docs = table("documents").select(col("doc_id"), col("text"),
+      timestamp_micros((col("doc_id") + 1) * 1000000L).cast("timestamp").as("ts"))
+    // three drops split by doc_id RANGE and copied in sequence while the
+    // query drains, so cross-batch arrival order == event-time order (the
+    // replay contract under which stream == batch exactly)
+    val cuts = Seq((0L, 170L), (170L, 340L), (340L, Long.MaxValue))
+    cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi).coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve(s"drop$i").toString)
+    }
+    val schema = spark.read.parquet(root.resolve("drop0").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(flat.toString)
+    val claims = EventStream.nearDupBandClaims(stream, "ts", "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 4)
+    val q = claims.writeStream.format("memory").queryName("neardup_claims")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      cuts.indices.foreach { i =>
+        val src = root.resolve(s"drop$i").toFile.listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.copy(src.toPath, flat.resolve(f"drop$i%02d.parquet"))
+        q.processAllAvailable()
+      }
+      val kept = EventStream.keptFromClaims(spark.table("neardup_claims"), bands = 4)
+        .collect().map(_.getLong(0)).toSet
+      // batch twin: dropped iff ANY band key is shared with a smaller doc_id
+      val banded = table("documents").select(col("doc_id"),
+        posexplode(graft.ops.Dedup.md5BandKeys(
+          array_distinct(graft.functions.Text.shingles(col("text"), 3)), 4, 4)))
+      val collided = banded.select(col("doc_id").as("id_a"), col("pos"), col("col"))
+        .join(banded.select(col("doc_id").as("id_b"), col("pos"), col("col")),
+          Seq("pos", "col"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_b")).distinct().collect().map(_.getLong(0)).toSet
+      val all = table("documents").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == (all -- collided),
+        s"stream kept ${kept.size}, batch rule keeps ${(all -- collided).size}")
+      assert(collided.nonEmpty, "fixture must contain near-dups for this test to bite")
+    } finally q.stop()
+  }
+
+  test("near-dup suppression state evicts after the horizon: a late re-crawl re-claims") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val root = Paths.get(s"/tmp/graft_stream/neardup_evict_${System.nanoTime()}")
+    val flat = root.resolve("stream")
+    Files.createDirectories(flat)
+    def drop(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      val tmp = root.resolve(name)
+      rows.toDF("doc_id", "text", "secs")
+        .select(col("doc_id"), col("text"),
+          timestamp_micros(col("secs") * 1000000L).cast("timestamp").as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val src = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(src.toPath, flat.resolve(s"$name.parquet"))
+    }
+    val dup = "alpha beta gamma delta epsilon"
+    drop("d0", Seq((0L, dup, 10L), (1L, dup, 20L))) // 1 suppressed by 0
+    val schema = spark.read.parquet(root.resolve("d0").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(flat.toString)
+    // short horizon (1h) against a short watermark delay (10s): state for
+    // doc 0's buckets times out once the watermark passes ts(0) + horizon
+    val claims = EventStream.nearDupBandClaims(stream, "ts", "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 4,
+      delay = "10 seconds", horizonSeconds = 3600L)
+    val q = claims.writeStream.format("memory").queryName("neardup_evict_claims")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // two unrelated drops: the first pushes the watermark past the
+      // horizon, the second's trigger FIRES the now-quiet buckets'
+      // timeouts (timers only fire for keys without data in the batch)
+      drop("d1", Seq((2L, "zeta eta theta iota kappa", 90000L)))
+      q.processAllAvailable()
+      drop("d2", Seq((3L, "lambda mu nu xi omicron", 90100L)))
+      q.processAllAvailable()
+      // the re-crawl of the duplicate text lands AFTER eviction: re-claims
+      drop("d3", Seq((9L, dup, 90200L)))
+      q.processAllAvailable()
+      val kept = EventStream.keptFromClaims(spark.table("neardup_evict_claims"), bands = 4)
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(0L, 2L, 3L, 9L),
+        s"expected re-claim after horizon eviction, got $kept")
+    } finally q.stop()
+  }
+
   test("map-only corpus ops run unchanged under streaming: chunking parity") {
     // chunkDocuments is stateless/map-only, so the SAME code path must
     // work as a streaming transform with Append output and produce
