@@ -278,6 +278,16 @@ object ScaleDedupBench {
     // sides and dampen exactly the super-linear signal the flag hunts
     val planesByDir: Map[String, Int] =
       Seq(oneDir, bigDir).map(d => d -> planes(emb(d).count())).toMap
+    // PQ codebooks are tuning inputs too (m=16 subspaces × ksub=64,
+    // data-derived seeds): built ONCE per dir so the timed closures
+    // measure the code scan, not the (constant-size) codebook build
+    val cbByDir: Map[String, DataFrame] =
+      Seq(oneDir, bigDir).map { d =>
+        d -> graft.ops.Pq.codebooksFromRows(
+          emb(d).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", m = 16, ksub = 64).cache()
+      }.toMap
+    cbByDir.values.foreach(_.count()) // materialize outside the timers
 
     val ops: Seq[(String, String => DataFrame)] = Seq(
       "minhash_lsh" -> (dir => Dedup.minhashLshPairs(
@@ -316,6 +326,23 @@ object ScaleDedupBench {
           .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
         Dedup.semDedup(e, "vec_id", "embedding", cents, "centroid_id", "cvec", 0.9)
       },
+      "pq_adc_topk" -> { dir =>
+        // PQ discipline: the codebook does NOT grow with the corpus
+        // (constant m×ksub lookup table), so the op's cost is the code
+        // scan — the slope should track the row ratio and nothing else
+        val e = emb(dir).select(col("vec_id"), col("embedding"))
+        val q = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        graft.ops.Pq.topK(e, "vec_id", "embedding", q, "query_id", "qvec",
+          cbByDir(dir), k = 5)
+      },
+      "pq_rerank" -> { dir =>
+        val e = emb(dir).select(col("vec_id"), col("embedding"))
+        val q = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        graft.ops.Pq.topKRerank(e, "vec_id", "embedding", q, "query_id", "qvec",
+          cbByDir(dir), k = 5, shortlist = 25)
+      },
       "sem_dedup_2level" -> { dir =>
         // same k-grows-with-n configuration through the two-level
         // assignment: exact path is n·k cosines (quadratic once k ∝ n),
@@ -335,7 +362,8 @@ object ScaleDedupBench {
     // table it actually scans
     val docRatio = docs(bigDir).count().toDouble / docs(oneDir).count()
     val embRatio = emb(bigDir).count().toDouble / emb(oneDir).count()
-    val embOps = Set("emb_neardup_lsh", "ann_lsh", "sem_dedup", "sem_dedup_2level")
+    val embOps = Set("emb_neardup_lsh", "ann_lsh", "sem_dedup", "sem_dedup_2level",
+      "pq_adc_topk", "pq_rerank")
     // warmup both scan paths of both tables
     Seq(oneDir, bigDir).foreach { d =>
       docs(d).queryExecution.toRdd.foreach(_ => ())

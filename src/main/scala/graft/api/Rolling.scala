@@ -25,6 +25,9 @@ final case class Rolling(frame: Frame, window: Int, minPeriods: Option[Int]) {
   def variance(c: String, as: String): Frame = run((c, "variance", as))
   def median(c: String, as: String): Frame = run((c, "median", as))
   def quantile(c: String, q: Double, as: String): Frame = run((c, s"quantile:$q", as))
+  def skew(c: String, as: String): Frame = run((c, "skew", as))
+  def kurt(c: String, as: String): Frame = run((c, "kurt", as))
+  def sem(c: String, as: String): Frame = run((c, "sem", as))
 
   /** Several aggregates in one pass (one shuffle, one window stage). */
   def agg(specs: (String, String, String)*): Frame = run(specs: _*)

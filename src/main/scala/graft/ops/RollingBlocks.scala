@@ -99,6 +99,13 @@ object RollingBlocks {
           // exact linear-interpolation quantile (pandas rolling.quantile
           // default); percentile-over-rows-window skips nulls natively
           percentile(col(src), lit(q.stripPrefix("quantile:").toDouble)).over(w)
+        // bias-corrected higher moments + SEM (pandas rolling.skew/kurt/
+        // sem): same Stats expressions the grouped path uses, composed
+        // over the block window — their own n-floors (3/4) stack with
+        // the min_periods rule below
+        case "skew" => graft.functions.Stats.skewOver(col(src), w)
+        case "kurt" => graft.functions.Stats.kurtOver(col(src), w)
+        case "sem"  => graft.functions.Stats.semOver(col(src), w)
         case other => sys.error(s"rollingAgg: unsupported agg $other")
       }
       d.withColumn(as, when(vcnt >= minP, a))

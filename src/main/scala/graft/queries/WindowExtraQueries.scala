@@ -282,6 +282,42 @@ object WindowExtraQueries {
           WINDOW w AS (ORDER BY o_orderkey ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
         ORDER BY o_orderkey""")),
 
+    // GLOBAL rolling skew/kurt/sem through the fluent API — the same
+    // block-overlap plan as q169 carrying the bias-corrected higher
+    // moments (Stats.skewOver/kurtOver/semOver inside the per-block
+    // window); DuckDB's skewness/kurtosis are already the pandas
+    // G1/G2-corrected forms, so the oracle is the single-partition
+    // formulation the plan exists to avoid (same pattern as q143's
+    // grouped twin).
+    Q("q233_rolling_global_moments",
+      (s, dir) => {
+        val fr = Frame(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice")))
+          .sortValues(Seq(SortKey.asc("o_orderkey")))
+        Frame(fr.rolling(20).agg(
+          ("o_totalprice", "skew", "r_skew"),
+          ("o_totalprice", "kurt", "r_kurt"),
+          ("o_totalprice", "sem", "r_sem")).df
+          .select(col("o_orderkey"), round(col("r_skew"), 4).as("r_skew"),
+            round(col("r_kurt"), 4).as("r_kurt"), round(col("r_sem"), 4).as("r_sem")))
+          .sortValues(Seq(SortKey.asc("o_orderkey"))).df
+      },
+      Some("""
+        SELECT o_orderkey,
+               CASE WHEN cnt >= 20 THEN round(sk, 4) END AS r_skew,
+               CASE WHEN cnt >= 20 THEN round(kt, 4) END AS r_kurt,
+               CASE WHEN cnt >= 20 THEN round(se, 4) END AS r_sem
+        FROM (
+          SELECT o_orderkey,
+                 count(o_totalprice) OVER w AS cnt,
+                 skewness(o_totalprice) OVER w AS sk,
+                 kurtosis(o_totalprice) OVER w AS kt,
+                 stddev_samp(o_totalprice) OVER w
+                   / sqrt(count(o_totalprice) OVER w) AS se
+          FROM orders
+          WINDOW w AS (ORDER BY o_orderkey ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        ORDER BY o_orderkey""")),
+
     // GLOBAL rank + pct_change with NO unpartitioned window: materialize
     // __row_order__ with the two-pass block-offset plan (ops.RowOrder),
     // then rank(ties=min) = min row-number per value (a value-partitioned
