@@ -154,6 +154,90 @@ final case class Frame(
     (lo ++ hi).reduceOption(_ && _).map(p => copy(df = df.filter(p))).getOrElse(this)
   }
 
+  /** pandas reorder_levels(order): permute ALL MultiIndex levels at once
+    * (the n-ary generalization of [[swapLevel]]). Pure metadata. Accepts
+    * level positions or names; must be a complete permutation. */
+  def reorderLevels(order: Seq[Any]): Frame = {
+    require(order.size == indexCols.size,
+      s"reorder_levels: order has ${order.size} entries for ${indexCols.size} levels")
+    val named = order.map {
+      case i: Int => indexCols(i)
+      case n: String =>
+        require(indexCols.contains(n), s"reorder_levels: unknown level $n"); n
+      case other => sys.error(s"reorder_levels: bad level spec $other")
+    }
+    require(named.distinct.size == indexCols.size, "reorder_levels: not a permutation")
+    copy(indexCols = named.toIndexedSeq)
+  }
+
+  /** pandas rename_axis(mapper) on the index: rename the index LEVELS
+    * (the columns backing them rename with the level, as reset_index
+    * would surface them). */
+  def renameAxis(names: String*): Frame = {
+    require(names.size == indexCols.size,
+      s"rename_axis: ${names.size} names for ${indexCols.size} levels")
+    rename(indexCols.zip(names).filter { case (a, b) => a != b }: _*)
+  }
+
+  /** pandas xs(key, level): cross-section — the rows whose index level
+    * equals `key`, with that level dropped from the result (pandas
+    * drop_level=True default). A plain pushdown-able filter plus level
+    * metadata removal. */
+  def xs(key: Any, level: Int = 0): Frame = {
+    require(level >= 0 && level < indexCols.size,
+      s"xs: level $level out of range for ${indexCols.size} levels")
+    val c = indexCols(level)
+    copy(df = df.filter(col(c) === lit(key)).drop(c),
+      indexCols = indexCols.patch(level, Nil, 1))
+  }
+
+  /** pandas select_dtypes(include=, exclude=): keep data columns whose
+    * Spark type falls in the requested classes — "number", "integer",
+    * "floating", "string"/"object", "boolean"/"bool", "datetime",
+    * "binary". Index levels always survive (pandas keeps the index). */
+  def selectDtypes(include: Seq[String] = Nil, exclude: Seq[String] = Nil): Frame = {
+    import org.apache.spark.sql.types._
+    require(include.nonEmpty || exclude.nonEmpty,
+      "select_dtypes: at least one of include/exclude is required")
+    def matches(dt: DataType, cls: String): Boolean = cls match {
+      case "number" => dt.isInstanceOf[NumericType]
+      case "integer" | "int" =>
+        dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
+      case "floating" | "float" =>
+        dt == DoubleType || dt == FloatType || dt.isInstanceOf[DecimalType]
+      case "string" | "object" => dt == StringType
+      case "boolean" | "bool" => dt == BooleanType
+      case "datetime" => dt == TimestampType || dt == TimestampNTZType || dt == DateType
+      case "binary" => dt == BinaryType
+      case other => sys.error(s"select_dtypes: unknown type class $other")
+    }
+    val keep = df.schema.fields.filter { f =>
+      indexCols.contains(f.name) ||
+        ((include.isEmpty || include.exists(matches(f.dataType, _))) &&
+          !exclude.exists(matches(f.dataType, _)))
+    }.map(_.name)
+    copy(df = df.select(keep.map(col): _*))
+  }
+
+  /** pandas factorize(): integer codes in FIRST-APPEARANCE order under
+    * the frame's declared ordering (cat_codes q86 is the lexical-order
+    * sibling). Two-pass, cluster-shaped: materialize row order, take each
+    * value's first position (one hash shuffle on the value), row-order
+    * the (vocab-sized) firsts frame by that position — codes — and join
+    * back on the value. Nulls get code -1 like pandas. */
+  def factorize(c: String, as: String): Frame = {
+    val ordered = graft.ops.RowOrder.withRowOrder(df, ordering)
+    val firsts = ordered.filter(col(c).isNotNull)
+      .groupBy(col(c)).agg(min(col(Frame.RowOrder)).as("__first__"))
+    val coded = graft.ops.RowOrder.withRowOrder(
+      firsts, Seq(SortKey.asc("__first__")))
+      .select(col(c), col(Frame.RowOrder).as(as))
+    copy(df = ordered.join(coded, Seq(c), "left")
+      .withColumn(as, coalesce(col(as), lit(-1L)))
+      .drop(Frame.RowOrder)
+      .select((df.columns :+ as).map(col): _*)) // join put the key first
+  }
+
   /** pandas sort_index(axis=1): reorder columns by label. A pure
     * projection — metadata-only for Catalyst, exactly like the
     * reference's columnar reindex — but semantically observable through
@@ -656,10 +740,28 @@ final case class Frame(
         val negZero = bf.cast("string").startsWith("-")
         when(bf =!= 0.0, af / bf)
           .otherwise(when(negZero, -af).otherwise(af) * lit(Double.PositiveInfinity))
+      // numpy/pandas floor division: floor(a/b); b=0 follows the IEEE
+      // div above (floor(±Inf) = ±Inf, floor(NaN) = NaN)
+      case "floordiv" =>
+        val negZero = bf.cast("string").startsWith("-")
+        Frame.floorDouble(when(bf =!= 0.0, af / bf)
+          .otherwise(when(negZero, -af).otherwise(af) * lit(Double.PositiveInfinity)))
+      // numpy mod: a - floor(a/b)·b — the result carries the DIVISOR's
+      // sign (unlike SQL/Java %); mod by zero is NaN like numpy
+      case "mod" =>
+        when(bf =!= 0.0, af - Frame.floorDouble(af / bf) * bf)
+          .otherwise(lit(Double.NaN))
+      case "pow" => pow(af, bf)
       case other => sys.error(s"binopFill: unsupported op $other")
     }
     withColumn(as, when(a.isNull && b.isNull, lit(null)).otherwise(combined))
   }
+
+  /** The pandas reversed-operand family (`rsub`, `rdiv`, `rfloordiv`,
+    * `rmod`, `rpow`, …) is the operand swap of [[binopFill]]; exposed
+    * explicitly so call sites read like the pandas they mirror. */
+  def rbinopFill(aCol: String, bCol: String, as: String, op: String,
+      fillValue: Double): Frame = binopFill(bCol, aCol, as, op, fillValue)
 
   /** pandas `df.prod(axis=1)` — skipna; an all-null row is 1.0 (the
     * pandas empty-product contract). */
@@ -769,11 +871,113 @@ final case class Frame(
     val rows = df.collect()
     df.columns.indices.map(i => rows.toIndexedSeq.map(_.get(i)))
   }
+
+  // ---------------------------------------------------------------------
+  // Driver-side text renderers (pandas to_string / to_markdown / to_latex,
+  // index=False shapes) — display helpers, size-guarded like transpose.
+  // to_string and to_latex are pinned BYTE-EXACT against genuine pandas
+  // output in FrameSpec; to_markdown follows the documented
+  // github-pipe format (tabulate, pandas' renderer, is not in this
+  // environment to pin against — deviation noted in COVERAGE.md).
+  // ---------------------------------------------------------------------
+
+  /** Per-column display strings under pandas' default rules: floats use
+    * the column-uniform minimal decimals (≥1, capped at 6 like pandas
+    * display.precision), float null → "NaN", other null → "None". */
+  private def renderCells(maxRows: Long): (Seq[String], Seq[Seq[String]], Seq[Boolean]) = {
+    import org.apache.spark.sql.types._
+    val n = df.count()
+    require(n <= maxRows, s"driver-side render limited to $maxRows rows, have $n")
+    val rows = df.collect().toIndexedSeq
+    val fields = df.schema.fields.toIndexedSeq
+    val numeric = fields.map(_.dataType.isInstanceOf[NumericType])
+    val cols = fields.zipWithIndex.map { case (f, i) =>
+      f.dataType match {
+        case DoubleType | FloatType =>
+          val vs = rows.map(r => if (r.isNullAt(i)) None else Some(r.get(i) match {
+            case d: Double => d
+            case fl: Float => fl.toDouble
+          }))
+          val dec = math.min(6, math.max(1, vs.flatten.map { v =>
+            val s = BigDecimal(v).bigDecimal.stripTrailingZeros.scale
+            math.max(s, 0)
+          }.maxOption.getOrElse(1)))
+          vs.map {
+            case None => "NaN"
+            case Some(v) if v.isNaN => "NaN"
+            case Some(v) => String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+          }
+        case _ =>
+          rows.map(r => if (r.isNullAt(i)) "None" else String.valueOf(r.get(i)))
+      }
+    }
+    (fields.map(_.name), cols.transpose, numeric)
+  }
+
+  /** pandas `to_string(index=False)`: every cell (and header) right-
+    * justified to its column width, two-space separator. */
+  def toStringTable(maxRows: Long = 100000L): String = {
+    val (names, rows, _) = renderCells(maxRows)
+    val widths = names.indices.map(i =>
+      (names(i).length +: rows.map(_(i).length)).max)
+    def line(cells: Seq[String]) =
+      cells.zip(widths).map { case (c, w) => c.reverse.padTo(w, ' ').reverse }
+        .mkString("  ")
+    (line(names) +: rows.map(line)).mkString("\n")
+  }
+
+  /** `to_markdown(index=False)` in the github pipe format: ':---' for
+    * text columns, '---:' for numeric, cells left-padded to width. */
+  def toMarkdownTable(maxRows: Long = 100000L): String = {
+    val (names, rows, numeric) = renderCells(maxRows)
+    val widths = names.indices.map(i =>
+      math.max(3, (names(i).length +: rows.map(_(i).length)).max))
+    def row(cells: Seq[String]) =
+      cells.zip(widths).zip(numeric).map { case ((c, w), num) =>
+        if (num) c.reverse.padTo(w, ' ').reverse else c.padTo(w, ' ')
+      }.mkString("| ", " | ", " |")
+    val sep = widths.zip(numeric).map { case (w, num) =>
+      if (num) "-" * (w + 1) + ":" else ":" + "-" * (w + 1)
+    }.mkString("|", "|", "|")
+    (row(names) +: sep +: rows.map(row)).mkString("\n")
+  }
+
+  /** pandas `to_latex(index=False)`: booktabs tabular, 'l' for text /
+    * 'r' for numeric columns, floats at 6 decimals, null → NaN. */
+  def toLatexTable(maxRows: Long = 100000L): String = {
+    import org.apache.spark.sql.types._
+    val n = df.count()
+    require(n <= maxRows, s"driver-side render limited to $maxRows rows, have $n")
+    val rows = df.collect().toIndexedSeq
+    val fields = df.schema.fields.toIndexedSeq
+    val spec = fields.map(f =>
+      if (f.dataType.isInstanceOf[NumericType]) "r" else "l").mkString
+    def cell(r: org.apache.spark.sql.Row, i: Int): String = fields(i).dataType match {
+      case DoubleType | FloatType =>
+        if (r.isNullAt(i)) "NaN"
+        else String.format(java.util.Locale.ROOT, "%.6f", Double.box(r.get(i) match {
+          case d: Double => d; case fl: Float => fl.toDouble
+        }))
+      case _ => if (r.isNullAt(i)) "NaN" else String.valueOf(r.get(i))
+    }
+    val header = fields.map(_.name).mkString("", " & ", " \\\\")
+    val body = rows.map(r => fields.indices.map(cell(r, _)).mkString("", " & ", " \\\\"))
+    (Seq(s"\\begin{tabular}{$spec}", "\\toprule", header, "\\midrule") ++
+      body ++ Seq("\\bottomrule", "\\end{tabular}", "")).mkString("\n")
+  }
 }
 
 object Frame {
   /** Name of the materialized positional-order column (see ops.RowOrder). */
   val RowOrder = "__row_order__"
+
+  /** floor() that STAYS double: Spark's `floor(double)` returns LONG,
+    * which overflows on ±Inf and on |x| ≥ 2⁶³ — exactly the values the
+    * IEEE binop family must pass through unchanged. Doubles ≥ 2⁵³ are
+    * already integral, so forwarding them IS their floor. */
+  private[api] def floorDouble(d: Column): Column =
+    when(isnan(d) || abs(d) >= lit(9.007199254740992E15), d)
+      .otherwise(floor(d).cast("double"))
   private[api] val RowNum = "__rn__"
 
   /** md5(salt + key) — lowercase hex, the engine-portable uniform order

@@ -323,5 +323,63 @@ object ExtrasQueries {
                          CASE WHEN l_linenumber = 1 THEN NULL
                               ELSE CAST(l_suppkey % 60 AS DOUBLE) END AS c
                   FROM lineitem)))
-        ORDER BY l_orderkey, l_linenumber, rprod, rvar""")))
+        ORDER BY l_orderkey, l_linenumber, rprod, rvar""")),
+
+    // factorize(): integer codes in FIRST-APPEARANCE order under the
+    // declared ordering (the appearance-order sibling of q86's lexical
+    // cat_codes). Engine: two RowOrder passes + a vocab-sized join —
+    // never an unpartitioned data-sized window; the oracle replays the
+    // same min-position/dense-code construction.
+    Q("q234_factorize",
+      (s, dir) => {
+        val fr = Frame(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority")))
+          .sortValues(Seq(SortKey.asc("o_orderkey")))
+        fr.factorize("o_orderpriority", "prio_code")
+          .sortValues(Seq(SortKey.asc("o_orderkey")))
+          .df.select(col("o_orderkey"), col("o_orderpriority"), col("prio_code"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH firsts AS (
+          SELECT o_orderpriority AS v, min(o_orderkey) AS f
+          FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1),
+        codes AS (
+          SELECT v, row_number() OVER (ORDER BY f) - 1 AS prio_code FROM firsts)
+        SELECT o_orderkey, o_orderpriority,
+               coalesce(prio_code, -1) AS prio_code
+        FROM orders LEFT JOIN codes ON v = o_orderpriority
+        ORDER BY o_orderkey""")),
+
+    // floordiv / mod / pow through the aligned-binop machinery (the
+    // numpy forms: floor(a/b); a − floor(a/b)·b so the remainder carries
+    // the DIVISOR's sign, unlike SQL's %; power). The signed columns
+    // exercise the sign rule both ways; the oracle computes the
+    // identical double formulas.
+    Q("q235_binop_floordiv_mod_pow",
+      (s, dir) => {
+        val fr = Frame(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_quantity").cast("double") - 25.5).as("a"),
+            (col("l_linenumber").cast("double") - 3.5).as("b")))
+        fr.binopFill("a", "b", "fd", "floordiv", 0.0)
+          .binopFill("a", "b", "md", "mod", 0.0)
+          .binopFill("b", "a", "md_rev", "mod", 0.0)
+          .binopFill("b", "l_linenumber", "pw", "pow", 0.0)
+          .df.select(col("l_orderkey"), col("l_linenumber"),
+            round(col("fd"), 4).as("fd"), round(col("md"), 4).as("md"),
+            round(col("md_rev"), 4).as("md_rev"), round(col("pw"), 4).as("pw"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               round(floor(a / b), 4) AS fd,
+               round(a - floor(a / b) * b, 4) AS md,
+               round(b - floor(b / a) * a, 4) AS md_rev,
+               round(power(b, l_linenumber), 4) AS pw
+        FROM (SELECT l_orderkey, l_linenumber,
+                     CAST(l_quantity AS DOUBLE) - 25.5 AS a,
+                     CAST(l_linenumber AS DOUBLE) - 3.5 AS b
+              FROM lineitem)
+        ORDER BY l_orderkey, l_linenumber""")))
 }

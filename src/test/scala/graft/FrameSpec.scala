@@ -239,4 +239,83 @@ class FrameSpec extends SparkSuite {
     assert(s.df.columns.toSeq == Seq("v"))
     assert(s.df.orderBy("v").collect().map(_.getDouble(0)).toSeq == Seq(2.0, 4.0))
   }
+
+  test("xs filters one index level and drops it; reorder_levels permutes; rename_axis renames") {
+    import spark.implicits._
+    val f = Frame(Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 1L, 30.0))
+      .toDF("g", "k", "v"), indexCols = Seq("g", "k"))
+    val x = f.xs("a", level = 0)
+    assert(x.indexCols == Seq("k"))
+    assert(x.df.columns.toSeq == Seq("k", "v"))
+    assert(x.df.orderBy("k").collect().map(_.getDouble(1)).toSeq == Seq(10.0, 20.0))
+    val r = f.reorderLevels(Seq(1, 0))
+    assert(r.indexCols == Seq("k", "g"))
+    assert(f.reorderLevels(Seq("k", "g")).indexCols == Seq("k", "g"))
+    assert(intercept[IllegalArgumentException](f.reorderLevels(Seq(0, 0)))
+      .getMessage.contains("permutation"))
+    val rn = f.renameAxis("grp", "key")
+    assert(rn.indexCols == Seq("grp", "key"))
+    assert(rn.df.columns.toSeq == Seq("grp", "key", "v"))
+  }
+
+  test("select_dtypes keeps columns by type class; index levels always survive") {
+    import spark.implicits._
+    val f = Frame(Seq((1L, "x", 2.0, true)).toDF("k", "s", "d", "b"),
+      indexCols = Seq("s"))
+    assert(f.selectDtypes(include = Seq("number")).df.columns.toSeq == Seq("k", "s", "d"))
+    assert(f.selectDtypes(include = Seq("floating")).df.columns.toSeq == Seq("s", "d"))
+    assert(f.selectDtypes(exclude = Seq("number")).df.columns.toSeq == Seq("s", "b"))
+    assert(f.selectDtypes(include = Seq("integer", "bool")).df.columns.toSeq
+      == Seq("k", "s", "b"))
+    assert(intercept[IllegalArgumentException](f.selectDtypes()).getMessage
+      .contains("include"))
+  }
+
+  test("factorize codes values in first-appearance order; null gets -1") {
+    import spark.implicits._
+    val f = Frame(Seq((1L, "b"), (2L, "a"), (3L, "b"), (4L, null), (5L, "c"))
+      .toDF("k", "v")).sortValues(Seq(SortKey.asc("k")))
+    val got = f.factorize("v", "code").df.orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // b first at k=1 -> 0, a at k=2 -> 1, c at k=5 -> 2, null -> -1
+    assert(got == Seq((1L, 0L), (2L, 1L), (3L, 0L), (4L, -1L), (5L, 2L)))
+  }
+
+  test("binopFill floordiv/mod/pow follow numpy: remainder sign tracks the divisor") {
+    import spark.implicits._
+    val f = Frame(Seq((7.0, 2.0), (-7.0, 2.0), (7.0, -2.0), (1.0, 0.0))
+      .toDF("a", "b"))
+    val rows = f.binopFill("a", "b", "fd", "floordiv", 0.0)
+      .binopFill("a", "b", "md", "mod", 0.0)
+      .binopFill("a", "b", "pw", "pow", 0.0)
+      .df.select("a", "b", "fd", "md", "pw").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSeq.sortBy(t => (t._1, t._2))
+    val byKey = rows.map(t => (t._1, t._2) -> (t._3, t._4, t._5)).toMap
+    assert(byKey((7.0, 2.0)) == (3.0, 1.0, 49.0))
+    assert(byKey((-7.0, 2.0)) == (-4.0, 1.0, 49.0)) // numpy: -7 % 2 = 1
+    val (fdN, mdN, pwN) = byKey((7.0, -2.0)) // 7 % -2 = -1 (divisor sign)
+    assert(fdN == -4.0 && mdN == -1.0 && math.abs(pwN - 1.0 / 49.0) < 1e-15)
+    val (fd0, md0, _) = byKey((1.0, 0.0))
+    assert(fd0.isPosInfinity && md0.isNaN) // numpy: x//0 = inf, x%0 = NaN
+  }
+
+  test("to_string / to_latex render byte-exact pandas output; to_markdown pipe format") {
+    import spark.implicits._
+    val f = Frame(Seq(
+      (Option("alpha"), 1L, 1.5), (Option("beta"), 22L, 2.25),
+      (Option.empty[String], 333L, 30.0)).toDF("name", "qty", "price"))
+    // pinned literals generated by genuine pandas 2.x:
+    //   df.to_string(index=False) / df.to_latex(index=False)
+    assert(f.toStringTable() ==
+      " name  qty  price\nalpha    1   1.50\n beta   22   2.25\n None  333  30.00")
+    assert(f.toLatexTable() ==
+      "\\begin{tabular}{lrr}\n\\toprule\nname & qty & price \\\\\n\\midrule\n" +
+      "alpha & 1 & 1.500000 \\\\\nbeta & 22 & 2.250000 \\\\\nNaN & 333 & 30.000000 \\\\\n" +
+      "\\bottomrule\n\\end{tabular}\n")
+    val md = f.toMarkdownTable()
+    assert(md.startsWith("| name"))
+    assert(md.linesIterator.toSeq(1).matches("\\|:[-]+\\|[-]+:\\|[-]+:\\|"))
+    assert(md.contains("| beta"))
+  }
 }
