@@ -219,6 +219,29 @@ final case class Frame(
     copy(df = df.select(keep.map(col): _*))
   }
 
+  /** pandas `df.asof(where)` — the METHOD, not merge_asof: for each
+    * query label, the most recent row whose (single-level) index is at
+    * or before it, null columns when nothing precedes. Rides
+    * [[graft.ops.Joins.asofGlobal]] (union + running-max prefix — one
+    * range shuffle, no per-label scans), so `where` can itself be huge.
+    * Deviation: among DUPLICATE index labels pandas keeps the
+    * positionally last row; here the largest payload tuple wins
+    * (deterministic without a position column — declared at the call). */
+  def asofLabels(where: Seq[Any]): Frame = {
+    require(indexCols.size == 1, s"asof: needs exactly one index level, have $indexCols")
+    val ix = indexCols.head
+    val payload = df.columns.filterNot(_ == ix).toIndexedSeq
+    val ixType = df.schema(ix).dataType
+    val spine = spark.createDataFrame(
+      java.util.Arrays.asList(where.map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__where__", ixType))))
+    copy(df = graft.ops.Joins.asofGlobal(spine, df, "__where__", ix,
+      payload, tieBreak = lit(0L))
+      .withColumnRenamed("__where__", ix),
+      indexCols = Seq(ix))
+  }
+
   /** pandas factorize(): integer codes in FIRST-APPEARANCE order under
     * the frame's declared ordering (cat_codes q86 is the lexical-order
     * sibling). Two-pass, cluster-shaped: materialize row order, take each

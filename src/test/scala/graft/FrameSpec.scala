@@ -281,6 +281,16 @@ class FrameSpec extends SparkSuite {
     assert(got == Seq((1L, 0L), (2L, 1L), (3L, 0L), (4L, -1L), (5L, 2L)))
   }
 
+  test("asofLabels picks the most recent at-or-before row per query label") {
+    import spark.implicits._
+    val f = Frame(Seq((10L, 1.0), (20L, 2.0), (30L, 3.0)).toDF("k", "v"),
+      indexCols = Seq("k"))
+    val got = f.asofLabels(Seq(5L, 10L, 25L, 99L)).df
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+    assert(got == Seq((5L, None), (10L, Some(1.0)), (25L, Some(2.0)), (99L, Some(3.0))))
+  }
+
   test("binopFill floordiv/mod/pow follow numpy: remainder sign tracks the divisor") {
     import spark.implicits._
     val f = Frame(Seq((7.0, 2.0), (-7.0, 2.0), (7.0, -2.0), (1.0, 0.0))
