@@ -359,4 +359,60 @@ object Corpus {
         array_join(chunkSlice, " ").as("chunk_text"),
         size(chunkSlice).as("n_tokens"))
   }
+
+  /** (id, w1, w2) adjacent lowercase-token bigrams of each document —
+    * shared by the LM trainer and scorer so both sides tokenize and pair
+    * identically (and so does the DuckDB oracle). Docs with < 2 tokens
+    * contribute nothing. */
+  private def docBigrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = "__lm_t__"
+    df.select(col(idCol), wsTokensLower(col(textCol)).as(t))
+      .filter(size(col(t)) >= 2)
+      .select(col(idCol), explode(arrays_zip(
+        slice(col(t), lit(1), size(col(t)) - 1).as("w1"),
+        slice(col(t), lit(2), size(col(t)) - 1).as("w2"))).as("__bi__"))
+      .select(col(idCol), col("__bi__.w1").as("w1"), col("__bi__.w2").as("w2"))
+  }
+
+  /**
+   * CCNet-style language-model quality scoring (Wenzek et al. 2020 score
+   * documents by LM perplexity and filter/bucket on it; public method,
+   * reference analog: the quality-scoring stage of every LLM data
+   * pipeline). In-engine stand-in for the external KenLM: an add-k
+   * smoothed BIGRAM model trained on `reference` scores each `docs` row
+   * with its per-token perplexity exp(−Σ ln p(w2|w1) / n).
+   *
+   *   p(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V)     (w1 seen)
+   *            = 1 / V                                (w1 unseen)
+   *
+   * 100 TB shape: training is two vocab-sized count shuffles; scoring is
+   * one bigram-keyed hash join of the docs' bigrams against the model
+   * (both sides partition on the bigram — no broadcast assumption, the
+   * model grows with the reference corpus) plus a per-doc aggregate. The
+   * vocabulary size V is the one scalar anchor (same pattern as the
+   * declared scalar folds elsewhere). Docs with < 2 tokens get ppl null.
+   *
+   * Returns (idCol, n_bigrams, ppl).
+   */
+  def perplexity(docs: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, k: Double = 0.1): DataFrame = {
+    require(k > 0, s"add-k smoothing needs k > 0: $k")
+    val refBi = docBigrams(reference, idCol, textCol)
+    val c12 = refBi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c12__"))
+    val c1 = refBi.groupBy(col("w1")).agg(count(lit(1)).as("__c1__"))
+    val vocab = reference
+      .select(explode(wsTokensLower(col(textCol))).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0).toDouble
+    val scored = docBigrams(docs, idCol, textCol)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .withColumn("__p__",
+        when(col("__c1__").isNotNull,
+          (coalesce(col("__c12__"), lit(0L)).cast("double") + k) /
+            (col("__c1__").cast("double") + k * vocab))
+          .otherwise(lit(1.0 / vocab)))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        exp(-sum(log(col("__p__"))) / count(lit(1))).as("ppl"))
+  }
 }

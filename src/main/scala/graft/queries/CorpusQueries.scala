@@ -308,5 +308,55 @@ object CorpusQueries {
                 FROM toks))
         SELECT doc_id, count(*) AS n_chunks, CAST(sum(n_tok) AS BIGINT) AS tok_sum,
                md5(string_agg(chunk_text, '|' ORDER BY chunk_id)) AS digest
-        FROM chunks GROUP BY doc_id ORDER BY doc_id""")))
+        FROM chunks GROUP BY doc_id ORDER BY doc_id""")),
+
+    // CCNet-style LM perplexity scoring (Wenzek et al. 2020): an add-k
+    // bigram model self-trained on the corpus scores each doc's
+    // per-token perplexity. The oracle replays the identical counts,
+    // smoothing and log-sum in DuckDB (k=0.1; unseen-history rows fall
+    // to the uniform 1/V). Per-doc ln-sum order is engine-dependent but
+    // ~1e-13 relative — round(4) absorbs it, same discipline as the
+    // corr-matrix family. Output keyed small for a stable hash: the
+    // per-lang mean of per-doc ppl plus counts.
+    Q("q236_lm_perplexity",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val scored = Corpus.perplexity(docs, docs, "doc_id", "text", k = 0.1)
+        docs.join(scored, "doc_id")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_bigrams")).cast("long").as("bi_sum"),
+            round(avg(round(col("ppl"), 4)), 4).as("mean_ppl"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, lang, regexp_extract_all(trim(lower(text)), '\S+') AS t
+          FROM documents),
+        bi AS (
+          SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2
+          FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+          WHERE len(t) >= 2),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        v AS (SELECT count(DISTINCT w)::DOUBLE AS v
+              FROM (SELECT unnest(t) AS w FROM tok)),
+        p AS (
+          SELECT b.doc_id,
+                 CASE WHEN c1.c1 IS NOT NULL
+                      THEN (coalesce(c12.c12, 0)::DOUBLE + 0.1) / (c1.c1::DOUBLE + 0.1 * v.v)
+                      ELSE 1.0 / v.v END AS p
+          FROM bi b
+          LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+          LEFT JOIN c1 ON b.w1 = c1.w1
+          CROSS JOIN v),
+        scored AS (
+          SELECT doc_id, count(*) AS n_bigrams,
+                 exp(-sum(ln(p)) / count(*)) AS ppl
+          FROM p GROUP BY doc_id)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_bigrams) AS BIGINT) AS bi_sum,
+               round(avg(round(ppl, 4)), 4) AS mean_ppl
+        FROM documents JOIN scored USING (doc_id)
+        GROUP BY lang ORDER BY lang""")))
 }

@@ -151,4 +151,26 @@ class CorpusSpec extends SparkSuite {
     assert(out.collect().map(_.getLong(0)).sorted.toSeq ==
       again.collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("perplexity: in-domain text scores far lower than unseen text; short docs drop") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ate the fish"),
+      (3L, "the dog sat on the rug")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "the cat sat on the mat"),     // every bigram seen
+      (11L, "zyx wvu tsr qpo nml"),        // nothing seen -> uniform 1/V
+      (12L, "single")).toDF("doc_id", "text") // < 2 tokens: no row
+    val out = Corpus.perplexity(docs, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(12L))
+    assert(out(10L)._1 == 5 && out(11L)._1 == 4) // n_tokens - 1 bigrams
+    val (pplIn, pplOut) = (out(10L)._2, out(11L)._2)
+    assert(pplIn >= 1.0, s"perplexity below 1: $pplIn")
+    // unseen-history rows fall to uniform 1/V (V = 9 distinct ref
+    // tokens) -> ppl exactly V; in-domain must be far under it
+    assert(math.abs(pplOut - 9.0) < 1e-9, s"uniform ppl: $pplOut")
+    assert(pplIn < pplOut / 2, s"in-domain $pplIn vs unseen $pplOut")
+  }
 }
