@@ -219,7 +219,13 @@ class FuzzSpec extends SparkSuite {
       sql = s"SELECT ${st.cols.map(f => if (f.name != c.name) f.name else
         s"CASE WHEN ${f.name} IS NULL OR isnan(${f.name}) THEN CAST(NULL AS DOUBLE) " +
         s"WHEN ${f.name} < $lo THEN $lo WHEN ${f.name} > $hi THEN $hi " +
-        s"ELSE ${f.name} END AS ${f.name}").mkString(", ")} FROM ${wrap(st.sql)}")
+        s"ELSE ${f.name} END AS ${f.name}").mkString(", ")} FROM ${wrap(st.sql)}",
+      // clipping is NON-injective: if the clipped column is part of the
+      // uniqueness key, rows collapsing onto a bound make downstream
+      // order-dependent picks (dedup-first etc.) tie nondeterministically
+      // across engines — gate them off like the concat op does.
+      // (Found by the extended fuzz sweep: seed 1409.)
+      uniq = if (st.uniq.contains(c.name)) Vector.empty else st.uniq)
       .addOp(s"clip(${c.name},$lo,$hi)")
   }
 
@@ -629,6 +635,16 @@ class FuzzSpec extends SparkSuite {
     test(s"random pipelines $from..$to match their independent SQL replay") {
       strDoms // force base views
       (from to to).foreach(runPipeline)
+    }
+  }
+
+  // One-off deep hunts: GRAFT_FUZZ_EXTRA=600 sbt "testOnly graft.FuzzSpec"
+  // runs that many additional seeds from 1000 up (not part of the fixed
+  // CI set, so CI time stays bounded while the generator stays explorable).
+  sys.env.get("GRAFT_FUZZ_EXTRA").map(_.toInt).filter(_ > 0).foreach { n =>
+    test(s"extended fuzz: seeds 1000..${1000 + n - 1}") {
+      strDoms
+      (1000 until 1000 + n).foreach(runPipeline)
     }
   }
 }
