@@ -495,7 +495,12 @@ object ScaleCorpusBench {
       "doc_chunking" -> (dir =>
         Corpus.chunkDocuments(docs(dir), "doc_id", "text", 16, 8)),
       "temperature_mixture" -> (dir =>
-        Corpus.temperatureMixture(docs(dir), "source", "doc_id", 0.5, "mix9")))
+        Corpus.temperatureMixture(docs(dir), "source", "doc_id", 0.5, "mix9")),
+      // model grows with the reference corpus (self-trained here), so
+      // this measures BOTH train and score stages scaling together —
+      // count shuffles + the bigram-keyed score join
+      "lm_perplexity" -> (dir =>
+        Corpus.perplexity(docs(dir), docs(dir), "doc_id", "text")))
     docs(baseDir).queryExecution.toRdd.foreach(_ => ())
     docs(bigDir).queryExecution.toRdd.foreach(_ => ())
     val rows = shapes.map { case (name, f) =>

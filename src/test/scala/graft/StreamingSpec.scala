@@ -344,6 +344,36 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static LM scoring: a doc stream scored against a batch-trained model equals batch") {
+    // the production serving shape: the perplexity model is trained once
+    // in batch, documents score at ingestion time via a stream-static
+    // join. Same Corpus.perplexity code path — its score side is a plain
+    // join + agg, so feeding it a streaming `docs` frame must work with
+    // Complete output and reproduce the batch scores exactly.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stage = Paths.get("/tmp/graft_stream/ppl_docs")
+    Files.createDirectories(stage)
+    val src = new java.io.File(s"$sfDir/documents.parquet")
+    Files.copy(src.toPath, stage.resolve("part-0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val batchDocs = spark.read.parquet(stage.toString)
+    val schema = batchDocs.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+    val scored = graft.ops.Corpus.perplexity(
+      stream, batchDocs, "doc_id", "text")
+    val q = EventStream.runToMemory(scored, "ppl_stream",
+      OutputMode.Complete())
+    try {
+      val streamed = spark.table("ppl_stream")
+        .select(col("doc_id"), col("n_bigrams"), round(col("ppl"), 6).as("ppl"))
+      val batch = graft.ops.Corpus.perplexity(batchDocs, batchDocs, "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"), round(col("ppl"), 6).as("ppl"))
+      assert(streamed.count() > 0)
+      assertParity(streamed, batch)
+    } finally q.stop()
+  }
+
   test("map-only corpus ops run unchanged under streaming: chunking parity") {
     // chunkDocuments is stateless/map-only, so the SAME code path must
     // work as a streaming transform with Append output and produce
