@@ -56,7 +56,27 @@ object Joins {
       tieBreak: Column,
       direction: String = "backward",
       allowExactMatches: Boolean = true,
+      tolerance: Option[Long] = None): DataFrame =
+    asofByKeys(left, right, leftOn, rightOn, Seq(leftBy), Seq(rightBy),
+      payload, tieBreak, direction, allowExactMatches, tolerance)
+
+  /** pandas `merge_asof(by=[k1, k2, ...])` — the multi-key `by` form of
+    * [[asof]] (same plan: ONE hash shuffle, now on the composite key).
+    * `leftBy`/`rightBy` pair positionally, like pandas. */
+  def asofByKeys(
+      left: DataFrame,
+      right: DataFrame,
+      leftOn: String,
+      rightOn: String,
+      leftBy: Seq[String],
+      rightBy: Seq[String],
+      payload: Seq[String],
+      tieBreak: Column,
+      direction: String = "backward",
+      allowExactMatches: Boolean = true,
       tolerance: Option[Long] = None): DataFrame = {
+    require(leftBy.nonEmpty && leftBy.size == rightBy.size,
+      s"asof: by-key lists must pair up: $leftBy vs $rightBy")
 
     require(Set("backward", "forward", "nearest")(direction),
       s"asof direction must be backward|forward|nearest: $direction")
@@ -98,11 +118,11 @@ object Joins {
     // key would sort FIRST and grab the earliest right row under
     // direction=forward).
     val r = right.filter(col(rightOn).isNotNull).select(
-      col(rightBy).as(leftBy),
-      onKey(col(rightOn)).as(T),
-      lit(0).as(Tag),
-      pStruct.as(Payload),
-      tieBreak.cast("long").as(Tie))
+      (rightBy.zip(leftBy).map { case (rb, lb) => col(rb).as(lb) } :+
+      onKey(col(rightOn)).as(T)) :+
+      lit(0).as(Tag) :+
+      pStruct.as(Payload) :+
+      tieBreak.cast("long").as(Tie): _*)
 
     val leftCols = left.columns.toIndexedSeq
     val l = left.select(
@@ -114,11 +134,11 @@ object Joins {
 
     // Null-pad the right side with the left's columns so the union lines up.
     val rPadded = r.select(
-      (leftCols.filterNot(_ == leftBy).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(col(leftBy), col(T), col(Tag), col(Payload), col(Tie))): _*)
+      (leftCols.filterNot(leftBy.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        leftBy.map(col) ++ Seq(col(T), col(Tag), col(Payload), col(Tie))): _*)
     val lAligned = l.select(
-      (leftCols.filterNot(_ == leftBy).map(col) ++
-        Seq(col(leftBy), col(T), col(Tag), col(Payload), col(Tie))): _*)
+      (leftCols.filterNot(leftBy.contains).map(col) ++
+        leftBy.map(col) ++ Seq(col(T), col(Tag), col(Payload), col(Tie))): _*)
 
     val unioned = lAligned.unionByName(rPadded)
     val isRight = col(Tag) === 0
@@ -131,13 +151,13 @@ object Joins {
       else when(isRight, 1).otherwise(0)
 
     def backCol: Column = {
-      val w = Window.partitionBy(col(leftBy))
+      val w = Window.partitionBy(leftBy.map(col): _*)
         .orderBy(col(T).asc, sideTag(allowExactMatches, rightFirst = true).asc, col(Tie).asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       last(col(Payload), ignoreNulls = true).over(w)
     }
     def fwdCol: Column = {
-      val w = Window.partitionBy(col(leftBy))
+      val w = Window.partitionBy(leftBy.map(col): _*)
         .orderBy(col(T).asc, sideTag(allowExactMatches, rightFirst = false).asc, col(Tie).asc)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       first(col(Payload), ignoreNulls = true).over(w)

@@ -450,5 +450,37 @@ object JoinQueries {
                    FROM part GROUP BY 1, 2)
         SELECT i, j, CAST(sum(av * bv) AS BIGINT) AS value
         FROM a JOIN b USING (k)
-        GROUP BY i, j ORDER BY i, j""")))
+        GROUP BY i, j ORDER BY i, j""")),
+
+    // merge_asof(by=[user_id, event_type]) — the multi-key by form:
+    // each event picks up the latest same-user SAME-TYPE non-null value
+    // at or before it (self-enrichment, right side = the value-carrying
+    // rows). One composite-key shuffle; the oracle is the running
+    // last_value window with the identical visibility ordering (right
+    // rows sort before left at equal ts = allow_exact_matches, ties
+    // among right rows to the greatest event_id).
+    Q("q237_asof_multikey",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val right = ev.filter(col("value").isNotNull)
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("value").as("pval"), col("event_id"))
+        Frame(graft.ops.Joins.asofByKeys(
+          ev.select(col("event_id"), col("user_id"), col("event_type"), col("ts")),
+          right, "ts", "ts", Seq("user_id", "event_type"), Seq("user_id", "event_type"),
+          Seq("pval"), tieBreak = col("event_id"))
+          .select(col("event_id"), round(col("pval"), 4).as("pval")))
+          .sortValues(Seq(SortKey.asc("event_id"))).df
+      },
+      Some("""
+        SELECT event_id, round(v, 4) AS pval FROM (
+          SELECT event_id,
+                 last_value(CASE WHEN value IS NOT NULL THEN value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts,
+                                  CASE WHEN value IS NOT NULL THEN 0 ELSE 1 END,
+                                  event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+          FROM events)
+        ORDER BY event_id""")))
 }

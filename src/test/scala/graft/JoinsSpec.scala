@@ -22,6 +22,26 @@ class JoinsSpec extends SparkSuite {
     assert(out.toSeq == Seq((1L, 5L, Some("a")), (1L, 12L, Some("b")), (2L, 3L, None)))
   }
 
+  test("asofByKeys multi-key by equals single-key asof on the concatenated key") {
+    import spark.implicits._
+    val left = Seq(("u1", "x", 5L), ("u1", "y", 5L), ("u2", "x", 9L), ("u1", "x", 20L))
+      .toDF("u", "e", "t")
+    val right = Seq(("u1", "x", 4L, "a"), ("u1", "y", 4L, "b"), ("u2", "x", 8L, "c"),
+      ("u1", "x", 15L, "d")).toDF("u", "e", "t", "tag")
+    val multi = Joins.asofByKeys(left, right, "t", "t",
+      Seq("u", "e"), Seq("u", "e"), Seq("tag"), tieBreak = col("t"))
+    val single = Joins.asof(
+      left.withColumn("ue", concat_ws("|", col("u"), col("e"))),
+      right.withColumn("ue", concat_ws("|", col("u"), col("e"))),
+      "t", "t", "ue", "ue", Seq("tag"), tieBreak = col("t"))
+      .drop("ue")
+    assertParity(multi, single)
+    val got = multi.orderBy("u", "e", "t").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getAs[String]("tag")))
+    assert(got.toSeq == Seq(("u1", "x", 5L, "a"), ("u1", "x", 20L, "d"),
+      ("u1", "y", 5L, "b"), ("u2", "x", 9L, "c")))
+  }
+
   test("asof with timestamp keys takes the latest at-or-before per group") {
     import java.sql.Timestamp
     import spark.implicits._
