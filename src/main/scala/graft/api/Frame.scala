@@ -371,6 +371,15 @@ final case class Frame(
       !coalesce(Frame.hashBucket(col(keyCol), salt) < Frame.hexThreshold(frac), lit(false))))
   }
 
+  /** sklearn-style `train_test_split(test_size=)` (reference
+    * modin/experimental/sklearn/model_selection/train_test_split.py:18):
+    * the (train, test) pair of deterministic content-hash splits —
+    * disjoint, exhaustive, reproducible across engines and cluster
+    * sizes. Null-key rows land in train (see
+    * [[sampleByHashComplement]]), never silently vanish. */
+  def trainTestSplit(keyCol: String, testSize: Double, salt: String = ""): (Frame, Frame) =
+    (sampleByHashComplement(keyCol, testSize, salt), sampleByHash(keyCol, testSize, salt))
+
   /** pandas `sample(n=...)`: EXACTLY n rows, deterministic for a given
     * salt, engine-portable (the same md5 order any engine reproduces).
     * Ordering by the content hash and taking n plans as TakeOrdered —

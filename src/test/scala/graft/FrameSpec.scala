@@ -281,6 +281,22 @@ class FrameSpec extends SparkSuite {
     assert(got == Seq((1L, 0L), (2L, 1L), (3L, 0L), (4L, -1L), (5L, 2L)))
   }
 
+  test("trainTestSplit partitions exactly; null keys land in train") {
+    import spark.implicits._
+    val f = Frame((1L to 100L).map(i => (if (i == 7) None else Some(i), s"r$i"))
+      .toDF("k", "v"))
+    val (train, test) = f.trainTestSplit("k", testSize = 0.3, salt = "s")
+    val (nTr, nTe) = (train.df.count(), test.df.count())
+    assert(nTr + nTe == 100, s"split not exhaustive: $nTr + $nTe")
+    assert(train.df.join(test.df, Seq("v"), "inner").count() == 0, "splits overlap")
+    assert(nTe > 10 && nTe < 50, s"test split far off 30%: $nTe")
+    assert(train.df.filter(col("k").isNull).count() == 1, "null key must go to train")
+    // determinism: same salt, same split
+    val (_, test2) = f.trainTestSplit("k", 0.3, "s")
+    assert(test2.df.collect().map(_.getString(1)).sorted.toSeq ==
+      test.df.collect().map(_.getString(1)).sorted.toSeq)
+  }
+
   test("asofLabels picks the most recent at-or-before row per query label") {
     import spark.implicits._
     val f = Frame(Seq((10L, 1.0), (20L, 2.0), (30L, 3.0)).toDF("k", "v"),
