@@ -620,5 +620,77 @@ object StringDateQueries {
                    '(.{1,40})( |$)', '\1' || chr(10), 'g'), chr(10) || '$', '') AS wrapped,
                octet_length(encode(text)) AS n_bytes,
                decode(encode(text)) = text AS rt_ok
-        FROM documents ORDER BY doc_id""")))
+        FROM documents ORDER BY doc_id""")),
+
+    // str accessor tail (capitalize / fullmatch / isdecimal / istitle /
+    // ljust / rjust / lstrip / rstrip / rfind / rsplit) — the last
+    // uncovered reference series_utils.py methods. rfind is the
+    // 0-based last-occurrence index via the reversed-locate identity
+    // (-1 when absent, the python contract); rsplit(maxsplit=1) is the
+    // right-split pair. ASCII fixture strings, so the is* classes match
+    // python's on this domain (documented at the call).
+    Q("q238_str_accessor_tail",
+      (s, dir) => {
+        val c = col("p_name")
+        val n = length(c)
+        val sub = lit("al")
+        val rp = locate("la", reverse(c)) // reverse("al")
+        Frame(t(s, dir, "part").select(
+          col("p_partkey"),
+          concat(upper(substring(c, 1, 1)), lower(substring(c, 2, 200))).as("cap"),
+          col("p_brand").rlike("^Brand#[0-9]+$").as("fm"),
+          regexp_extract(col("p_brand"), "[0-9]+", 0).rlike("^[0-9]+$").as("isdec"),
+          initcap(c).rlike("^(?:[^A-Za-z]*[A-Z][a-z]*)*[^A-Za-z]*$").as("istitle_t"),
+          c.rlike("^(?:[^A-Za-z]*[A-Z][a-z]*)*[^A-Za-z]*$").as("istitle_f"),
+          rpad(col("p_brand"), 12, "_").as("lj"),
+          lpad(col("p_brand"), 12, "_").as("rj"),
+          ltrim(concat(lit("  "), c, lit("  "))).as("ls"),
+          rtrim(concat(lit("  "), c, lit("  "))).as("rs"),
+          when(rp > 0, n - rp - length(sub) + 1).otherwise(-1).cast("long").as("rf"),
+          substring_index(c, " ", -1).as("rsp_last"),
+          when(c.contains(" "),
+            expr("substring(p_name, 1, length(p_name) - " +
+              "length(substring_index(p_name, ' ', -1)) - 1)")).as("rsp_head")))
+          .sortValues(Seq(SortKey.asc("p_partkey"))).df
+      },
+      Some("""
+        SELECT p_partkey,
+               upper(substr(p_name, 1, 1)) || lower(substr(p_name, 2)) AS cap,
+               regexp_full_match(p_brand, 'Brand#[0-9]+') AS fm,
+               regexp_full_match(regexp_extract(p_brand, '[0-9]+'), '[0-9]+') AS isdec,
+               regexp_full_match(
+                 list_aggregate(list_transform(string_split(p_name, ' '),
+                   w -> upper(substr(w,1,1)) || lower(substr(w,2))), 'string_agg', ' '),
+                 '(?:[^A-Za-z]*[A-Z][a-z]*)*[^A-Za-z]*') AS istitle_t,
+               regexp_full_match(p_name, '(?:[^A-Za-z]*[A-Z][a-z]*)*[^A-Za-z]*') AS istitle_f,
+               rpad(p_brand, 12, '_') AS lj,
+               lpad(p_brand, 12, '_') AS rj,
+               ltrim('  ' || p_name || '  ') AS ls,
+               rtrim('  ' || p_name || '  ') AS rs,
+               CASE WHEN strpos(reverse(p_name), reverse('al')) > 0
+                    THEN length(p_name) - strpos(reverse(p_name), reverse('al'))
+                         - length('al') + 1
+                    ELSE -1 END AS rf,
+               CASE WHEN strpos(p_name, ' ') > 0
+                    THEN array_extract(string_split(p_name, ' '), -1)
+                    ELSE p_name END AS rsp_last,
+               CASE WHEN strpos(p_name, ' ') > 0
+                    THEN substr(p_name, 1, length(p_name)
+                         - length(array_extract(string_split(p_name, ' '), -1)) - 1)
+                    END AS rsp_head
+        FROM part ORDER BY p_partkey""")),
+
+    // dt accessor tail: weekday (Monday=0, python/pandas convention —
+    // Spark's dayofweek is Sunday=1) and days_in_month via last_day.
+    Q("q239_dt_accessor_tail",
+      (s, dir) => Frame(t(s, dir, "events").select(
+        col("event_id"),
+        pmod(dayofweek(col("ts")) + 5, lit(7)).cast("long").as("weekday"),
+        dayofmonth(last_day(col("ts"))).cast("long").as("days_in_month")))
+        .sortValues(Seq(SortKey.asc("event_id"))).df,
+      Some("""
+        SELECT event_id,
+               CAST(isodow(ts) - 1 AS BIGINT) AS weekday,
+               CAST(date_part('day', last_day(ts)) AS BIGINT) AS days_in_month
+        FROM events ORDER BY event_id""")))
 }
