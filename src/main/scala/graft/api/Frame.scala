@@ -416,6 +416,40 @@ final case class Frame(
     copy(df = df.filter(
       !coalesce(Frame.stratifiedKeep(keyCol, stratCol, fracs, defaultFrac, salt), lit(false))))
 
+  /** pandas `sample(n=, weights=)` as a DETERMINISTIC weighted reservoir
+    * (Efraimidis–Spirakis A-ES): each row draws u uniform in (0,1) from
+    * its content hash and scores ln(u)/w — the top n scores are exactly
+    * an n-sample without replacement with inclusion probability
+    * proportional to weight. The hash-derived u makes the draw
+    * reproducible across engines, runs, and cluster sizes (the same
+    * md5 arithmetic runs verbatim in the DuckDB oracle), and the plan is
+    * TakeOrdered: per-partition top-n then a driver merge of
+    * n·partitions candidates — no global sort, no RNG state.
+    *
+    * pandas semantics carried over: rows with NULL or non-positive
+    * weight are never selected (pandas excludes zero-weight rows and
+    * raises on negatives; the distributed analog filters both — a raise
+    * would make a 100 TB sample abort on one bad row).
+    *
+    * The score is scaled by 10^6 and ROUNDED to 6 decimals before
+    * ranking (ties then break on the key column): `ln` is the one
+    * non-algebraic step, and libm implementations may differ by an ulp —
+    * unrounded, a 1-ulp drift at the top-n cutoff could select a
+    * different row on a different engine. At the score's 10^0–10^5
+    * magnitude the 10^-6 quantum is ~10 orders above ulp noise and ~10
+    * below the score spread: cross-engine stable, statistically
+    * indistinguishable from exact A-ES. */
+  def sampleWeighted(keyCol: String, weightCol: String, n: Int,
+      salt: String = ""): Frame = {
+    require(n >= 0, s"n must be >= 0: $n")
+    val esScore = round(
+      log(Frame.hashUnit(col(keyCol), salt)) * lit(1000000.0) / col(weightCol), 6)
+    copy(df = df
+      .filter(col(weightCol) > 0)
+      .orderBy(esScore.desc, col(keyCol).asc)
+      .limit(n))
+  }
+
   // ---------------------------------------------------------------------
   // §2.11 missing data
   // ---------------------------------------------------------------------
@@ -1016,6 +1050,15 @@ object Frame {
     * behind [[Frame.sampleByHash]] (DuckDB computes the identical string). */
   private[graft] def hashBucket(key: Column, salt: String): Column =
     md5(concat(lit(salt), key.cast("string")))
+
+  /** Uniform double in (0,1) from the content hash: the first 13 hex
+    * digits of md5 are 52 bits — exact in a double — and the +0.5 keeps
+    * the value strictly positive so ln(u) is always finite. DuckDB
+    * reproduces it verbatim as
+    * `(CAST('0x' || substr(md5(s),1,13) AS BIGINT) + 0.5) / 4503599627370496.0`. */
+  private[graft] def hashUnit(key: Column, salt: String): Column =
+    (conv(substring(hashBucket(key, salt), 1, 13), 16, 10).cast("double") + lit(0.5)) /
+      lit(4503599627370496.0)
 
   /** Keep-condition behind the stratified sampler pair: hash under the
     * stratum's threshold (NULL for a NULL key — the sample side's filter

@@ -175,6 +175,56 @@ object Corpus {
   }
 
   /**
+   * [[decontaminate]] for benchmark sets too large to broadcast as a
+   * hash relation (a full eval-suite union can reach 10^8–10^9 distinct
+   * n-grams — tens of GB as a broadcast join table, but ~1.2 GB as a
+   * 1%-fpp Bloom filter). Two-phase:
+   *
+   *   1. PRUNE map-side through a broadcast Bloom filter built over the
+   *      benchmark gram set (`df.stat.bloomFilter` — a distributed
+   *      `BloomFilterAggregate`, driver holds only the finished bitmap).
+   *      The corpus stream drops every gram the filter rejects — by the
+   *      Bloom contract that is never a true hit, so pruning cannot
+   *      change the answer.
+   *   2. VERIFY the survivors (true hits + ~fpp false positives) with an
+   *      exact SHUFFLE equi-join against the gram set. Deliberately not
+   *      broadcast: this path exists precisely because the gram set
+   *      doesn't fit a hash relation, and the shuffle now carries only
+   *      the pruned sliver of the corpus.
+   *
+   * Result is bit-identical to [[decontaminate]] (same oracle applies).
+   * `mightContain` is a Scala UDF over the broadcast sketch — one cheap
+   * bitmap probe per gram; the heavy lifting (tokenize, n-gram, dedup)
+   * stays codegen'd around it.
+   */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 5, fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val benchGrams = benchmark
+      .select(explode(array_distinct(wordNgrams(col(textCol), n))).as("__g__"))
+      .distinct()
+      .cache() // read twice: bloom build + verify join
+    val nGrams = math.max(benchGrams.count(), 1L)
+    val bloom = benchGrams.stat.bloomFilter("__g__", nGrams, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => g != null && bloomBc.value.mightContain(g))
+    val corpusGrams = corpus
+      .select(col(idCol),
+        array_distinct(wordNgrams(col(textCol), n)).as("__gs__"))
+      .select(col(idCol), size(col("__gs__")).as("n_grams"),
+        explode(col("__gs__")).as("__g__"))
+      .filter(mightContain(col("__g__")))
+    corpusGrams
+      .hint("shuffle_hash") // id+gram sliver vs gram set — never broadcast
+      .join(benchGrams, Seq("__g__"))
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col(idCol), col("n_hits"), col("n_grams"),
+        round(col("n_hits").cast("double") / col("n_grams").cast("double"), 6)
+          .as("hit_frac"))
+  }
+
+  /**
    * Per-document top-k keywords by smoothed TF-IDF
    * (idf = ln((1+N)/(1+df)) + 1, the sklearn smooth_idf variant).
    * Terms are `\w+` word tokens, lowercased.

@@ -358,5 +358,72 @@ object CorpusQueries {
                CAST(sum(n_bigrams) AS BIGINT) AS bi_sum,
                round(avg(round(ppl, 4)), 4) AS mean_ppl
         FROM documents JOIN scored USING (doc_id)
-        GROUP BY lang ORDER BY lang""")))
+        GROUP BY lang ORDER BY lang""")),
+
+    // Bloom-filter decontamination (the q181 semantics on the scale path
+    // for benchmark sets too large to broadcast as a hash relation):
+    // distributed bloom build over the gram set → map-side prune of the
+    // corpus stream through the broadcast bitmap → exact SHUFFLE-join
+    // verify of the sliver of survivors. Bit-identical to q181 by the
+    // Bloom no-false-negative contract, so the oracle is q181's.
+    Q("q240_decontaminate_bloom",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Frame(Corpus.decontaminateBloom(
+            docs.filter(col("doc_id") % 97 =!= 0),
+            docs.filter(col("doc_id") % 97 === 0),
+            "doc_id", "text", n = 3, fpp = 0.01)
+          .select(col("doc_id"), col("n_hits"),
+            col("n_grams").cast("long").as("n_grams"), col("hit_frac")))
+          .sortValues(Seq(SortKey.asc("doc_id"))).df
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(l) AS tok, generate_subscripts(l,1) AS ord
+          FROM (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS l FROM documents)
+        ),
+        grams AS (
+          SELECT doc_id,
+                 array_to_string(list(tok) OVER (PARTITION BY doc_id ORDER BY ord
+                   ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING), ' ') AS g,
+                 count(*) OVER (PARTITION BY doc_id ORDER BY ord
+                   ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS wn
+          FROM toks
+        ),
+        dg AS (SELECT DISTINCT doc_id, g FROM grams WHERE wn = 3),
+        bench AS (SELECT DISTINCT g FROM dg WHERE doc_id % 97 = 0),
+        corp AS (SELECT doc_id, g FROM dg WHERE doc_id % 97 <> 0),
+        tot AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY 1)
+        SELECT c.doc_id, count(*) AS n_hits, any_value(t.n_grams) AS n_grams,
+               round(count(*) / CAST(any_value(t.n_grams) AS DOUBLE), 6) AS hit_frac
+        FROM corp c JOIN bench b USING (g) JOIN tot t ON c.doc_id = t.doc_id
+        GROUP BY c.doc_id ORDER BY c.doc_id""")),
+
+    // The quantity every BPE training round argmaxes: adjacent symbol
+    // pair counts weighted by word frequency, over the round-0 (single
+    // character) symbolization of the distinct-word table. Top 25 with
+    // the training loop's exact tiebreak (count desc, pair asc) — the
+    // full iterative train is pinned in BpeSpec (a loop is not one SQL).
+    Q("q241_bpe_pair_counts",
+      (s, dir) => graft.ops.Bpe.pairCounts(
+          graft.ops.Bpe.wordFreqTable(t(s, dir, "documents"), "text"))
+        .orderBy(col("pair_count").desc, col("left").asc, col("right").asc)
+        .limit(25)
+        .orderBy(col("left").asc, col("right").asc),
+      Some("""
+        WITH words AS (
+          SELECT w, count(*) AS freq FROM (
+            SELECT unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS w
+            FROM documents) GROUP BY w),
+        chars AS (
+          SELECT w, freq, regexp_extract_all(w, '.') AS cs FROM words),
+        pairs AS (
+          SELECT cs[i.i] AS "left", cs[i.i + 1] AS "right", freq
+          FROM chars, LATERAL (SELECT unnest(range(1, len(cs))) AS i) i
+          WHERE len(cs) >= 2)
+        SELECT "left", "right", pair_count FROM (
+          SELECT "left", "right", CAST(sum(freq) AS BIGINT) AS pair_count
+          FROM pairs GROUP BY 1, 2
+          ORDER BY pair_count DESC, "left", "right" LIMIT 25)
+        ORDER BY "left", "right" """)))
 }

@@ -261,5 +261,25 @@ object SelectQueries {
                CAST(sum(CASE WHEN NOT (l_discount > 0.05) THEN 1 ELSE 0 END) AS BIGINT) AS n_not,
                CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_isna,
                CAST(sum(CASE WHEN l_quantity IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_notna
-        FROM lineitem""")))
+        FROM lineitem""")),
+
+    // pandas sample(n=, weights=) as the deterministic Efraimidis–
+    // Spirakis reservoir (Frame.sampleWeighted): score = rounded
+    // ln(hash-uniform)·10^6 / weight, top n by score — a TakeOrdered
+    // plan, no global sort, no RNG. The oracle replays the identical
+    // md5 → 52-bit uniform → scaled-ln arithmetic, so the SAME 100
+    // orders are selected on both engines.
+    Q("q242_weighted_sample",
+      (s, dir) => f(s, dir, "orders")
+        .sampleWeighted("o_orderkey", "o_totalprice", 100, salt = "ws1")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .sortValues(Seq(SortKey.asc("o_orderkey"))).df,
+      Some("""
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+          SELECT o_orderkey, o_orderstatus, o_totalprice,
+                 round(ln((CAST('0x' || substr(md5('ws1' || CAST(o_orderkey AS VARCHAR)), 1, 13) AS BIGINT) + 0.5)
+                       / 4503599627370496.0) * 1000000.0 / o_totalprice, 6) AS es
+          FROM orders WHERE o_totalprice > 0
+          ORDER BY es DESC, o_orderkey LIMIT 100)
+        ORDER BY o_orderkey""")))
 }

@@ -85,6 +85,23 @@ class CorpusSpec extends SparkSuite {
     assert(r.getLong(0) == 1L && r.getAs[Long]("n_hits") == 1L)
   }
 
+  test("decontaminateBloom is bit-identical to the exact path (bloom prune cannot drop a true hit)") {
+    val bench = docs(100L -> "alpha beta gamma delta", 101L -> "omega psi chi phi")
+    val corpus = docs(
+      1L -> "alpha beta gamma epsilon alpha beta gamma",
+      2L -> "nothing shared here at all",
+      3L -> "x omega psi chi phi y beta gamma delta")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(_.toSeq).toSeq
+    val exact = canon(Corpus.decontaminate(corpus, bench, "id", "text", n = 3))
+    // a high fpp stresses the verify join with false positives; a low one
+    // stresses the prune — the answer must be the exact path's either way
+    for (fpp <- Seq(0.5, 0.01, 1e-6)) {
+      val bloom = canon(Corpus.decontaminateBloom(corpus, bench, "id", "text", n = 3, fpp = fpp))
+      assert(bloom == exact, s"fpp=$fpp")
+    }
+  }
+
   test("packChunks assigns each doc to the chunk where it starts") {
     // token counts: 4, 4, 4 with budget 6 → offsets 0,4,8 → chunks 0,0,1
     val d = docs(1L -> "a b c d", 2L -> "e f g h", 3L -> "i j k l")

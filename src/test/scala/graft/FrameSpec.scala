@@ -121,6 +121,26 @@ class FrameSpec extends SparkSuite {
     assert(all.df.count() == 4) // everything except the unhashable null key
   }
 
+  test("sampleWeighted: deterministic, exact n, weight-tilted, bad weights excluded") {
+    import spark.implicits._
+    val d = Frame((1L to 200L).map(i =>
+      (i, if (i <= 100) 50.0 else 0.5)).toDF("k", "w"))
+    val a = d.sampleWeighted("k", "w", 50, "s1").df.collect().map(_.getLong(0)).toSet
+    val b = d.sampleWeighted("k", "w", 50, "s1").df.collect().map(_.getLong(0)).toSet
+    assert(a == b && a.size == 50) // reproducible, exactly n
+    // 100:1 weight ratio → the heavy stratum dominates the sample
+    val heavy = a.count(_ <= 100)
+    assert(heavy > 40, s"heavy=$heavy of 50")
+    // a different salt draws a different (still deterministic) sample
+    val c = d.sampleWeighted("k", "w", 50, "s2").df.collect().map(_.getLong(0)).toSet
+    assert(c != a)
+    // null / zero / negative weights can never be selected
+    val bad = Frame(Seq[(Long, java.lang.Double)](
+      (1L, 10.0), (2L, null), (3L, 0.0), (4L, -5.0), (5L, 1.0)).toDF("k", "w"))
+    val picked = bad.sampleWeighted("k", "w", 5, "s").df.collect().map(_.getLong(0)).toSet
+    assert(picked == Set(1L, 5L))
+  }
+
   test("fluent rolling computes windowed means over the declared ordering") {
     import spark.implicits._
     val d = Frame(Seq((1L, 2.0), (2L, 4.0), (3L, 6.0), (4L, 8.0)).toDF("i", "v"))
