@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.api.{Frame, SortKey}
-import graft.ops.Corpus
+import graft.ops.{Corpus, Dsir}
 import QueryKit._
 
 /**
@@ -425,5 +425,111 @@ object CorpusQueries {
           SELECT "left", "right", CAST(sum(freq) AS BIGINT) AS pair_count
           FROM pairs GROUP BY 1, 2
           ORDER BY pair_count DESC, "left", "right" LIMIT 25)
-        ORDER BY "left", "right" """)))
+        ORDER BY "left", "right" """)),
+
+    // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    // bag-of-buckets distributions (add-1 smoothing, B=1024) fit on the
+    // full corpus vs the English slice; per-doc logw = Σ n_b·(log p_t −
+    // log p_r). Feature stream is map-only; the 1024-row log-ratio table
+    // broadcasts; weights are one (id,bucket) + one id exchange.
+    Q("q240_dsir_weights",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dsir.importanceWeights(docs, docs.filter(col("lang") === "en"),
+            "doc_id", "text", 1024)
+          .select(col("doc_id"), col("n_feats"), round(col("logw"), 6).as("logw"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, regexp_extract_all(trim(lower(text)), '\S+') AS t
+          FROM documents),
+        feat AS (
+          SELECT doc_id, unnest(t) AS f FROM tok
+          UNION ALL
+          SELECT doc_id, t[i.i] || ' ' || t[i.i + 1] AS f
+          FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+          WHERE len(t) >= 2),
+        fb AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(f), 1, 8)) AS UBIGINT) % 1024 AS bucket
+          FROM feat),
+        tcnt AS (SELECT bucket, count(*) AS c FROM fb
+                 JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+        rcnt AS (SELECT bucket, count(*) AS c FROM fb GROUP BY 1),
+        ttot AS (SELECT count(*)::DOUBLE AS n FROM fb
+                 JOIN documents USING (doc_id) WHERE lang = 'en'),
+        rtot AS (SELECT count(*)::DOUBLE AS n FROM fb),
+        ratio AS (
+          SELECT b.bucket,
+                 (ln(coalesce(t.c, 0) + 1.0) - ln(tt.n + 1024.0))
+               - (ln(coalesce(r.c, 0) + 1.0) - ln(rt.n + 1024.0)) AS lr
+          FROM (SELECT unnest(range(0, 1024)) AS bucket) b
+          LEFT JOIN tcnt t USING (bucket) LEFT JOIN rcnt r USING (bucket)
+          CROSS JOIN ttot tt CROSS JOIN rtot rt),
+        per AS (SELECT doc_id, bucket, count(*) AS n FROM fb GROUP BY 1, 2),
+        w AS (
+          SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
+                 sum(n * lr) AS logw
+          FROM per JOIN ratio USING (bucket) GROUP BY 1)
+        SELECT d.doc_id, coalesce(w.n_feats, 0) AS n_feats,
+               round(coalesce(w.logw, 0.0), 6) AS logw
+        FROM documents d LEFT JOIN w USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // DSIR Gumbel-top-k resampling: k=100 docs maximizing logw + g where
+    // g = −ln(−ln(u)), u from md5('dsir9' ‖ doc_id) — sampling without
+    // replacement ∝ w, deterministic in both engines. TakeOrdered top-k,
+    // no global sort.
+    Q("q241_dsir_resample",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dsir.resampleTopK(docs, docs.filter(col("lang") === "en"),
+            "doc_id", "text", 1024, 100, "dsir9")
+          .select(col("doc_id"), col("n_feats"),
+            round(col("logw"), 6).as("logw"), col("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, regexp_extract_all(trim(lower(text)), '\S+') AS t
+          FROM documents),
+        feat AS (
+          SELECT doc_id, unnest(t) AS f FROM tok
+          UNION ALL
+          SELECT doc_id, t[i.i] || ' ' || t[i.i + 1] AS f
+          FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+          WHERE len(t) >= 2),
+        fb AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(f), 1, 8)) AS UBIGINT) % 1024 AS bucket
+          FROM feat),
+        tcnt AS (SELECT bucket, count(*) AS c FROM fb
+                 JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+        rcnt AS (SELECT bucket, count(*) AS c FROM fb GROUP BY 1),
+        ttot AS (SELECT count(*)::DOUBLE AS n FROM fb
+                 JOIN documents USING (doc_id) WHERE lang = 'en'),
+        rtot AS (SELECT count(*)::DOUBLE AS n FROM fb),
+        ratio AS (
+          SELECT b.bucket,
+                 (ln(coalesce(t.c, 0) + 1.0) - ln(tt.n + 1024.0))
+               - (ln(coalesce(r.c, 0) + 1.0) - ln(rt.n + 1024.0)) AS lr
+          FROM (SELECT unnest(range(0, 1024)) AS bucket) b
+          LEFT JOIN tcnt t USING (bucket) LEFT JOIN rcnt r USING (bucket)
+          CROSS JOIN ttot tt CROSS JOIN rtot rt),
+        per AS (SELECT doc_id, bucket, count(*) AS n FROM fb GROUP BY 1, 2),
+        w AS (
+          SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
+                 sum(n * lr) AS logw
+          FROM per JOIN ratio USING (bucket) GROUP BY 1),
+        scored AS (
+          SELECT d.doc_id, coalesce(w.n_feats, 0) AS n_feats,
+                 coalesce(w.logw, 0.0) AS logw_raw,
+                 round(coalesce(w.logw, 0.0)
+                   + -ln(-ln((CAST(('0x' || substr(md5('dsir9' ||
+                       CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 1.0)
+                     / 4294967297.0)), 6) AS score
+          FROM documents d LEFT JOIN w USING (doc_id))
+        SELECT doc_id, n_feats, round(logw_raw, 6) AS logw, score
+        FROM scored ORDER BY score DESC, doc_id LIMIT 100""")))
 }

@@ -30,27 +30,56 @@ object QueryKit {
     * so the thresholds are unambiguous for any plausible fixture. Nanos
     * convert with integer division (they overflow double precision, so
     * never `/ 1000.0`). */
-  def normalizeTs(df: DataFrame): DataFrame =
-    df.schema.find(_.name == "ts").map(_.dataType) match {
-      case Some(LongType) =>
-        val sample = df.filter(col("ts").isNotNull).select(col("ts")).head(1)
-          .headOption.map(r => math.abs(r.getLong(0))).getOrElse(0L)
-        val micros =
-          if (sample >= 100000000000000000L) expr("ts DIV 1000") // nanos
-          else if (sample >= 100000000000000L) col("ts")         // micros
-          else if (sample >= 100000000000L) col("ts") * 1000L    // millis
-          else col("ts") * 1000000L                              // seconds
-        df.withColumn("ts", timestamp_micros(micros.cast("long")).cast("timestamp_ntz"))
-      case Some(TimestampType) =>
-        df.withColumn("ts", col("ts").cast("timestamp_ntz"))
-      case _ => df // TimestampNTZType already, or no ts column
-    }
+  def normalizeTs(df: DataFrame): DataFrame = normalizeTemporal(df)
 
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
-    } else s.read.parquet(s"$dir/$name.parquet")
+  /** Column names whose values are instants even when the fixture ships them
+    * as raw longs. Other long columns (keys, counts) are never touched. */
+  private val TemporalLongNames = Set("ts", "o_orderdate", "l_shipdate")
+
+  /** Normalize every temporal column — whatever physical layout the fixture
+    * drop chose — to a microsecond TIMESTAMP_NTZ, so the whole query surface
+    * sees one dtype across regenerations. Handled layouts, per column:
+    * TIMESTAMP(MICROS/MILLIS) (reads as TimestampType or TimestampNTZType),
+    * DATE32, and — for the known instant columns — raw INT64 in any epoch
+    * unit, disambiguated by magnitude from one sampled row (2020s instants
+    * are ~1.7e18 ns / 1.7e15 µs / 1.7e12 ms / 1.7e9 s — four orders apart,
+    * unambiguous for any plausible fixture). Nanos convert with integer
+    * division: they overflow double precision, so never `/ 1000.0`. */
+  def normalizeTemporal(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DateType
+    val longsToFix = df.schema.fields
+      .filter(f => f.dataType == LongType && TemporalLongNames(f.name)).map(_.name)
+    // one sampled row decides each column's unit — a head(1), not a scan
+    val sampled: Map[String, Long] =
+      if (longsToFix.isEmpty) Map.empty
+      else df.select(longsToFix.map(col): _*)
+        .filter(longsToFix.map(col(_).isNotNull).reduce(_ && _)).head(1)
+        .headOption.map(r => longsToFix.map(c => c ->
+          math.abs(r.getLong(r.fieldIndex(c)))).toMap).getOrElse(Map.empty)
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case LongType if sampled.contains(f.name) =>
+          val sample = sampled(f.name)
+          val micros =
+            if (sample >= 100000000000000000L) expr(s"`${f.name}` DIV 1000") // nanos
+            else if (sample >= 100000000000000L) col(f.name)                 // micros
+            else if (sample >= 100000000000L) col(f.name) * 1000L            // millis
+            else col(f.name) * 1000000L                                      // seconds
+          acc.withColumn(f.name, timestamp_micros(micros.cast("long")).cast("timestamp_ntz"))
+        case TimestampType => acc.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
+        case DateType => acc.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
+        case _ => acc
+      }
+    }
+  }
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // TIMESTAMP(NANOS) parquet is unreadable by Spark's vectorized reader
+    // without this knob (it then surfaces as raw long); harmless for
+    // micros/date layouts.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTemporal(s.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def f(s: SparkSession, dir: String, name: String): Frame = Frame(t(s, dir, name))
 
