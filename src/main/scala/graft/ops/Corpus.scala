@@ -89,6 +89,90 @@ object Corpus {
   }
 
   /**
+   * Exact duplicated-SPAN removal at arbitrary offsets — the
+   * ExactSubstr modality of Lee et al. 2022 ("Deduplicating Training
+   * Data Makes Language Models Better"), re-expressed for a shared-
+   * nothing engine. Their single-node suffix array finds byte-level
+   * duplicated substrings ≥ 50 chars; here the unit is the token-aligned
+   * sliding `spanTokens`-gram: a token is removed iff it is covered by
+   * some spanTokens-gram whose exact text occurs elsewhere in the corpus
+   * EARLIER in (id, offset) order — keep-first, remove later copies.
+   * Any duplicated run of ≥ spanTokens tokens is covered by its own
+   * sliding grams, so long plagiarized spans are scrubbed end-to-end
+   * while short accidental n-gram overlaps (< spanTokens) survive.
+   *
+   * Plan shape, engineered so gram TEXT never crosses an exchange:
+   *   1. map-side: tokenize, build sliding grams, fold each to a 60-bit
+   *      md5 key — occurrence rows are (id, start, hash60), 24 bytes;
+   *   2. ONE hash exchange on hash60: row_number per gram group in
+   *      (id, start) order; rank > 1 ⇒ that occurrence is a duplicate;
+   *   3. ONE exchange on id: tokens left-join duplicate starts at their
+   *      offset, then `max(start + L) over (order by pos)` — a running
+   *      max per document — marks covered positions; interval merging
+   *      collapses into the window, no per-span explode (a naive
+   *      covered-position explode would blow rows up L×);
+   *   4. reassembly is the segmentDedup collect_list + array_sort shape.
+   * A 60-bit collision can only REMOVE a non-duplicated span (never keep
+   * a duplicate); at 10^12 grams the expected collisions are ~0.4 — and
+   * the DuckDB oracle computes the identical fold, so the gate pins the
+   * exact semantics.
+   *
+   * Returns (id, n_tokens, n_removed, text_dedup); fully-covered
+   * documents come back with empty text_dedup, blank documents pass
+   * through untouched.
+   */
+  def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
+    require(spanTokens > 1, s"spanTokens must be > 1: $spanTokens")
+    val L = spanTokens
+    val toks = "__toks__"
+    val base = df.select(col(idCol), wsTokens(col(textCol)).as(toks))
+    val grams = base
+      .select(col(idCol),
+        explode(when(size(col(toks)) >= L,
+          transform(sequence(lit(0), size(col(toks)) - L),
+            i => struct(i.as("start"),
+              conv(substring(md5(array_join(slice(col(toks), i + 1, lit(L)), " ")),
+                1, 15), 16, 10).cast("long").as("h"))))
+          .otherwise(array().cast("array<struct<start:int,h:bigint>>"))).as("g"))
+      .select(col(idCol), col("g.start").as("__start__"), col("g.h").as("__h__"))
+    val byGram = Window.partitionBy(col("__h__"))
+      .orderBy(col(idCol).asc, col("__start__").asc)
+    val dupStarts = grams
+      .withColumn("__rn__", row_number().over(byGram))
+      .filter(col("__rn__") > 1)
+      .select(col(idCol), col("__start__"))
+    val tokens = base.select(col(idCol), posexplode(col(toks)))
+      .withColumnRenamed("pos", "__pos__").withColumnRenamed("col", "__tok__")
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("__pos__"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // (id, start) is unique per occurrence, so the left join marks each
+    // token position that begins a duplicated span with __dup__ = 1
+    val marked = tokens.join(
+      dupStarts.select(col(idCol), col("__start__").as("__pos__"),
+        lit(1).as("__dup__")),
+      Seq(idCol, "__pos__"), "left_outer")
+      .withColumn("__cover_end__",
+        max(when(col("__dup__") === 1, col("__pos__") + L)).over(byPos))
+      .withColumn("__covered__",
+        col("__cover_end__").isNotNull && col("__pos__") < col("__cover_end__"))
+    val rebuilt = marked.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("__covered__"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(!col("__covered__"),
+              struct(col("__pos__"), col("__tok__"))))),
+            s => s.getField("__tok__")),
+          " ").as("text_dedup"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
+  /**
    * Gopher-style per-document repetition signals: duplicate-word
    * fraction, top-word fraction, duplicate-bigram fraction, top-bigram
    * fraction (Rae et al. 2021, "Scaling Language Models" §A1.1 quality

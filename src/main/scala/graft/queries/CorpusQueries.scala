@@ -531,5 +531,56 @@ object CorpusQueries {
                      / 4294967297.0)), 6) AS score
           FROM documents d LEFT JOIN w USING (doc_id))
         SELECT doc_id, n_feats, round(logw_raw, 6) AS logw, score
-        FROM scored ORDER BY score DESC, doc_id LIMIT 100""")))
+        FROM scored ORDER BY score DESC, doc_id LIMIT 100""")),
+
+    // Exact duplicated-span removal (Lee et al. 2022 ExactSubstr,
+    // token-aligned): sliding 8-gram 60-bit fingerprints, keep-first /
+    // remove-later at arbitrary offsets, covered intervals merged by a
+    // per-doc running-max window. Gram text never crosses an exchange —
+    // occurrence rows are (id, start, hash60). The md5 digest pins the
+    // full reassembled text of every doc.
+    Q("q242_exact_substr_dedup",
+      (s, dir) => Frame(Corpus.exactSubstrDedup(
+          t(s, dir, "documents"), "doc_id", "text", spanTokens = 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("text_dedup")).as("digest")))
+        .sortValues(Seq(SortKey.asc("doc_id"))).df,
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, i.i - 1 AS start,
+                 CAST(('0x' || substr(md5(
+                   array_to_string(t[i.i : i.i + 7], ' ')), 1, 15)) AS UBIGINT) AS h
+          FROM tok, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) i
+          WHERE len(t) >= 8),
+        dup AS (
+          SELECT doc_id, start FROM (
+            SELECT doc_id, start,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+            FROM grams) WHERE rn > 1),
+        toks AS (
+          SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS pos
+          FROM tok),
+        m AS (
+          SELECT k.doc_id, k.pos, k.tok,
+                 max(CASE WHEN d.start IS NOT NULL THEN d.start + 8 END)
+                   OVER (PARTITION BY k.doc_id ORDER BY k.pos
+                         ROWS UNBOUNDED PRECEDING) AS cover_end
+          FROM toks k
+          LEFT JOIN dup d ON k.doc_id = d.doc_id AND k.pos = d.start),
+        reb AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 CAST(sum(CASE WHEN cover_end IS NOT NULL AND pos < cover_end
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                 string_agg(CASE WHEN cover_end IS NULL OR pos >= cover_end
+                                 THEN tok END, ' ' ORDER BY pos) AS text_dedup
+          FROM m GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(reb.n_tokens, 0) AS n_tokens,
+               coalesce(reb.n_removed, 0) AS n_removed,
+               md5(coalesce(reb.text_dedup, '')) AS digest
+        FROM documents d LEFT JOIN reb USING (doc_id)
+        ORDER BY doc_id""")))
 }

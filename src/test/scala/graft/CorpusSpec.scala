@@ -190,4 +190,45 @@ class CorpusSpec extends SparkSuite {
     assert(math.abs(pplOut - 9.0) < 1e-9, s"uniform ppl: $pplOut")
     assert(pplIn < pplOut / 2, s"in-domain $pplIn vs unseen $pplOut")
   }
+
+  test("exactSubstrDedup removes later copies of duplicated spans, keeps first") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "intro words then the quick brown fox jumps over the lazy dog outro",
+      3L -> "completely different text with no overlap at all here")
+    val out = Corpus.exactSubstrDedup(d, "id", "text", spanTokens = 4)
+      .orderBy("id").collect()
+    // doc 1 is the first occurrence -> untouched
+    assert(out(0).getAs[String]("text_dedup") == "the quick brown fox jumps over the lazy dog")
+    assert(out(0).getAs[Long]("n_removed") == 0L)
+    // doc 2: the 9-token copied span is covered by its sliding 4-grams
+    assert(out(1).getAs[String]("text_dedup") == "intro words then outro")
+    assert(out(1).getAs[Long]("n_removed") == 9L)
+    // doc 3 untouched
+    assert(out(2).getAs[Long]("n_removed") == 0L)
+  }
+
+  test("exactSubstrDedup: full coverage empties the doc; short/blank docs pass") {
+    val d = docs(
+      1L -> "a b c d e",
+      2L -> "a b c d e",      // identical -> fully covered
+      3L -> "a b c",          // < spanTokens -> no grams, untouched
+      4L -> "")
+    val out = Corpus.exactSubstrDedup(d, "id", "text", spanTokens = 5)
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("text_dedup") == "a b c d e")
+    assert(out(1).getAs[String]("text_dedup") == "" && out(1).getAs[Long]("n_removed") == 5L)
+    assert(out(2).getAs[String]("text_dedup") == "a b c")
+    assert(out(3).getAs[Long]("n_tokens") == 0L)
+  }
+
+  test("exactSubstrDedup scrubs internal repetition beyond the first span") {
+    // one doc repeating the same 4 tokens 3 times: grams at starts 0..8;
+    // the start-0 gram is kept, every later identical gram occurrence is
+    // covered -> only the first 4 tokens survive
+    val d = docs(1L -> "w x y z w x y z w x y z")
+    val out = Corpus.exactSubstrDedup(d, "id", "text", spanTokens = 4).collect()
+    assert(out(0).getAs[String]("text_dedup") == "w x y z")
+    assert(out(0).getAs[Long]("n_removed") == 8L)
+  }
 }
