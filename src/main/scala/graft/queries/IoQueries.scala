@@ -116,7 +116,13 @@ object IoQueries {
         // is one task → one right-sized file per partition value
         src.repartition(col("p_brand"))
           .write.mode(SaveMode.Overwrite).partitionBy("p_brand").parquet(path)
-        val back = s.read.parquet(path).filter(col("p_brand") === "Brand#11")
+        // explicit schema on the read-back: skips the footer-sampling
+        // schema-inference pass over every written file (data columns from
+        // the source, partition column appended) — at a thousand-partition
+        // sink that inference pass is a full listing + footer read
+        val backSchema = src.drop("p_brand").schema.add("p_brand", "string")
+        val back = s.read.schema(backSchema).parquet(path)
+          .filter(col("p_brand") === "Brand#11")
         Frame(back.groupBy(col("p_type"))
           .agg(count(lit(1)).as("n"), round(sum(col("p_retailprice")), 2).as("total")))
           .sortValues(Seq(SortKey.asc("p_type"))).df
