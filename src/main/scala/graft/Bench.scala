@@ -504,7 +504,16 @@ object ScaleCorpusBench {
       // this measures BOTH train and score stages scaling together —
       // count shuffles + the bigram-keyed score join
       "lm_perplexity" -> (dir =>
-        Corpus.perplexity(docs(dir), docs(dir), "doc_id", "text")))
+        Corpus.perplexity(docs(dir), docs(dir), "doc_id", "text")),
+      // worst-case duplication pressure: the amplified corpus repeats
+      // every document ~factor times (replicas differ only in a suffix),
+      // so nearly every sliding gram is a duplicate occurrence — this is
+      // the op's adversarial regime, not its average one
+      "exact_substr_dedup" -> (dir =>
+        Corpus.exactSubstrDedup(docs(dir), "doc_id", "text", 8)),
+      "dsir_weights" -> (dir => graft.ops.Dsir.importanceWeights(
+        docs(dir), docs(dir).filter(col("lang") === "en"),
+        "doc_id", "text", 1024)))
     docs(baseDir).queryExecution.toRdd.foreach(_ => ())
     docs(bigDir).queryExecution.toRdd.foreach(_ => ())
     val rows = shapes.map { case (name, f) =>

@@ -53,6 +53,19 @@ object Resample {
       .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
   }
 
+  /** GroupBy.resample (reference groupby.resample, pandas/groupby.py:1408
+    * — per-group tumbling-window aggregate): group by the caller's keys
+    * PLUS the time bucket in one pass. Same single hash exchange as the
+    * global downsample — the keys just widen the grouping tuple, so per-key
+    * time series aggregate without a per-group loop or secondary shuffle. */
+  def downsampleBy(df: DataFrame, keys: Seq[String], tsCol: String,
+      unit: String, aggs: (String, Column)*): DataFrame = {
+    require(keys.nonEmpty, "downsampleBy: at least one grouping key")
+    require(aggs.nonEmpty, "downsampleBy: at least one (name, agg) pair required")
+    df.groupBy((keys.map(col) :+ bucket(col(tsCol), unit).as("bucket")): _*)
+      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
+  }
+
   /** Upsample / asfreq (reference resample_asfreq base QC:5879): build a
     * dense time spine with `sequence` + `explode` (computed inside the plan
     * from a 1-row min/max aggregate — no driver round-trip), left-join the

@@ -432,7 +432,7 @@ object CorpusQueries {
     // full corpus vs the English slice; per-doc logw = Σ n_b·(log p_t −
     // log p_r). Feature stream is map-only; the 1024-row log-ratio table
     // broadcasts; weights are one (id,bucket) + one id exchange.
-    Q("q240_dsir_weights",
+    Q("q244_dsir_weights",
       (s, dir) => {
         val docs = t(s, dir, "documents")
         Dsir.importanceWeights(docs, docs.filter(col("lang") === "en"),
@@ -481,7 +481,7 @@ object CorpusQueries {
     // g = −ln(−ln(u)), u from md5('dsir9' ‖ doc_id) — sampling without
     // replacement ∝ w, deterministic in both engines. TakeOrdered top-k,
     // no global sort.
-    Q("q241_dsir_resample",
+    Q("q245_dsir_resample",
       (s, dir) => {
         val docs = t(s, dir, "documents")
         Dsir.resampleTopK(docs, docs.filter(col("lang") === "en"),
@@ -539,7 +539,7 @@ object CorpusQueries {
     // per-doc running-max window. Gram text never crosses an exchange —
     // occurrence rows are (id, start, hash60). The md5 digest pins the
     // full reassembled text of every doc.
-    Q("q242_exact_substr_dedup",
+    Q("q246_exact_substr_dedup",
       (s, dir) => Frame(Corpus.exactSubstrDedup(
           t(s, dir, "documents"), "doc_id", "text", spanTokens = 8)
         .select(col("doc_id"), col("n_tokens"), col("n_removed"),

@@ -253,5 +253,21 @@ object ResampleExtraQueries {
                  AS week_end,
                count(*) AS n,
                round(sum(value), 4) AS sum_value
-        FROM events GROUP BY 1 ORDER BY 1""")))
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // groupby.resample (reference pandas/groupby.py:1408): per-event-type
+    // daily bins — keys + bucket in ONE grouping tuple, one hash exchange,
+    // no per-group loop.
+    Q("q247_groupby_resample",
+      (s, dir) => Frame(graft.ops.Resample.downsampleBy(
+          t(s, dir, "events"), Seq("event_type"), "ts", "day",
+          "n" -> count(lit(1)),
+          "sum_value" -> round(sum(col("value")), 4),
+          "max_value" -> round(max(col("value")), 4)))
+        .sortValues(Seq(SortKey.asc("event_type"), SortKey.asc("bucket"))).df,
+      Some("""
+        SELECT event_type, date_trunc('day', ts) AS bucket, count(*) AS n,
+               round(sum(value), 4) AS sum_value,
+               round(max(value), 4) AS max_value
+        FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""")))
 }
