@@ -31,6 +31,41 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
   /**
+   * LSH band planning (the MMDS S-curve rule, Leskovec/Rajaraman/Ullman
+   * ch. 3): for `numHashes` minhashes split into b bands of r rows, the
+   * candidate probability at Jaccard s is 1 − (1 − s^r)^b. Pick the
+   * (bands, rowsPerBand) factorization whose S-curve best separates the
+   * caller's `threshold`: minimize ∫₀ᵗ P(s) ds (false-candidate mass —
+   * wasted verify joins) + ∫ᵗ¹ (1 − P(s)) ds (missed-duplicate mass),
+   * with `fnWeight` scaling the miss term (dedup pipelines usually weight
+   * misses ≥ candidates: a false candidate costs one exact-Jaccard
+   * verify, a miss is a duplicate that ships to training).
+   *
+   * Driver-side arithmetic over the ≤ d(numHashes) factorizations — call
+   * it once when configuring [[minhashLshPairs]], not per row.
+   */
+  def planBands(numHashes: Int, threshold: Double,
+      fnWeight: Double = 2.0): (Int, Int) = {
+    require(numHashes > 0, s"numHashes must be positive: $numHashes")
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
+    val grid = 1000
+    def cost(b: Int, r: Int): Double = {
+      var fp = 0.0; var fn = 0.0
+      var i = 0
+      while (i < grid) {
+        val s = (i + 0.5) / grid
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        if (s < threshold) fp += p else fn += (1.0 - p)
+        i += 1
+      }
+      (fp + fnWeight * fn) / grid
+    }
+    (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+      .minBy { case (b, r) => cost(b, r) }
+  }
+
+  /**
    * MinHash-LSH near-duplicate candidate pairs.
    *
    * shingle → minhash signature (numHashes) → split into `bands` bands →

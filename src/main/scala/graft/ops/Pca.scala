@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed PCA / whitening over an embedding column — the rotation
+ * stage of retrieval stacks (OPQ preconditioning for product
+ * quantization, whitening before cosine ANN, variance-ordered dimension
+ * truncation). The reference has no analog; this is the linear-algebra
+ * counterpart of [[Kmeans]]/[[Pq]] in the same embedding toolbox.
+ *
+ * Scale shape: PCA over n×d embeddings needs only the d-vector of sums
+ * and the d²-matrix of second moments. Both come from ONE declarative
+ * aggregation each — per-row outer products explode to (pos, x·y) rows,
+ * but Spark's hash aggregate map-side-combines them to d² partials per
+ * task before the exchange, so the shuffle carries tasks×d² doubles
+ * regardless of n (d=64 → 32 KB/task). Only the d×d moment matrix
+ * reaches the driver; the eigensolve is a 64×64 Jacobi sweep — O(d³)
+ * driver math, independent of corpus size. Projection back over the
+ * corpus is a codegen'd per-row expression (zero exchanges).
+ */
+object Pca {
+
+  /** Fitted model: `mean` (d), `components` (k rows, each a d-vector,
+    * variance-descending), `eigenvalues` (k, population variances along
+    * each component), `n` rows fit. */
+  final case class Model(mean: Array[Double], components: Array[Array[Double]],
+      eigenvalues: Array[Double], n: Long) {
+    def d: Int = mean.length
+    def k: Int = components.length
+  }
+
+  /** (i, j, cov) long-form POPULATION covariance matrix of the vector
+    * column — the oracle-checkable distributed stage of [[fit]].
+    * One exchange of d² partial sums per task + one d-sized mean join. */
+  def covarianceLong(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val d = size(v)
+    // flat outer product: row-major (i*d + j) -> x_i * x_j
+    val outer = flatten(transform(v, x =>
+      transform(v, y => x.cast("double") * y.cast("double"))))
+    val sums = df.select(posexplode(outer))
+      .groupBy(col("pos")).agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+    val dims = df.select(posexplode(v))
+      .groupBy(col("pos").as("i")).agg(avg(col("col").cast("double")).as("mu"))
+    val dim = df.select(d.as("d")).limit(1)
+    sums.crossJoin(broadcast(dim))
+      .select((col("pos") / col("d")).cast("int").as("i"),
+        pmod(col("pos"), col("d")).cast("int").as("j"),
+        col("s"), col("n"))
+      .join(broadcast(dims), Seq("i"))
+      .join(broadcast(dims.select(col("i").as("j"), col("mu").as("mu_j"))), Seq("j"))
+      .select(col("i"), col("j"),
+        (col("s") / col("n") - col("mu") * col("mu_j")).as("cov"))
+  }
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix (in-place on a
+    * copy): returns (eigenvalues, eigenvectors-as-rows), descending.
+    * O(d³) per sweep, driver-side only — d is the embedding width. */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = Array.tabulate(d, d)((i, j) => a0(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    while (sweep < 50 && {
+      var off = 0.0
+      for (i <- 0 until d; j <- i + 1 until d) off += a(i)(j) * a(i)(j)
+      off > 1e-18
+    }) {
+      for (p <- 0 until d; q <- p + 1 until d; if math.abs(a(p)(q)) > 1e-30) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        // sign(0) must be +1 here: theta = 0 is the exact-45° rotation
+        // (equal diagonal entries), not a no-op
+        val t = (if (theta >= 0) 1.0 else -1.0) /
+          (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        var k = 0
+        while (k < d) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - s * akq
+          a(k)(q) = s * akp + c * akq
+          k += 1
+        }
+        k = 0
+        while (k < d) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - s * aqk
+          a(q)(k) = s * apk + c * aqk
+          val vpk = v(p)(k); val vqk = v(q)(k)
+          v(p)(k) = c * vpk - s * vqk
+          v(q)(k) = s * vpk + c * vqk
+          k += 1
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    (order.map(i => a(i)(i)).toArray, order.map(i => v(i).clone()).toArray)
+  }
+
+  /** Fit top-`k` principal components. Two aggregation jobs (means +
+    * second moments); the only driver state is the d×d moment matrix. */
+  def fit(df: DataFrame, vecCol: String, k: Int): Model = {
+    val moments = covarianceLong(df, vecCol).collect()
+    require(moments.nonEmpty, "fit: empty input")
+    val d = moments.map(_.getInt(0)).max + 1
+    require(k >= 1 && k <= d, s"fit: k=$k out of range for d=$d")
+    val cov = Array.ofDim[Double](d, d)
+    moments.foreach(r => cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    val means = df.select(posexplode(col(vecCol)))
+      .groupBy(col("pos")).agg(avg(col("col").cast("double")).as("mu"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val n = df.count()
+    val (evals, evecs) = jacobiEigen(cov)
+    // deterministic sign: make each component's largest-|coef| entry
+    // positive, so fits are reproducible run to run
+    val signed = evecs.take(k).map { comp =>
+      val m = comp.maxBy(math.abs)
+      if (m < 0) comp.map(-_) else comp
+    }
+    Model(means, signed, evals.take(k), n)
+  }
+
+  /** Projection expression: v ↦ [⟨v − μ, c₁⟩ … ⟨v − μ, c_k⟩], optionally
+    * whitened (each coordinate scaled by 1/√λ so the projected cloud has
+    * unit variance per axis). Pure per-row column arithmetic — zero
+    * exchanges over the corpus. */
+  def projectExpr(vecCol: Column, model: Model, whiten: Boolean = false,
+      eps: Double = 1e-9): Column = {
+    val mu = typedlit(model.mean.toSeq)
+    val comps = typedlit(model.components.map(_.toSeq).toSeq)
+    val scales = typedlit(model.eigenvalues.map(ev =>
+      if (whiten) 1.0 / math.sqrt(ev + eps) else 1.0).toSeq)
+    val centered = zip_with(vecCol, mu, (x, m) => x.cast("double") - m)
+    transform(sequence(lit(0), lit(model.k - 1)), j =>
+      aggregate(
+        zip_with(centered, element_at(comps, j + 1), (x, c) => x * c),
+        lit(0.0), (acc, t) => acc + t) * element_at(scales, j + 1))
+  }
+
+  /** Project the corpus onto the model's components as `out`. */
+  def project(df: DataFrame, vecCol: String, out: String, model: Model,
+      whiten: Boolean = false): DataFrame =
+    df.withColumn(out, projectExpr(col(vecCol), model, whiten))
+}

@@ -690,5 +690,36 @@ object PipelineQueries {
           SELECT query_id, vec_id, dist,
                  row_number() OVER (PARTITION BY query_id
                    ORDER BY dist ASC, vec_id ASC) AS rank
-          FROM dists) WHERE rank <= 5 ORDER BY query_id, rank""")))
+          FROM dists) WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // Distributed PCA stage (ops/Pca): the long-form population covariance
+    // of the embedding cloud — per-row outer products map-side-combine to
+    // d² partials per task, so the exchange is tasks×d² doubles no matter
+    // the corpus size; only the d×d matrix ever reaches the driver (where
+    // the 64×64 Jacobi eigensolve runs — PcaSpec pins eigenpairs,
+    // orthonormality, and whitening). The oracle replays the first 12×12
+    // block's moments.
+    Q("q248_embedding_covariance",
+      (s, dir) => Frame(graft.ops.Pca.covarianceLong(
+          t(s, dir, "embeddings"), "embedding")
+        .filter(col("i") < 12 && col("j") < 12)
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          round(col("cov"), 6).as("cov")))
+        .sortValues(Seq(SortKey.asc("i"), SortKey.asc("j"))).df,
+      Some("""
+        WITH e AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                 unnest(embedding)::DOUBLE AS x
+          FROM embeddings),
+        f AS (SELECT * FROM e WHERE i < 12),
+        n AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+        mu AS (SELECT i, avg(x) AS mu FROM f GROUP BY 1)
+        SELECT a.i AS i, b.i AS j,
+               round(sum(a.x * b.x) / any_value(n.n)
+                 - any_value(ma.mu) * any_value(mb.mu), 6) AS cov
+        FROM f a JOIN f b USING (vec_id)
+        CROSS JOIN n
+        JOIN mu ma ON ma.i = a.i
+        JOIN mu mb ON mb.i = b.i
+        GROUP BY a.i, b.i ORDER BY a.i, b.i""")))
 }

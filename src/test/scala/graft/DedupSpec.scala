@@ -255,4 +255,24 @@ class DedupSpec extends SparkSuite {
       cents, 0.45, coarseK = 4, nProbe = 4).select("vec_id")
     assertParity(scalable, exact)
   }
+
+  test("planBands: S-curve planning tracks the threshold and miss weight") {
+    import graft.ops.Dedup
+    // higher threshold -> more rows per band (steeper curve, fires later)
+    val (_, rLow) = Dedup.planBands(64, 0.3)
+    val (_, rHigh) = Dedup.planBands(64, 0.9)
+    assert(rLow < rHigh)
+    // the factorization always multiplies back to numHashes
+    val (b, r) = Dedup.planBands(16, 0.5)
+    assert(b * r == 16)
+    // weighting misses higher pushes toward MORE bands (catch-everything)
+    val (bHeavy, _) = Dedup.planBands(64, 0.7, fnWeight = 10.0)
+    val (bLight, _) = Dedup.planBands(64, 0.7, fnWeight = 0.1)
+    assert(bHeavy >= bLight)
+    // the curve at the chosen plan actually separates: P(threshold+0.15)
+    // well above P(threshold-0.15)
+    val (b2, r2) = Dedup.planBands(128, 0.8)
+    def p(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, r2), b2)
+    assert(p(0.95) > 0.9 && p(0.65) < 0.5)
+  }
 }
