@@ -358,7 +358,19 @@ object ScaleDedupBench {
           .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
         Dedup.semDedupScalable(e, "vec_id", "embedding", cents, 0.9,
           coarseK = math.max(2, math.sqrt(k.toDouble).toInt), nProbe = 2)
+      },
+      "pca_covariance" -> { dir =>
+        // exchange is tasks×d² partials whatever n — the slope should be
+        // the pure map-side outer-product cost, well under linear
+        graft.ops.Pca.covarianceLong(
+          emb(dir).select(col("vec_id"), col("embedding")), "embedding")
       })
+
+    // optional comma-separated op filter: re-measure one op after a fix
+    // without re-running the (expensive) full family
+    val only = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+      .map(_.split(",").toSet).getOrElse(ops.map(_._1).toSet)
+    val opsRun = ops.filter { case (n, _) => only(n) }
 
     // row ratios are measured, not assumed — and PER TABLE: the dup
     // shards are chosen by different hash filters, so the documents and
@@ -367,13 +379,13 @@ object ScaleDedupBench {
     val docRatio = docs(bigDir).count().toDouble / docs(oneDir).count()
     val embRatio = emb(bigDir).count().toDouble / emb(oneDir).count()
     val embOps = Set("emb_neardup_lsh", "ann_lsh", "sem_dedup", "sem_dedup_2level",
-      "pq_adc_topk", "pq_rerank")
+      "pq_adc_topk", "pq_rerank", "pca_covariance")
     // warmup both scan paths of both tables
     Seq(oneDir, bigDir).foreach { d =>
       docs(d).queryExecution.toRdd.foreach(_ => ())
       emb(d).queryExecution.toRdd.foreach(_ => ())
     }
-    val rows = ops.map { case (name, f) =>
+    val rows = opsRun.map { case (name, f) =>
       val tb = ScaleBench.minTime(2)(f(oneDir).queryExecution.toRdd.foreach(_ => ()))
       val ts = ScaleBench.minTime(2)(f(bigDir).queryExecution.toRdd.foreach(_ => ()))
       val rowRatio = if (embOps(name)) embRatio else docRatio
