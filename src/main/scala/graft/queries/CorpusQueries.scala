@@ -582,5 +582,133 @@ object CorpusQueries {
                coalesce(reb.n_removed, 0) AS n_removed,
                md5(coalesce(reb.text_dedup, '')) AS digest
         FROM documents d LEFT JOIN reb USING (doc_id)
-        ORDER BY doc_id""")))
+        ORDER BY doc_id""")),
+
+    // FLAGSHIP COMPOSITION: the whole training-data prep pipeline as ONE
+    // lazy Spark plan — Gopher/C4 quality keep → exact dedup keep-first →
+    // 3-gram benchmark decontamination (doc_id%97==0 is the held-out
+    // slice) → DSIR Gumbel-top-200 selection toward the English slice →
+    // greedy 1000-token context packing. Five stages, one optimizer pass:
+    // Catalyst sees the full DAG, so column pruning reaches the scan and
+    // nothing materializes between stages. Every stage reuses the exact
+    // operator its own gate query pins (q194/q101/q181/q245/q183); the
+    // oracle chains the same five SQL stages.
+    Q("q249_training_pipeline",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val keepIds = Corpus.qualityFlags(docs, "doc_id", "text")
+          .filter(col("keep")).select("doc_id")
+        val q1 = docs.join(keepIds, Seq("doc_id"))
+        val q2 = graft.ops.Dedup.exact(q1, "doc_id", "text")
+        val corpus = q2.filter(col("doc_id") % 97 =!= 0)
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+        val hits = Corpus.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+          .filter(col("n_hits") > 0).select("doc_id")
+        val q3 = corpus.join(hits, Seq("doc_id"), "left_anti")
+        val sel = Dsir.resampleTopK(q3, q3.filter(col("lang") === "en"),
+          "doc_id", "text", 1024, 200, "pipe9").select("doc_id")
+        val q4 = q3.join(sel, Seq("doc_id"))
+        Frame(Corpus.packChunks(q4, "doc_id", "text", 1000L))
+          .sortValues(Seq(SortKey.asc("chunk_id"))).df
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                   / greatest(len(w), 1) AS awr,
+                 coalesce(list_sum(list_transform(w, x -> strlen(x))), 0)
+                   / greatest(len(w), 1) AS mwl,
+                 len(list_filter(l, x -> regexp_matches(x, '^\s*[-*•]')))
+                   / greatest(len(l), 1) AS blr,
+                 len(list_filter(l, x -> regexp_matches(x, '\.\.\.\s*$')))
+                   / greatest(len(l), 1) AS elr,
+                 contains(lower(text), 'lorem ipsum') AS hl,
+                 contains(text, '{') AS hb
+          FROM (SELECT doc_id, text,
+                       regexp_extract_all(trim(text), '\S+') AS w,
+                       string_split(text, chr(10)) AS l
+                FROM documents)),
+        q1 AS (
+          SELECT d.doc_id, d.text, d.lang FROM documents d JOIN f USING (doc_id)
+          WHERE awr >= 0.8 AND mwl BETWEEN 3.0 AND 10.0 AND blr <= 0.9
+            AND elr <= 0.3 AND NOT hl AND NOT hb),
+        q2 AS (
+          SELECT doc_id, text, lang FROM (
+            SELECT q1.*, row_number() OVER (
+              PARTITION BY md5(trim(regexp_replace(lower(text), '[^\p{L}\p{N}_]+', ' ', 'g')))
+              ORDER BY doc_id) AS rn FROM q1) WHERE rn = 1),
+        corp AS (SELECT doc_id, text, lang FROM q2 WHERE doc_id % 97 <> 0),
+        bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        ctoks AS (
+          SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS ord
+          FROM (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS l FROM corp)),
+        cgrams AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   array_to_string(list(tok) OVER (PARTITION BY doc_id ORDER BY ord
+                     ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING), ' ') AS g,
+                   count(*) OVER (PARTITION BY doc_id ORDER BY ord
+                     ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS wn
+            FROM ctoks) WHERE wn = 3),
+        btoks AS (
+          SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS ord
+          FROM (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS l FROM bench)),
+        bgrams AS (
+          SELECT DISTINCT g FROM (
+            SELECT doc_id,
+                   array_to_string(list(tok) OVER (PARTITION BY doc_id ORDER BY ord
+                     ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING), ' ') AS g,
+                   count(*) OVER (PARTITION BY doc_id ORDER BY ord
+                     ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS wn
+            FROM btoks) WHERE wn = 3),
+        hits AS (SELECT DISTINCT doc_id FROM cgrams JOIN bgrams USING (g)),
+        q3 AS (SELECT * FROM corp
+               WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+        tok AS (SELECT doc_id, regexp_extract_all(trim(lower(text)), '\S+') AS t FROM q3),
+        feat AS (
+          SELECT doc_id, unnest(t) AS ff FROM tok
+          UNION ALL
+          SELECT doc_id, t[i.i] || ' ' || t[i.i + 1] AS ff
+          FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+          WHERE len(t) >= 2),
+        fb AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(ff), 1, 8)) AS UBIGINT) % 1024 AS bucket
+          FROM feat),
+        tcnt AS (SELECT bucket, count(*) AS c FROM fb
+                 JOIN q3 USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+        rcnt AS (SELECT bucket, count(*) AS c FROM fb GROUP BY 1),
+        ttot AS (SELECT count(*)::DOUBLE AS n FROM fb
+                 JOIN q3 USING (doc_id) WHERE lang = 'en'),
+        rtot AS (SELECT count(*)::DOUBLE AS n FROM fb),
+        ratio AS (
+          SELECT b.bucket,
+                 (ln(coalesce(tc.c, 0) + 1.0) - ln(tt.n + 1024.0))
+               - (ln(coalesce(rc.c, 0) + 1.0) - ln(rt.n + 1024.0)) AS lr
+          FROM (SELECT unnest(range(0, 1024)) AS bucket) b
+          LEFT JOIN tcnt tc USING (bucket) LEFT JOIN rcnt rc USING (bucket)
+          CROSS JOIN ttot tt CROSS JOIN rtot rt),
+        per AS (SELECT doc_id, bucket, count(*) AS n FROM fb GROUP BY 1, 2),
+        w AS (SELECT doc_id, sum(n * lr) AS logw
+              FROM per JOIN ratio USING (bucket) GROUP BY 1),
+        sel AS (
+          SELECT doc_id FROM (
+            SELECT d.doc_id,
+                   round(coalesce(w.logw, 0.0)
+                     + -ln(-ln((CAST(('0x' || substr(md5('pipe9' ||
+                         CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 1.0)
+                       / 4294967297.0)), 6) AS score
+            FROM q3 d LEFT JOIN w USING (doc_id))
+          ORDER BY score DESC, doc_id LIMIT 200),
+        q4 AS (SELECT q3.doc_id, q3.text FROM q3 JOIN sel USING (doc_id)),
+        ptok AS (SELECT doc_id, len(regexp_extract_all(trim(text), '\S+')) AS tk FROM q4),
+        run AS (SELECT doc_id, tk,
+                       sum(tk) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM ptok)
+        SELECT CAST((cum - tk) // 1000 AS BIGINT) AS chunk_id,
+               count(*) AS n_docs,
+               CAST(sum(tk) AS BIGINT) AS n_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM run GROUP BY 1 ORDER BY 1""")))
 }
