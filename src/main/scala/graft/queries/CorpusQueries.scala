@@ -584,15 +584,21 @@ object CorpusQueries {
         FROM documents d LEFT JOIN reb USING (doc_id)
         ORDER BY doc_id""")),
 
-    // FLAGSHIP COMPOSITION: the whole training-data prep pipeline as ONE
-    // lazy Spark plan — Gopher/C4 quality keep → exact dedup keep-first →
-    // 3-gram benchmark decontamination (doc_id%97==0 is the held-out
-    // slice) → DSIR Gumbel-top-200 selection toward the English slice →
-    // greedy 1000-token context packing. Five stages, one optimizer pass:
-    // Catalyst sees the full DAG, so column pruning reaches the scan and
-    // nothing materializes between stages. Every stage reuses the exact
-    // operator its own gate query pins (q194/q101/q181/q245/q183); the
-    // oracle chains the same five SQL stages.
+    // FLAGSHIP COMPOSITION: the whole training-data prep pipeline in one
+    // declarative program — Gopher/C4 quality keep → exact dedup
+    // keep-first → 3-gram benchmark decontamination (doc_id%97==0 is the
+    // held-out slice) → DSIR Gumbel-top-200 selection toward the English
+    // slice → greedy 1000-token context packing. Catalyst optimizes the
+    // whole selection DAG as one plan (column pruning reaches the scan);
+    // the only materialization boundary is packChunks' eager checkpoint
+    // of the SELECTED docs' (id, token-count) pairs — k rows, not the
+    // corpus. The q3 survivor set feeds three branches (DSIR raw, DSIR
+    // target, final join); identical exchange subtrees dedup via
+    // ReuseExchange, and at 100 TB the production move is an explicit
+    // q3-level persist — a one-line valve, orthogonal to the semantics
+    // pinned here. Every stage reuses the operator its own gate query
+    // pins (q194/q101/q181/q245/q183); the oracle chains the same five
+    // SQL stages.
     Q("q249_training_pipeline",
       (s, dir) => {
         val docs = t(s, dir, "documents")
