@@ -165,6 +165,49 @@ object WindowExtraQueries {
         GROUP BY a.event_id
         ORDER BY a.event_id""")),
 
+    // rolling(7, win_type='gaussian').mean(std=2) — the scipy
+    // get_window('gaussian') weights w_i = exp(-((i-center)/std)²/2),
+    // center = (M-1)/2. Unlike the triang row there is no exact-integer
+    // formulation (the weights are transcendental), so both engines
+    // compute the identical double formula and the result rounds to 4 —
+    // the same float-compare exposure the ewm family documents. Same
+    // one-exchange keyed window as q137.
+    Q("q250_rolling_gaussian",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(-6, 0)
+        val vals = collect_list(col("value").cast("double")).over(w)
+        val cnt = size(vals)
+        val weighted = aggregate(
+          zip_with(vals, sequence(lit(0), cnt - 1),
+            (v, i) => v * exp((lit(3.0) - i) * (i - lit(3.0)) / lit(8.0))),
+          lit(0.0), (acc, x) => acc + x)
+        val wsum = aggregate(sequence(lit(0), cnt - 1),
+          lit(0.0), (acc, i) => acc + exp((lit(3.0) - i) * (i - lit(3.0)) / lit(8.0)))
+        Frame(t(s, dir, "events").select(
+          col("event_id"),
+          when(cnt >= 7, round(weighted / wsum, 4)).as("gauss_mean")))
+          .sortValues(Seq(SortKey.asc("event_id"))).df
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events)
+        SELECT a.event_id,
+               CASE WHEN count(*) >= 7
+                    THEN round(
+                      sum(b.value * exp(-((b.rn - a.rn + 6) - 3.0)
+                                       * ((b.rn - a.rn + 6) - 3.0) / 8.0))
+                      / sum(exp(-((b.rn - a.rn + 6) - 3.0)
+                               * ((b.rn - a.rn + 6) - 3.0) / 8.0)), 4)
+               END AS gauss_mean
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 6 AND a.rn
+        GROUP BY a.event_id
+        ORDER BY a.event_id""")),
+
     // rolling corr/cov over a 10-row window per user (reference
     // rolling_corr/cov base QC:6715,6740) — Spark's corr/covar_samp are
     // window-capable aggregates, so this stays one shuffle on user_id.
