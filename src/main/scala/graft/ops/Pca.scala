@@ -144,4 +144,38 @@ object Pca {
   def project(df: DataFrame, vecCol: String, out: String, model: Model,
       whiten: Boolean = false): DataFrame =
     df.withColumn(out, projectExpr(col(vecCol), model, whiten))
+
+  /** OPQ-parametric dimension allocation (Ge et al. 2013, "Optimized
+    * Product Quantization", §4 — the closed-form variant): assign the
+    * variance-descending principal components to the m product-quantizer
+    * subspaces so the per-subspace eigenvalue PRODUCTS balance — each
+    * next component goes to the emptiest-by-log-product subspace with
+    * room. Balancing products (not sums) minimizes the parametric
+    * distortion bound for independent Gaussian data; a plain PCA order
+    * would concentrate all the energy in the first subspace, which a
+    * fixed-ksub subquantizer then cannot represent. Returns the
+    * component order: m consecutive blocks of d/m components. */
+  def opqOrder(eigenvalues: Array[Double], m: Int): Array[Int] = {
+    val d = eigenvalues.length
+    require(m >= 1 && d % m == 0, s"opqOrder: d=$d not divisible by m=$m")
+    val ds = d / m
+    val buckets = Array.fill(m)(Vector.empty[Int])
+    val logProd = Array.fill(m)(0.0)
+    eigenvalues.indices.foreach { i => // fit() already sorts descending
+      val open = (0 until m).filter(buckets(_).size < ds)
+      val j = open.minBy(logProd)
+      buckets(j) :+= i
+      logProd(j) += math.log(math.max(eigenvalues(i), 1e-300))
+    }
+    buckets.flatten.toArray
+  }
+
+  /** The model with components permuted by [[opqOrder]] — project with
+    * this before [[Pq.encode]] and each subspace sees a balanced share
+    * of the spectrum. */
+  def opqModel(model: Model, m: Int): Model = {
+    val perm = opqOrder(model.eigenvalues, m)
+    Model(model.mean, perm.map(model.components),
+      perm.map(model.eigenvalues), model.n)
+  }
 }

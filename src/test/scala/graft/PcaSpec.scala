@@ -85,4 +85,67 @@ class PcaSpec extends SparkSuite {
       assert(math.abs(d2(rows(i), rows(j)) - d2(p(i), p(j))) < 1e-9,
         s"distance not preserved for ($i,$j)")
   }
+
+  test("opqOrder balances eigenvalue products; blocks partition all dims") {
+    val order = Pca.opqOrder(Array(16.0, 8.0, 4.0, 2.0), m = 2)
+    assert(order.sorted.toSeq == Seq(0, 1, 2, 3))
+    // products: best split pairs 16 with 2 and 8 with 4 (32 vs 32)
+    val b0 = order.take(2).map(Array(16.0, 8.0, 4.0, 2.0)).product
+    val b1 = order.drop(2).map(Array(16.0, 8.0, 4.0, 2.0)).product
+    assert(math.abs(b0 - b1) < 1e-9, s"unbalanced: $b0 vs $b1")
+  }
+
+  test("OPQ rotation lowers PQ quantization error on correlated data") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // deterministic correlated cloud: latent dims with geometric variance
+    // decay, mixed across subspace boundaries by fixed Givens rotations
+    val d = 8
+    var seed = 12345L
+    def next(): Double = { // LCG uniform in [-1, 1]
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (seed >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    val stds = Array(8.0, 5.6, 4.0, 2.8, 2.0, 1.4, 1.0, 0.7)
+    def rot(v: Array[Double], p: Int, q: Int, a: Double): Unit = {
+      val (c, s2) = (math.cos(a), math.sin(a))
+      val (vp, vq) = (v(p), v(q))
+      v(p) = c * vp - s2 * vq; v(q) = s2 * vp + c * vq
+    }
+    val rows = (0 until 256).map { _ =>
+      val z = Array.tabulate(d)(i => stds(i) * next())
+      // mix across the m=2 subspace boundary (dims 0-3 vs 4-7)
+      rot(z, 0, 4, 0.7); rot(z, 1, 5, 1.1); rot(z, 2, 6, 0.5); rot(z, 3, 7, 0.9)
+      z
+    }
+    import spark.implicits._
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val m = 2
+    // spec-side PQ quantization error: train codebooks on the given
+    // column, then sum min-centroid squared L2 per (row, subspace)
+    def pqError(data: org.apache.spark.sql.DataFrame, vc: String): Double = {
+      // cvec elements may be Float (Lloyd-updated) or Double (initial
+      // slices of a double input) — normalize via Number
+      val cb = graft.ops.Pq.trainCodebooks(data, "vec_id", vc, m = m, ksub = 16, iters = 3)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+          r.getSeq[Any](2).map(_.asInstanceOf[Number].doubleValue).toArray).toMap
+      val vecs = data.select(col(vc)).collect().map(_.getSeq[Double](0).toArray)
+      val ds = d / m
+      vecs.map { v =>
+        (0 until m).map { j =>
+          val sub = v.slice(j * ds, (j + 1) * ds)
+          cb.collect { case ((s, _), c) if s == j =>
+            sub.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+          }.min
+        }.sum
+      }.sum
+    }
+    val model = Pca.fit(df, "embedding", k = d)
+    val opq = Pca.opqModel(model, m)
+    val rotated = Pca.project(df, "embedding", "emb_opq", opq)
+    val errRaw = pqError(df, "embedding")
+    val errOpq = pqError(rotated, "emb_opq")
+    assert(errOpq < errRaw * 0.95,
+      s"OPQ rotation did not help: raw=$errRaw opq=$errOpq")
+  }
 }
