@@ -56,34 +56,48 @@ object Dsir {
         pmod(fold32(col("__f__")), lit(buckets.toLong)).as("bucket"))
   }
 
-  /** B-row table of add-1-smoothed log bucket probabilities:
-    * ln((c[b]+1)/(total+B)). Unseen buckets get the smoothing floor via
-    * the dense `range(B)` left join; totals stay in-plan (no collect). */
-  private def bucketLogProb(feats: DataFrame, buckets: Int,
+  /** B-row table of add-1-smoothed log bucket probabilities from a
+    * (bucket, __c__) count table: ln((c[b]+1)/(total+B)). Unseen buckets
+    * get the smoothing floor via the dense `range(B)` left join; the
+    * total stays in-plan (no collect). */
+  private def bucketLogProb(counts: DataFrame, buckets: Int,
       outCol: String): DataFrame = {
-    val counts = feats.groupBy(col("bucket")).agg(count(lit(1)).as("__c__"))
-    val total = feats.agg(count(lit(1)).as("__tot__"))
-    feats.sparkSession.range(buckets).withColumnRenamed("id", "bucket")
+    val total = counts.agg(sum(col("__c__")).as("__tot__"))
+    counts.sparkSession.range(buckets).withColumnRenamed("id", "bucket")
       .join(counts, Seq("bucket"), "left")
       .na.fill(0L, Seq("__c__"))
-      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(coalesceTotal(total)))
       .select(col("bucket"),
         (log(col("__c__") + lit(1.0)) -
           log(col("__tot__") + lit(buckets.toDouble))).as(outCol))
   }
 
+  /** An empty corpus has no count rows — sum() returns null; the
+    * smoothing floor needs 0. */
+  private def coalesceTotal(total: DataFrame): DataFrame =
+    total.select(coalesce(col("__tot__"), lit(0L)).as("__tot__"))
+
   /** Per-raw-document importance weight: (id, n_feats, logw). Documents
     * with no features (empty/blank text) carry logw = 0 — no evidence
-    * either way, matching the paper's w = 1. */
+    * either way, matching the paper's w = 1.
+    *
+    * The raw corpus tokenizes ONCE: its feature stream reduces to the
+    * (id, bucket, n) table first, and the raw bucket distribution is a
+    * second tiny aggregate OVER that table — never a re-explode of the
+    * text (md5 over every n-gram is the CPU cost at corpus scale, paid
+    * a single time). */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int): DataFrame = {
-    val fr = hashedFeatures(raw, idCol, textCol, buckets)
-    val ft = hashedFeatures(target, idCol, textCol, buckets)
-    val ratio = bucketLogProb(ft, buckets, "__lt__")
-      .join(bucketLogProb(fr, buckets, "__lr__"), Seq("bucket"))
-      .select(col("bucket"), (col("__lt__") - col("__lr__")).as("__ratio__"))
-    val perDoc = fr.groupBy(col(idCol), col("bucket"))
+    val perDocN = hashedFeatures(raw, idCol, textCol, buckets)
+      .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("__n__"))
+    val rawCounts = perDocN.groupBy(col("bucket")).agg(sum(col("__n__")).as("__c__"))
+    val targetCounts = hashedFeatures(target, idCol, textCol, buckets)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("__c__"))
+    val ratio = bucketLogProb(targetCounts, buckets, "__lt__")
+      .join(bucketLogProb(rawCounts, buckets, "__lr__"), Seq("bucket"))
+      .select(col("bucket"), (col("__lt__") - col("__lr__")).as("__ratio__"))
+    val perDoc = perDocN
       .join(broadcast(ratio), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(sum(col("__n__")).as("n_feats"),
