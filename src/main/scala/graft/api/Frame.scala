@@ -715,6 +715,35 @@ final case class Frame(
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** pandas `Series.hasnans`: does the column hold any null/NaN? One
+    * distributed aggregate (max over a 0/1 flag — map-side combined,
+    * scan short-circuits nothing but carries 8 bytes per partition). */
+  def hasnans(column: String): Boolean = {
+    val flag = col(column).isNull ||
+      (df.schema(column).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType => isnan(col(column))
+        case _ => lit(false)
+      })
+    df.agg(max(when(flag, 1).otherwise(0)).as("f"))
+      .head().getInt(0) == 1
+  }
+
+  /** pandas `Series.is_unique`: no value occurs twice. Pandas counts
+    * each NaN as a distinct value (is_unique is True for [NaN, NaN] only
+    * in older pandas; 2.x treats repeated NaN as non-unique) — here the
+    * 2.x rule: nulls count like any value. One aggregate: total rows vs
+    * distinct values (+1 if any null, since count_distinct skips them). */
+  def isUnique(column: String): Boolean = {
+    val r = df.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col(column)).as("d"),
+      max(when(col(column).isNull, 1).otherwise(0)).as("hasNull"),
+      sum(when(col(column).isNull, 1L).otherwise(0L)).as("nulls")).head()
+    val (n, d, nulls) = (r.getLong(0), r.getLong(1), r.getLong(3))
+    if (nulls > 1) false else n == d + nulls
+  }
+
   /** memory_usage (reference base QC / DataFrame.memory_usage — pandas
     * reports per-block nbytes). There is no block model here, so the
     * documented analog is the Tungsten UnsafeRow footprint per column:

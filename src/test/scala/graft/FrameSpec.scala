@@ -364,4 +364,20 @@ class FrameSpec extends SparkSuite {
     assert(md.linesIterator.toSeq(1).matches("\\|:[-]+\\|[-]+:\\|[-]+:\\|"))
     assert(md.contains("| beta"))
   }
+
+  test("hasnans / isUnique match the pandas contracts") {
+    import spark.implicits._
+    val f = Frame(Seq((1L, Some(1.0), "a"), (2L, None, "b"),
+      (3L, Some(Double.NaN), "a")).toDF("id", "v", "s"))
+    assert(f.hasnans("v"))          // null present
+    assert(!f.hasnans("id"))
+    assert(f.hasnans("v"))          // NaN also counts
+    assert(f.isUnique("id"))
+    assert(!f.isUnique("s"))        // "a" twice
+    // single null is a distinct value; two nulls are not unique
+    val one = Frame(Seq((1L, Some("x")), (2L, Option.empty[String])).toDF("id", "s"))
+    assert(one.isUnique("s"))
+    val two = Frame(Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("id", "s"))
+    assert(!two.isUnique("s"))
+  }
 }
