@@ -580,4 +580,38 @@ object Corpus {
       .agg(count(lit(1)).as("n_bigrams"),
         exp(-sum(log(col("__p__"))) / count(lit(1))).as("ppl"))
   }
+
+  /**
+   * Deterministic seeded shuffle + balanced sharding — the write-out step
+   * of a training-data pipeline: training wants documents in a reproducible
+   * random order, split into `numShards` equal shards (one per output file
+   * / data-loader worker). The permutation is sort-by-md5(seed:id) — a
+   * pure function of (seed, id), so re-running the pipeline on the same
+   * corpus reproduces byte-identical shards regardless of cluster layout,
+   * partition count, or input file order. Shard assignment is round-robin
+   * over the permuted sequence: shard sizes differ by at most 1 BY
+   * CONSTRUCTION (a hash-mod split is only balanced in expectation), and
+   * token counts are equalized in expectation by the randomization.
+   *
+   * 100 TB shape: one range exchange on the md5 key ([[RowOrder]]'s
+   * two-pass global position — per-partition counts are the only driver
+   * state) and nothing else. The returned (shard_id, pos_in_shard) pair
+   * is the write recipe: `.repartition(numShards, $"shard_id")` +
+   * `.sortWithinPartitions("pos_in_shard")` streams each shard to its
+   * file in permutation order.
+   *
+   * Ties are impossible (id is unique per row and appended as the sort
+   * tiebreak), so the permutation is total and both engines agree on it.
+   */
+  def shuffleShard(docs: DataFrame, idCol: String, seed: String,
+      numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val keyed = docs.select(col(idCol))
+      .withColumn("__sk__", md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
+    val pos = RowOrder.withRowOrder(keyed,
+      Seq(graft.api.SortKey.asc("__sk__"), graft.api.SortKey.asc(idCol)))
+    pos.select(col(idCol),
+      (col(graft.api.Frame.RowOrder) % numShards).as("shard_id"),
+      floor(col(graft.api.Frame.RowOrder) / numShards).cast("long").as("pos_in_shard"))
+  }
 }

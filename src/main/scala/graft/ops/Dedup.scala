@@ -246,6 +246,32 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Edit-distance-verified near-dup pairs: MinHash-banded candidate
+    * generation (engine-portable md5 path, NO jaccard cutoff — every
+    * banded collision survives to the verify) followed by an exact
+    * Levenshtein check on the raw text. The verify is the expensive step
+    * at scale — three guards bound it: candidate volume is band-governed
+    * (never all-pairs), a length prefilter skips pairs whose size gap
+    * already exceeds `maxDist` (|len(a)−len(b)| is a Levenshtein lower
+    * bound) without running the DP, and the DP itself is the banded
+    * O(n·maxDist) threshold variant (`levenshtein(l, r, threshold)`),
+    * not the full O(n·m) matrix. Returns (id_a, id_b, edit_dist ≤
+    * maxDist). */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative: $maxDist")
+    val cand = minhashLshPairsMd5(df, idCol, textCol, shingleN, numHashes,
+      bands, threshold = 0.0).select("id_a", "id_b")
+    cand
+      .join(df.select(col(idCol).as("id_a"), col(textCol).as("__ta__")), Seq("id_a"))
+      .join(df.select(col(idCol).as("id_b"), col(textCol).as("__tb__")), Seq("id_b"))
+      .filter(abs(length(col("__ta__")) - length(col("__tb__"))) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta__"), col("__tb__"), maxDist).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") >= 0) // threshold variant returns -1 past maxDist
+  }
+
   /** SimHash near-dup pairs under the ENGINE-PORTABLE md5 token hash —
     * the independently-checkable twin of [[simhashPairs]] (q105b). The
     * simhash is kept as a 64-element ±bit array ([[Text.simhashBitsMd5]]):

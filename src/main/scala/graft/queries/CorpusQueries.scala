@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.api.{Frame, SortKey}
-import graft.ops.{Corpus, Dsir}
+import graft.ops.{Corpus, Dsir, QualityModel}
 import QueryKit._
 
 /**
@@ -760,5 +760,93 @@ object CorpusQueries {
                round(avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 6) AS keep_rate,
                round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 6) AS dup_rate
         FROM b JOIN k USING (doc_id)
-        GROUP BY 1, 2 ORDER BY source, lang""")))
+        GROUP BY 1, 2 ORDER BY source, lang""")),
+
+    // Trainable quality classifier (the DCLM/FineWeb-Edu model-filter
+    // stage): logistic regression over hashed-token tf features, fit by
+    // full-batch GD (dim 256, 30 steps, lr 2.0; weights rounded to 8dp per
+    // step so the fit is an exact deterministic function of the corpus),
+    // label = "long doc" (n_chars >= 300 — the one label this synthetic
+    // corpus makes learnable; length IS a first-order quality feature in
+    // real pipelines). Presence features: x = 1 per distinct hashed
+    // bucket, so every coordinate shares the bias's curvature scale. The oracle unrolls the identical iterations
+    // in SQL (generated below); scores round to 4dp like every float
+    // surface here.
+    Q("q252_quality_classifier",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val labels = docs.select(col("doc_id"),
+          when(col("n_chars") >= 300, 1.0).otherwise(0.0).as("y"))
+        val feats = QualityModel.hashedFeatures(docs, "doc_id", "text", dim = 256)
+        val w = QualityModel.trainLogReg(feats, labels, "doc_id",
+          dim = 256, iters = 30, lr = 2.0)
+        Frame(QualityModel.score(docs, w, "doc_id", "text", dim = 256)
+          .join(labels, "doc_id")
+          .select(col("doc_id"), col("y"), round(col("score"), 4).as("score")))
+          .sortValues(Seq(SortKey.asc("doc_id"))).df
+      },
+      Some(logRegOracleSql(dim = 256, iters = 30, lr = 2.0))),
+
+    // Deterministic seeded shuffle + balanced sharding (the training-data
+    // write-out permutation): order by md5(seed:id), round-robin over the
+    // permuted sequence into 8 shards — shard sizes differ by ≤ 1 by
+    // construction and the layout is a pure function of (seed, corpus).
+    // Integer-only output → exact oracle.
+    Q("q253_shuffle_shard",
+      (s, dir) => Frame(Corpus.shuffleShard(
+        t(s, dir, "documents"), "doc_id", seed = "s42", numShards = 8))
+        .sortValues(Seq(SortKey.asc("doc_id"))).df,
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+                 row_number() OVER (
+                   ORDER BY md5('s42:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+                   AS pos
+          FROM documents)
+        SELECT doc_id, pos % 8 AS shard_id, pos // 8 AS pos_in_shard
+        FROM p ORDER BY doc_id""")))
+
+  /** The q252 oracle, with the GD recurrence unrolled `iters` times —
+    * one (margins, gradient, weights) CTE triple per step, each the
+    * literal SQL of the Spark iteration in [[QualityModel.trainLogReg]]. */
+  private def logRegOracleSql(dim: Int, iters: Int, lr: Double): String = {
+    val steps = (1 to iters).map { k =>
+      s"""m$k AS (SELECT f.doc_id, sum(f.x * w.w) AS margin
+         |       FROM fx f JOIN w${k - 1} w USING (bucket) GROUP BY f.doc_id),
+         |g$k AS (SELECT f.bucket,
+         |              sum((1.0 / (1.0 + exp(-m.margin)) - l.y) * f.x)
+         |                / any_value(n.n) AS g
+         |       FROM fx f JOIN m$k m USING (doc_id) JOIN lab l USING (doc_id)
+         |       CROSS JOIN n GROUP BY f.bucket),
+         |w$k AS MATERIALIZED (
+         |       SELECT w.bucket, round(w.w - $lr * coalesce(g.g, 0.0), 8) AS w
+         |       FROM w${k - 1} w LEFT JOIN g$k g USING (bucket))""".stripMargin
+    }.mkString(",\n")
+    s"""
+      WITH tok AS (
+        SELECT doc_id, CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y,
+               regexp_extract_all(trim(lower(text)), '\\S+') AS t
+        FROM documents),
+      fdoc AS MATERIALIZED (
+        SELECT doc_id, y, unnest(t) AS tok
+        FROM tok WHERE len(t) > 0),
+      fx0 AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT % $dim AS bucket,
+               1.0 AS x
+        FROM fdoc),
+      fx AS MATERIALIZED (
+        SELECT doc_id, bucket, x FROM fx0
+        UNION ALL
+        SELECT DISTINCT doc_id, CAST(-1 AS BIGINT) AS bucket, 1.0 AS x FROM fx0),
+      lab AS MATERIALIZED (SELECT doc_id, any_value(y) AS y FROM fdoc GROUP BY doc_id),
+      n AS MATERIALIZED (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM fx0),
+      w0 AS (SELECT CAST(b AS BIGINT) AS bucket, 0.0 AS w FROM range(-1, $dim) r(b)),
+      $steps,
+      mfin AS (SELECT f.doc_id, sum(f.x * w.w) AS margin
+               FROM fx f JOIN w$iters w USING (bucket) GROUP BY f.doc_id)
+      SELECT m.doc_id, l.y, round(1.0 / (1.0 + exp(-m.margin)), 4) AS score
+      FROM mfin m JOIN lab l USING (doc_id)
+      ORDER BY doc_id"""
+  }
 }

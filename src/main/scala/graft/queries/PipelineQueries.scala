@@ -253,6 +253,46 @@ object PipelineQueries {
           FROM cand)
         WHERE hamming <= 3 ORDER BY id_a, id_b""")),
 
+    // Edit-distance-verified near-dup: the q104b md5 band candidates with
+    // NO jaccard cutoff, verified by exact Levenshtein ≤ 5 on the raw
+    // text (engine runs the banded O(n·maxDist) threshold DP behind a
+    // length-gap prefilter; the oracle runs DuckDB's full levenshtein —
+    // identical kept set because |len(a)−len(b)| lower-bounds the
+    // distance). At sf0.01 this keeps 24 pairs and rejects one at
+    // distance 8, so both sides of the cut are exercised.
+    Q("q254_neardup_editdist",
+      (s, dir) => Frame(Dedup.editDistancePairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, maxDist = 5))
+        .sortValues(Seq(SortKey.asc("id_a"), SortKey.asc("id_b"))).df,
+      Some("""
+        WITH t AS (
+          SELECT doc_id, text,
+                 CASE WHEN len(w) >= 3
+                      THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                          for i in range(1, len(w) - 1)])
+                      ELSE [array_to_string(w, ' ')] END AS sh
+          FROM (SELECT doc_id, text,
+                       regexp_extract_all(trim(lower(text)), '\S+') AS w
+                FROM documents)),
+        e AS (
+          SELECT doc_id, b,
+                 unhex(substr(md5(array_to_string(
+                   [list_min([md5(CAST(b*4 + r AS VARCHAR) || ':' || s)
+                              for s in sh])
+                    for r in range(0, 4)], '|')), 1, 16)) AS key
+          FROM t CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM e a JOIN e b ON a.b = b.b AND a.key = b.key
+                           AND a.doc_id < b.doc_id)
+        SELECT c.id_a, c.id_b, levenshtein(ta.text, tb.text) AS edit_dist
+        FROM cand c
+        JOIN t ta ON c.id_a = ta.doc_id
+        JOIN t tb ON c.id_b = tb.doc_id
+        WHERE levenshtein(ta.text, tb.text) <= 5
+        ORDER BY id_a, id_b""")),
+
     // n-gram Jaccard near-dup with MinHash-banded candidates under an
     // engine-portable hash (md5 — both engines compute identical band
     // keys), so candidate generation AND the exact-Jaccard verify are

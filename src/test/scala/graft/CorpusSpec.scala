@@ -231,4 +231,25 @@ class CorpusSpec extends SparkSuite {
     assert(out(0).getAs[String]("text_dedup") == "w x y z")
     assert(out(0).getAs[Long]("n_removed") == 8L)
   }
+
+  test("shuffleShard: balanced shards, valid permutation, seed-deterministic") {
+    import spark.implicits._
+    val d = (0L until 103L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val a = Corpus.shuffleShard(d, "id", seed = "s1", numShards = 8).collect()
+    // every doc exactly once
+    assert(a.map(_.getLong(0)).toSet == (0L until 103L).toSet)
+    // round-robin balance: shard sizes differ by at most 1
+    val sizes = a.groupBy(_.getLong(1)).view.mapValues(_.length).values.toSeq
+    assert(sizes.size == 8 && sizes.max - sizes.min <= 1)
+    // (shard, pos) is a bijection onto the permutation positions
+    assert(a.map(r => r.getLong(1) + 8 * r.getLong(2)).sorted.toSeq ==
+      (0L until 103L).toSeq)
+    // same seed reproduces the exact layout; a different seed permutes
+    val b = Corpus.shuffleShard(d, "id", seed = "s1", numShards = 8).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq ==
+      b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq)
+    val c = Corpus.shuffleShard(d, "id", seed = "s2", numShards = 8).collect()
+    assert(c.map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq !=
+      a.map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq)
+  }
 }

@@ -275,4 +275,37 @@ class DedupSpec extends SparkSuite {
     def p(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, r2), b2)
     assert(p(0.95) > 0.9 && p(0.65) < 0.5)
   }
+
+  test("editDistancePairs verifies banded candidates with exact Levenshtein") {
+    // near-identical twins (distance 2), an exact dup (0), and an
+    // unrelated doc that shares no shingles
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "the quick brown fox jumps over the lazy cat tonight",
+      3L -> "the quick brown fox jumps over the lazy dog tonight",
+      4L -> "completely different content with no shared shingles at all")
+    val out = Dedup.editDistancePairs(d, "id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, maxDist = 3)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.contains((1L, 3L, 0L)), s"exact dup missing: ${out.toSeq}")
+    assert(out.filter(p => Set(p._1, p._2) == Set(1L, 2L) || Set(p._1, p._2) == Set(2L, 3L))
+      .forall(_._3 == 3L), s"twin distance wrong: ${out.toSeq}") // dog→cat = 3 subs
+    assert(out.forall(p => p._1 != 4L && p._2 != 4L), "unrelated doc paired")
+    assert(out.forall(_._3 <= 3L))
+  }
+
+  test("editDistancePairs maxDist cut rejects past-threshold candidates") {
+    // Case-only difference: the lowercased shingle sets are IDENTICAL, so
+    // the band keys collide deterministically in every band — but the raw
+    // texts differ by 5 substitutions, past a maxDist=3 cut.
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "ALPHA beta gamma delta epsilon zeta")
+    val strict = Dedup.editDistancePairs(d, "id", "text", maxDist = 3).collect()
+    assert(strict.isEmpty)
+    val loose = Dedup.editDistancePairs(d, "id", "text", maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(loose.toSeq == Seq((1L, 2L, 5L)))
+  }
 }

@@ -128,8 +128,9 @@ def main():
 
     outdir = Path(args.out)
     if not args.skip_run:
+        name_filter = f" {','.join(args.names)}" if args.names else ""
         r = subprocess.run(
-            ["sbt", f'runMain graft.Verify {args.sf} {args.out}'],
+            ["sbt", f'runMain graft.Verify {args.sf} {args.out}{name_filter}'],
             cwd="/root/repo", capture_output=True, text=True)
         tail = "\n".join((r.stdout + r.stderr).splitlines()[-30:])
         if r.returncode != 0:
