@@ -301,6 +301,12 @@ object ScaleDedupBench {
         docs(dir), "doc_id", "text", shingleN = 3, numHashes = 16, bands = 4,
         threshold = 0.2)),
       "simhash" -> (dir => Dedup.simhashPairs(docs(dir), "doc_id", "text", maxBits = 3)),
+      // the " xtra" dup suffix is 5 edits away, so maxDist=5 keeps every
+      // planted dup pair; candidates stay band-governed and the DP is the
+      // banded threshold variant
+      "neardup_editdist" -> (dir => Dedup.editDistancePairs(
+        docs(dir), "doc_id", "text", shingleN = 3, numHashes = 16, bands = 4,
+        maxDist = 5)),
       "jaccard" -> (dir => Dedup.jaccardPairs(
         docs(dir), "doc_id", "text", shingleN = 2, threshold = 0.3)),
       "neardup_drop_e2e" -> { dir =>
@@ -525,10 +531,32 @@ object ScaleCorpusBench {
         Corpus.exactSubstrDedup(docs(dir), "doc_id", "text", 8)),
       "dsir_weights" -> (dir => graft.ops.Dsir.importanceWeights(
         docs(dir), docs(dir).filter(col("lang") === "en"),
-        "doc_id", "text", 1024)))
+        "doc_id", "text", 1024)),
+      // train (5 GD steps — per-step cost is what scales) + score; the
+      // model stays a constant dim+1 rows at any corpus size, so the
+      // slope should track the feature-explode row ratio and nothing else
+      "quality_classifier" -> { dir =>
+        val d = docs(dir)
+        val labels = d.select(col("doc_id"),
+          when(col("n_chars") >= 300, 1.0).otherwise(0.0).as("y"))
+        val feats = graft.ops.QualityModel.hashedFeatures(d, "doc_id", "text", 256)
+        val w = graft.ops.QualityModel.trainLogReg(feats, labels, "doc_id",
+          256, iters = 5, lr = 2.0)
+        graft.ops.QualityModel.score(d, w, "doc_id", "text", 256)
+      },
+      // one range exchange on the md5 permutation key (two-pass RowOrder)
+      "shuffle_shard" -> (dir =>
+        Corpus.shuffleShard(docs(dir), "doc_id", "sb", 64)),
+      // parallel-prefix offsets + bounded explode (spans ≤ docs + toks/L)
+      "pack_sequences" -> (dir =>
+        Corpus.packSequences(docs(dir), "doc_id", "text", 1000L)))
     docs(baseDir).queryExecution.toRdd.foreach(_ => ())
     docs(bigDir).queryExecution.toRdd.foreach(_ => ())
-    val rows = shapes.map { case (name, f) =>
+    // optional comma-separated op filter (same knob as the dedup bench):
+    // measure a new op without re-running the whole family
+    val only = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+      .map(_.split(",").toSet).getOrElse(shapes.map(_._1).toSet)
+    val rows = shapes.filter { case (n, _) => only(n) }.map { case (name, f) =>
       def t(dir: String) =
         ScaleBench.minTime(2)(f(dir).queryExecution.toRdd.foreach(_ => ()))
       val (tb, ts) = (t(baseDir), t(bigDir))

@@ -582,6 +582,45 @@ object Corpus {
   }
 
   /**
+   * GPT-style concat-and-split sequence packing: the corpus token stream
+   * (docs concatenated in `orderCol` order) is cut into consecutive
+   * sequences of EXACTLY `seqLen` tokens, documents splitting across
+   * sequence boundaries — the causal-LM data layout, where
+   * [[packChunks]]'s greedy whole-doc fill is the no-split variant.
+   * Returns the span table (seq_id, orderCol, start_in_seq, n_toks): one
+   * row per (sequence, document) overlap — the exact recipe a writer
+   * needs to emit fixed-length rows with document-boundary masks.
+   *
+   * 100 TB shape: per-doc token counts fold through the two-phase
+   * parallel prefix ([[Cumulative.globalRunning]] — partition-count-sized
+   * state only), then a pure map + bounded explode (a doc overlaps
+   * ⌈n/seqLen⌉+1 sequences, so output rows ≤ docs + tokens/seqLen).
+   * Offsets use integer `div` end to end — exact at any stream length,
+   * where a double floor would lose token positions past 2^53.
+   * Zero-token docs contribute no spans.
+   */
+  def packSequences(df: DataFrame, orderCol: String, textCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val withTok = df.select(col(orderCol),
+      size(wsTokens(col(textCol))).cast("long").as("__tok__"))
+      .filter(col("__tok__") > 0)
+    val running = Cumulative.globalRunning(
+      withTok, Seq(graft.api.SortKey.asc(orderCol)), "sum",
+      Seq(("__tok__", "__cum__")))
+    running
+      .withColumn("__start__", col("__cum__") - col("__tok__"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"__start__ div $seqLen"),
+        expr(s"(__start__ + __tok__ - 1) div $seqLen"))))
+      .select(col("seq_id"), col(orderCol),
+        greatest(col("__start__") - col("seq_id") * seqLen, lit(0L))
+          .as("start_in_seq"),
+        (least((col("seq_id") + 1) * seqLen, col("__start__") + col("__tok__"))
+          - greatest(col("seq_id") * seqLen, col("__start__"))).as("n_toks"))
+  }
+
+  /**
    * Deterministic seeded shuffle + balanced sharding — the write-out step
    * of a training-data pipeline: training wants documents in a reproducible
    * random order, split into `numShards` equal shards (one per output file

@@ -763,7 +763,7 @@ object CorpusQueries {
         GROUP BY 1, 2 ORDER BY source, lang""")),
 
     // Trainable quality classifier (the DCLM/FineWeb-Edu model-filter
-    // stage): logistic regression over hashed-token tf features, fit by
+    // stage): logistic regression over hashed-token features, fit by
     // full-batch GD (dim 256, 30 steps, lr 2.0; weights rounded to 8dp per
     // step so the fit is an exact deterministic function of the corpus),
     // label = "long doc" (n_chars >= 300 — the one label this synthetic
@@ -804,7 +804,37 @@ object CorpusQueries {
                    AS pos
           FROM documents)
         SELECT doc_id, pos % 8 AS shard_id, pos // 8 AS pos_in_shard
-        FROM p ORDER BY doc_id""")))
+        FROM p ORDER BY doc_id""")),
+
+    // GPT-style concat-and-split packing: the corpus token stream cut
+    // into exact 1000-token sequences, docs splitting across boundaries;
+    // output = the (sequence, doc) span table. Integer-only → exact
+    // oracle (running sum + per-doc range unnest in DuckDB).
+    Q("q255_pack_sequences",
+      (s, dir) => Frame(Corpus.packSequences(
+        t(s, dir, "documents"), "doc_id", "text", seqLen = 1000L))
+        .sortValues(Seq(SortKey.asc("seq_id"), SortKey.asc("doc_id"))).df,
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, len(regexp_extract_all(trim(text), '\S+')) AS n
+          FROM documents),
+        nz AS (SELECT doc_id, n FROM tok WHERE n > 0),
+        run AS (
+          SELECT doc_id, n,
+                 CAST(sum(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+                   AS BIGINT) AS strt
+          FROM nz),
+        spans AS (
+          SELECT doc_id, n, strt,
+                 unnest(range(strt // 1000, (strt + n - 1) // 1000 + 1))
+                   AS seq_id
+          FROM run)
+        SELECT seq_id, doc_id,
+               greatest(strt - seq_id * 1000, 0) AS start_in_seq,
+               least((seq_id + 1) * 1000, strt + n)
+                 - greatest(seq_id * 1000, strt) AS n_toks
+        FROM spans ORDER BY seq_id, doc_id""")))
 
   /** The q252 oracle, with the GD recurrence unrolled `iters` times —
     * one (margins, gradient, weights) CTE triple per step, each the

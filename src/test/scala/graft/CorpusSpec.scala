@@ -232,6 +232,26 @@ class CorpusSpec extends SparkSuite {
     assert(out(0).getAs[Long]("n_removed") == 8L)
   }
 
+  test("packSequences splits docs across exact fixed-length boundaries") {
+    val d = docs(1L -> "a b c", 2L -> "d e", 3L -> "   ", 4L -> "f g h i")
+    val out = Corpus.packSequences(d, "id", "text", seqLen = 4L)
+      .orderBy("seq_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // stream: [a b c][d e][f g h i] = 9 tokens → seqs of 4: [0,4) [4,8) [8,9)
+    assert(out.toSeq == Seq(
+      (0L, 1L, 0L, 3L),  // doc1 fills seq0 positions 0-2
+      (0L, 2L, 3L, 1L),  // doc2 token 'd' finishes seq0
+      (1L, 2L, 0L, 1L),  // doc2 token 'e' opens seq1 — doc split across seqs
+      (1L, 4L, 1L, 3L),  // doc4 f,g,h
+      (2L, 4L, 0L, 1L))) // doc4 i spills into the final partial seq
+    // invariants: every full seq carries exactly seqLen tokens; per-doc
+    // span totals reassemble the doc; blank doc contributes nothing
+    val bySeq = out.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+    assert(bySeq(0L) == 4L && bySeq(1L) == 4L && bySeq(2L) == 1L)
+    assert(out.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap ==
+      Map(1L -> 3L, 2L -> 2L, 4L -> 4L))
+  }
+
   test("shuffleShard: balanced shards, valid permutation, seed-deterministic") {
     import spark.implicits._
     val d = (0L until 103L).map(i => (i, s"doc $i")).toDF("id", "text")
