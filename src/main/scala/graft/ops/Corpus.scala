@@ -651,6 +651,7 @@ object Corpus {
       Seq(graft.api.SortKey.asc("__sk__"), graft.api.SortKey.asc(idCol)))
     pos.select(col(idCol),
       (col(graft.api.Frame.RowOrder) % numShards).as("shard_id"),
-      floor(col(graft.api.Frame.RowOrder) / numShards).cast("long").as("pos_in_shard"))
+      // integer div, not a double floor — exact at any stream length
+      expr(s"`${graft.api.Frame.RowOrder}` div $numShards").as("pos_in_shard"))
   }
 }

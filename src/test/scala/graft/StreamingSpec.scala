@@ -374,6 +374,38 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static quality scoring: a doc stream scored by a batch-trained classifier equals batch") {
+    // the model-filter serving shape: the quality classifier is trained
+    // once in batch (a static dim+1-row weights frame), documents score
+    // at ingestion time. Same QualityModel.score code path — feature
+    // hashing + broadcast weights join + per-doc margin agg — fed a
+    // streaming frame with Complete output must reproduce batch exactly.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stage = Paths.get("/tmp/graft_stream/qc_docs")
+    Files.createDirectories(stage)
+    val src = new java.io.File(s"$sfDir/documents.parquet")
+    Files.copy(src.toPath, stage.resolve("part-0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val batchDocs = spark.read.parquet(stage.toString)
+    val labels = batchDocs.select(col("doc_id"),
+      when(col("n_chars") >= 300, 1.0).otherwise(0.0).as("y"))
+    val feats = graft.ops.QualityModel.hashedFeatures(batchDocs, "doc_id", "text", 64)
+    val w = graft.ops.QualityModel.trainLogReg(feats, labels, "doc_id",
+      64, iters = 5, lr = 2.0)
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+    val scored = graft.ops.QualityModel.score(stream, w, "doc_id", "text", 64)
+    val q = EventStream.runToMemory(scored, "qc_stream", OutputMode.Complete())
+    try {
+      val streamed = spark.table("qc_stream")
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+      val batch = graft.ops.QualityModel.score(batchDocs, w, "doc_id", "text", 64)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+      assert(streamed.count() > 0)
+      assertParity(streamed, batch)
+    } finally q.stop()
+  }
+
   test("map-only corpus ops run unchanged under streaming: chunking parity") {
     // chunkDocuments is stateless/map-only, so the SAME code path must
     // work as a streaming transform with Append output and produce
