@@ -654,4 +654,90 @@ object Corpus {
       // integer div, not a double floor — exact at any stream length
       expr(s"`${graft.api.Frame.RowOrder}` div $numShards").as("pos_in_shard"))
   }
+
+  /**
+   * UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151): given
+   * per-document token counts tagged with a domain/language column, a
+   * total token `budget`, and a per-domain repeat cap `maxEpochs`, split
+   * the budget as uniformly as possible across domains without repeating
+   * any domain more than `maxEpochs` times — the fairer alternative to
+   * temperature sampling ([[temperatureMixture]]) that never starves
+   * head domains to over-repeat tail ones.
+   *
+   * Water-filling in closed form: sort domains by capacity
+   * cap_d = maxEpochs·n_d ascending; with P_i = Σ caps before row i and
+   * m domains, the uniform level is u = max_i (budget − P_i)/(m − i + 1)
+   * and alloc_d = min(cap_d, u) — exactly the paper's sequential
+   * "allocate min(cap, remaining/left)" loop, but as two window passes
+   * over the |domains|-row aggregate (tiny by construction; the
+   * unpartitioned windows never see row-scale data). One count shuffle
+   * over the domain key is the only data-sized exchange.
+   *
+   * Returns (domain, n_tokens, cap, alloc, epochs = alloc/n_tokens).
+   */
+  def unimaxAllocation(df: DataFrame, domainCol: String, tokensCol: String,
+      budget: Long, maxEpochs: Double): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(maxEpochs > 0, s"maxEpochs must be positive: $maxEpochs")
+    val all = Window.partitionBy()
+    val byCap = Window.orderBy(col("cap").asc, col(domainCol).asc)
+    df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol))
+      .agg(sum(col(tokensCol)).cast("long").as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * maxEpochs)
+      .withColumn("__p__",
+        coalesce(sum(col("cap")).over(byCap.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0.0)))
+      .withColumn("__i__", row_number().over(byCap))
+      .withColumn("__m__", count(lit(1)).over(all))
+      .withColumn("__u__",
+        max((lit(budget.toDouble) - col("__p__")) /
+          (col("__m__") - col("__i__") + 1)).over(all))
+      .select(col(domainCol), col("n_tokens"), col("cap"),
+        least(col("cap"), col("__u__")).as("alloc"))
+      .withColumn("epochs", col("alloc") / col("n_tokens"))
+  }
+
+  /**
+   * UniMax sampling: materialize the [[unimaxAllocation]] plan as actual
+   * training rows. Each domain replays ⌊alloc/n_d⌋ full epochs (every doc,
+   * with an `epoch` index), plus one deterministic partial epoch: docs in
+   * md5(salt)-permuted order while their running token count fits the
+   * allocation remainder (the straddling doc is included — budgets are
+   * honored to document granularity, both engines agree on the rule).
+   *
+   * 100 TB shape: the allocation table is |domains| rows and broadcasts
+   * back onto the corpus; full-epoch replication is a map-side
+   * `array_repeat`+explode (zero exchanges); the partial-epoch running
+   * sum is [[Cumulative.groupedRunning]] — the hot-key-proof two-phase
+   * prefix, NOT a per-domain window, so one dominant domain (the usual
+   * English-web case) cannot serialize onto one task.
+   *
+   * Returns (domain, id, n_tokens, epoch) with epoch 0-based; the partial
+   * epoch is the last index.
+   */
+  def unimaxSample(df: DataFrame, domainCol: String, idCol: String,
+      tokensCol: String, budget: Long, maxEpochs: Double,
+      salt: String): DataFrame = {
+    val alloc = unimaxAllocation(df, domainCol, tokensCol, budget, maxEpochs)
+      .withColumn("__full__", floor(col("alloc") / col("n_tokens")).cast("int"))
+      .withColumn("__rem__", col("alloc") - col("__full__") * col("n_tokens"))
+      .select(col(domainCol).as("__dom__"), col("__full__"), col("__rem__"))
+    val tagged = df.filter(col(domainCol).isNotNull)
+      .select(col(domainCol), col(idCol), col(tokensCol).cast("long").as("n_tokens"))
+      .join(broadcast(alloc), col(domainCol) === col("__dom__"))
+    val fullEpochs = tagged.filter(col("__full__") >= 1)
+      .select(col(domainCol), col(idCol), col("n_tokens"),
+        posexplode(array_repeat(lit(1), col("__full__"))))
+      .select(col(domainCol), col(idCol), col("n_tokens"), col("pos").as("epoch"))
+    val hashed = tagged
+      .withColumn("__h__", md5(concat(lit(salt + ":"), col(idCol).cast("string"))))
+    val partial = Cumulative.groupedRunning(
+      hashed, Seq(domainCol),
+      Seq(graft.api.SortKey.asc("__h__"), graft.api.SortKey.asc(idCol)),
+      "sum", Seq(("n_tokens", "__cum__")))
+      .filter(col("__cum__") - col("n_tokens") < col("__rem__"))
+      .select(col(domainCol), col(idCol), col("n_tokens"), col("__full__").cast("int").as("epoch"))
+    fullEpochs.unionByName(partial)
+  }
 }

@@ -246,6 +246,55 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /**
+   * Cross-corpus fuzzy join (record linkage / entity resolution): MinHash-
+   * banded candidate pairs BETWEEN two tables, verified with the exact
+   * shingle-set Jaccard. The two-table sibling of [[minhashLshPairsMd5]]
+   * — same engine-portable md5 band keys ([[md5BandKeys]], so both sides
+   * band identically no matter which table a document lives in), same
+   * band-bucket equi-join discipline, but left ⋈ right instead of a
+   * self-join and no id ordering filter (ids come from different key
+   * spaces).
+   *
+   * This is the "which of these 10M new crawl docs already exist in the
+   * 10B-doc corpus" / "link these two entity tables on fuzzy names" shape:
+   * candidate volume is band-governed (linear in bucket sizes, never
+   * |L|×|R|), exchanges carry only (band, 8-byte key, id) until the
+   * verify, and the shingle arrays re-attach by id once per side — the
+   * same exchange-bytes argument as [[minhashLshPairs]]. When one side is
+   * dimension-sized its banded form broadcasts under AQE automatically.
+   */
+  def crossCorpusPairsMd5(
+      left: DataFrame, leftId: String, leftText: String,
+      right: DataFrame, rightId: String, rightText: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    def prep(df: DataFrame, id: String, text: String, outId: String, outSh: String) =
+      df.select(col(id).as(outId),
+        array_distinct(Text.shingles(col(text), shingleN)).as(outSh))
+    def banded(prepped: DataFrame, id: String, sh: String) =
+      prepped.select(col(id),
+        posexplode(md5BandKeys(col(sh), bands, rowsPerBand)))
+        .withColumnRenamed("pos", "__band__")
+        .withColumnRenamed("col", "__key__")
+        .select(col(id), col("__band__"), col("__key__"))
+    val lp = prep(left, leftId, leftText, "id_l", "__shl__")
+    val rp = prep(right, rightId, rightText, "id_r", "__shr__")
+    val candidates = banded(lp, "id_l", "__shl__")
+      .join(banded(rp, "id_r", "__shr__"), Seq("__band__", "__key__"))
+      .select("id_l", "id_r")
+      .distinct()
+    candidates
+      .join(lp, Seq("id_l"))
+      .join(rp, Seq("id_r"))
+      .select(col("id_l"), col("id_r"),
+        (size(array_intersect(col("__shl__"), col("__shr__"))).cast("double") /
+          size(array_union(col("__shl__"), col("__shr__"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Edit-distance-verified near-dup pairs: MinHash-banded candidate
     * generation (engine-portable md5 path, NO jaccard cutoff — every
     * banded collision survives to the verify) followed by an exact

@@ -18,10 +18,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
  */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
 
+  // float OR double elements, per side independently: fixture drops have
+  // re-typed columns between rounds (events.ts three times), so the vector
+  // kernels must not pin the storage width. Double input is consumed
+  // as-is (no lossy down-cast — parity with a double-reading oracle holds);
+  // float input upcasts exactly, as before.
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"graft_cosine requires (array<float>, array<float>), got (${l.catalogString}, ${r.catalogString})")
+      s"graft_cosine requires array<float|double> inputs, got (${l.catalogString}, ${r.catalogString})")
+  }
+
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
   }
   override def dataType: DataType = DoubleType
   // Can return NULL from non-null inputs (length mismatch, null array
@@ -46,8 +57,8 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (isDouble(left)) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (isDouble(right)) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
@@ -63,6 +74,8 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val getX = if (isDouble(left)) s"$x.getDouble($i)" else s"(double) $x.getFloat($i)"
+      val getY = if (isDouble(right)) s"$y.getDouble($i)" else s"(double) $y.getFloat($i)"
       s"""
          |if ($x.numElements() != $y.numElements()) { ${ev.isNull} = true; }
          |else {
@@ -71,8 +84,8 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
          |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
          |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; }
          |    else {
-         |      double $xi = (double) $x.getFloat($i);
-         |      double $yi = (double) $y.getFloat($i);
+         |      double $xi = $getX;
+         |      double $yi = $getY;
          |      $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |    }
          |  }

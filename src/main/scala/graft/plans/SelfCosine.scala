@@ -17,10 +17,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
  */
 case class SelfCosine(child: Expression) extends UnaryExpression {
 
+  // float OR double elements, matching CosineSim's widened contract (the
+  // rule must stay applicable to whatever vector width the fixture ships).
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"self_cosine requires array<float>, got ${other.catalogString}")
+      s"self_cosine requires array<float|double>, got ${other.catalogString}")
+  }
+
+  private def isDoubleElems: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
   }
   override def dataType: DataType = DoubleType
   // Null array elements yield NULL from a non-null input — declare it so
@@ -38,7 +45,7 @@ case class SelfCosine(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < n) {
       if (x.isNullAt(i)) return null // matches CosineSim's null-element rule
-      val xi = x.getFloat(i).toDouble
+      val xi = if (isDoubleElems) x.getDouble(i) else x.getFloat(i).toDouble
       na += xi * xi
       i += 1
     }
@@ -51,12 +58,13 @@ case class SelfCosine(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i")
       val na = ctx.freshName("na")
       val xi = ctx.freshName("xi")
+      val getX = if (isDoubleElems) s"$x.getDouble($i)" else s"(double) $x.getFloat($i)"
       s"""
          |final int $n = $x.numElements();
          |double $na = 0.0;
          |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
          |  if ($x.isNullAt($i)) { ${ev.isNull} = true; }
-         |  else { double $xi = (double) $x.getFloat($i); $na += $xi * $xi; }
+         |  else { double $xi = $getX; $na += $xi * $xi; }
          |}
          |if (!${ev.isNull}) {
          |  ${ev.value} = $na / (Math.sqrt($na) * Math.sqrt($na));

@@ -834,7 +834,90 @@ object CorpusQueries {
                greatest(strt - seq_id * 1000, 0) AS start_in_seq,
                least((seq_id + 1) * 1000, strt + n)
                  - greatest(seq_id * 1000, strt) AS n_toks
-        FROM spans ORDER BY seq_id, doc_id""")))
+        FROM spans ORDER BY seq_id, doc_id""")),
+
+    // UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151):
+    // water-filling a 30k-token budget across the 5 languages with a
+    // 1.5-epoch cap. At sf0.01 the four smaller languages cap out
+    // (epochs = 1.5) and `en` absorbs the remainder uncapped — both
+    // branches of min(cap, u) are exercised. The closed form (u = the
+    // max over prefix fair shares) is two window passes over the 5-row
+    // aggregate; the oracle replays it literally.
+    Q("q257_unimax_allocation",
+      (s, dir) => Frame(Corpus.unimaxAllocation(
+        t(s, dir, "documents")
+          .withColumn("n_tok", size(Corpus.wsTokens(col("text")))),
+        "lang", "n_tok", budget = 30000L, maxEpochs = 1.5)
+        .select(col("lang"), col("n_tokens"), col("cap"),
+          round(col("alloc"), 6).as("alloc"), round(col("epochs"), 6).as("epochs")))
+        .sortValues(Seq(SortKey.asc("lang"))).df,
+      Some("""
+        WITH nt AS (
+          SELECT lang, sum(len(regexp_extract_all(trim(text), '\S+')))::BIGINT AS n_tokens
+          FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+        c AS (
+          SELECT lang, n_tokens, n_tokens * 1.5 AS cap,
+                 row_number() OVER (ORDER BY n_tokens * 1.5, lang) AS i,
+                 coalesce(sum(n_tokens * 1.5) OVER (ORDER BY n_tokens * 1.5, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p,
+                 count(*) OVER () AS m
+          FROM nt),
+        u AS (SELECT max((30000 - p) / (m - i + 1)) AS u FROM c)
+        SELECT lang, n_tokens, cap, round(least(cap, u), 6) AS alloc,
+               round(least(cap, u) / n_tokens, 6) AS epochs
+        FROM c CROSS JOIN u ORDER BY lang""")),
+
+    // UniMax sampling: materialize the q257 plan as training rows — every
+    // capped language replays one full epoch (epoch 0) plus a
+    // deterministic md5-ordered partial half-epoch; `en` (uncapped,
+    // epochs ≈ 0.6) contributes a partial epoch only. The partial-epoch
+    // running token sum is the hot-key-proof grouped prefix
+    // (Cumulative.groupedRunning), not a per-language window.
+    Q("q258_unimax_sample",
+      (s, dir) => Frame(Corpus.unimaxSample(
+        t(s, dir, "documents")
+          .withColumn("n_tok", size(Corpus.wsTokens(col("text")))),
+        "lang", "doc_id", "n_tok", budget = 30000L, maxEpochs = 1.5,
+        salt = "s9")
+        .select(col("lang"), col("doc_id"), col("n_tokens"),
+          col("epoch").cast("long").as("epoch")))
+        .sortValues(Seq(SortKey.asc("lang"), SortKey.asc("doc_id"),
+          SortKey.asc("epoch"))).df,
+      Some("""
+        WITH nt AS (
+          SELECT lang, sum(len(regexp_extract_all(trim(text), '\S+')))::BIGINT AS n_tokens
+          FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+        c AS (
+          SELECT lang, n_tokens, n_tokens * 1.5 AS cap,
+                 row_number() OVER (ORDER BY n_tokens * 1.5, lang) AS i,
+                 coalesce(sum(n_tokens * 1.5) OVER (ORDER BY n_tokens * 1.5, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p,
+                 count(*) OVER () AS m
+          FROM nt),
+        u AS (SELECT max((30000 - p) / (m - i + 1)) AS u FROM c),
+        a AS (SELECT lang, n_tokens AS dn, least(cap, u) AS alloc
+              FROM c CROSS JOIN u),
+        f AS (SELECT lang, dn, CAST(floor(alloc / dn) AS BIGINT) AS fe,
+                     alloc - floor(alloc / dn) * dn AS rem FROM a),
+        d AS (SELECT lang, doc_id,
+                     len(regexp_extract_all(trim(text), '\S+'))::BIGINT AS n_tokens
+              FROM documents WHERE lang IS NOT NULL),
+        fullx AS (
+          SELECT d.lang, d.doc_id, d.n_tokens, unnest(range(f.fe)) AS epoch
+          FROM d JOIN f USING (lang)),
+        h AS (
+          SELECT d.lang, d.doc_id, d.n_tokens, f.fe, f.rem,
+                 md5('s9:' || d.doc_id) AS hk
+          FROM d JOIN f USING (lang)),
+        p AS (
+          SELECT lang, doc_id, n_tokens, fe AS epoch FROM (
+            SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY lang
+              ORDER BY hk, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+            FROM h) WHERE prev < rem)
+        SELECT lang, doc_id, n_tokens, epoch FROM fullx
+        UNION ALL SELECT lang, doc_id, n_tokens, epoch FROM p
+        ORDER BY lang, doc_id, epoch""")))
 
   /** The q252 oracle, with the GD recurrence unrolled `iters` times —
     * one (margins, gradient, weights) CTE triple per step, each the

@@ -46,7 +46,7 @@ object QueryKit {
     * unambiguous for any plausible fixture). Nanos convert with integer
     * division: they overflow double precision, so never `/ 1000.0`. */
   def normalizeTemporal(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.DateType
+    import org.apache.spark.sql.types.{DateType, IntegerType, StringType}
     val longsToFix = df.schema.fields
       .filter(f => f.dataType == LongType && TemporalLongNames(f.name)).map(_.name)
     // one sampled row decides each column's unit — a head(1), not a scan
@@ -64,8 +64,19 @@ object QueryKit {
             if (sample >= 100000000000000000L) expr(s"`${f.name}` DIV 1000") // nanos
             else if (sample >= 100000000000000L) col(f.name)                 // micros
             else if (sample >= 100000000000L) col(f.name) * 1000L            // millis
-            else col(f.name) * 1000000L                                      // seconds
+            else if (sample >= 100000000L) col(f.name) * 1000000L            // seconds
+            else col(f.name) * 86400000000L                                  // epoch days
           acc.withColumn(f.name, timestamp_micros(micros.cast("long")).cast("timestamp_ntz"))
+        case IntegerType if TemporalLongNames(f.name) =>
+          // int32 instant can only plausibly be epoch days (date32 read
+          // as raw int) or epoch seconds — same magnitude split as longs
+          acc.withColumn(f.name, timestamp_micros((col(f.name).cast("long") *
+            when(abs(col(f.name)) >= 100000000L, 1000000L).otherwise(86400000000L))
+            .cast("long")).cast("timestamp_ntz"))
+        case StringType if TemporalLongNames(f.name) =>
+          // ISO text drop: default to_timestamp patterns cover
+          // yyyy-MM-dd[ HH:mm:ss[.SSSSSS]] and the 'T' separator
+          acc.withColumn(f.name, to_timestamp(col(f.name)).cast("timestamp_ntz"))
         case TimestampType => acc.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
         case DateType => acc.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
         case _ => acc

@@ -272,4 +272,51 @@ class CorpusSpec extends SparkSuite {
     assert(c.map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq !=
       a.map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq)
   }
+
+  test("unimaxAllocation water-fills: caps bind, uncapped domains share equally") {
+    import spark.implicits._
+    // token counts: a=100, b=200, c=1000 — budget 600, maxEpochs 2
+    // caps [200, 400, 2000]; s = [200, 133.3, 0]: s1=600/3=200 ≥ cap_a →
+    // a capped at 200; s2=(600-200)/2=200 < cap_b=400 → u=200;
+    // allocs [200, 200, 200], epochs [2.0, 1.0, 0.2]
+    val d = Seq(("a", 100L), ("b", 200L), ("c", 1000L), (null, 50L))
+      .toDF("dom", "n")
+    val out = Corpus.unimaxAllocation(d, "dom", "n", budget = 600L, maxEpochs = 2.0)
+      .orderBy("dom").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(("a", 100L, 200.0, 2.0), ("b", 200L, 200.0, 1.0),
+      ("c", 1000L, 200.0, 0.2)), out.toSeq.toString)
+  }
+
+  test("unimaxAllocation: budget above total capacity caps every domain") {
+    import spark.implicits._
+    val d = Seq(("a", 100L), ("b", 300L)).toDF("dom", "n")
+    val out = Corpus.unimaxAllocation(d, "dom", "n", budget = 10000L, maxEpochs = 1.5)
+      .orderBy("dom").collect().map(r => (r.getString(0), r.getDouble(3)))
+    assert(out.toSeq == Seq(("a", 150.0), ("b", 450.0)))
+  }
+
+  test("unimaxSample: full epochs replay every doc; partial epoch honors the remainder") {
+    import spark.implicits._
+    // dom a: docs 1,2 with 50 tokens each (n_a=100); budget forces
+    // alloc_a = 150 → 1 full epoch + a 50-token partial = exactly one doc
+    // of the md5 permutation. dom b: 1000 tokens, alloc 150 → partial only.
+    val d = Seq(("a", 1L, 50L), ("a", 2L, 50L), ("b", 3L, 500L), ("b", 4L, 500L))
+      .toDF("dom", "id", "n")
+    val out = Corpus.unimaxSample(d, "dom", "id", "n",
+      budget = 300L, maxEpochs = 1.5, salt = "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    val aRows = out.filter(_._1 == "a")
+    // epoch 0 = both docs; epoch 1 = exactly one (50 of the 50-token remainder)
+    assert(aRows.count(_._3 == 0) == 2 && aRows.count(_._3 == 1) == 1, out.toSeq.toString)
+    // b gets no full epoch and one straddling doc in the partial epoch
+    val bRows = out.filter(_._1 == "b")
+    assert(bRows.length == 1 && bRows.head._3 == 0, out.toSeq.toString)
+    // deterministic: same salt, same rows
+    val again = Corpus.unimaxSample(d, "dom", "id", "n",
+      budget = 300L, maxEpochs = 1.5, salt = "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    assert(out.sortBy(x => (x._1, x._2, x._3)).toSeq ==
+      again.sortBy(x => (x._1, x._2, x._3)).toSeq)
+  }
 }

@@ -308,4 +308,28 @@ class DedupSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(loose.toSeq == Seq((1L, 2L, 5L)))
   }
+
+  test("crossCorpusPairsMd5 equals the self-join pairs restricted across the split") {
+    // Identity: banding is per-document (same md5 keys no matter which
+    // table a doc lives in), so cross-corpus pairs over a partition of one
+    // corpus must be EXACTLY the self-join pairs whose endpoints straddle
+    // the partition — same candidates, same exact-Jaccard verify.
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog today",
+      3L -> "the quick brown fox jumps over the lazy cat today",
+      4L -> "completely different words appear in this other document here",
+      5L -> "completely different words appear in this other document here")
+    val self = Dedup.minhashLshPairsMd5(d, "id", "text",
+      shingleN = 2, numHashes = 16, bands = 4, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a % 2 != b % 2 }
+      .map { case (a, b, j) => if (a % 2 == 0) (a, b, j) else (b, a, j) }.toSet
+    val cross = Dedup.crossCorpusPairsMd5(
+      d.filter(col("id") % 2 === 0), "id", "text",
+      d.filter(col("id") % 2 === 1), "id", "text",
+      shingleN = 2, numHashes = 16, bands = 4, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cross == self && cross.nonEmpty, s"cross=$cross self=$self")
+  }
 }

@@ -27,6 +27,35 @@ class QueryKitSpec extends SparkSuite {
     assert(tsOf(Seq(1700000000L).toDF("ts")) == usExpected)          // seconds
   }
 
+  test("epoch-day, int32, and ISO-string temporal drops normalize too") {
+    import spark.implicits._
+    val dayExpected = 19675L * 86400000000L // 2023-11-14 as epoch days → µs
+    assert(tsOf(Seq(19675L).toDF("ts")) == dayExpected)              // long days
+    assert(tsOf(Seq(19675).toDF("ts")) == dayExpected)               // int32 days
+    assert(tsOf(Seq(1700000000).toDF("ts")) == usExpected)           // int32 seconds
+    assert(tsOf(Seq("2023-11-14 22:13:20").toDF("ts")) == usExpected)
+    assert(tsOf(Seq("2023-11-14T22:13:20").toDF("ts")) == usExpected)
+    assert(tsOf(Seq("2023-11-14").toDF("ts")) == dayExpected)
+  }
+
+  test("vector kernels accept float and double embedding layouts alike") {
+    import spark.implicits._
+    val f = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f))).toDF("a", "b")
+    val d = Seq((Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0))).toDF("a", "b")
+    graft.plans.GraftExtensions.register(spark)
+    def cos(df: org.apache.spark.sql.DataFrame, l: String, r: String): Double =
+      df.select(call_function("graft_cosine", col(l), col(r))).head().getDouble(0)
+    val expect = 10.0 / 14.0 // (3+4+3) / (√14·√14)
+    assert(math.abs(cos(f, "a", "b") - expect) < 1e-12)
+    assert(math.abs(cos(d, "a", "b") - expect) < 1e-12)
+    // mixed widths (float corpus joined to double query vectors)
+    val m = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0, 2.0, 1.0))).toDF("a", "b")
+    assert(math.abs(cos(m, "a", "b") - expect) < 1e-12)
+    // self-cosine (what SelfCosineRule rewrites cos(a,a) into) on both widths
+    assert(math.abs(cos(f, "a", "a") - 1.0) < 1e-12)
+    assert(math.abs(cos(d, "a", "a") - 1.0) < 1e-12)
+  }
+
   test("timestamp and ntz columns pass through; frames without ts untouched") {
     import spark.implicits._
     val t = Seq(1700000000000000L).toDF("us")
