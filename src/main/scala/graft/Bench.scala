@@ -309,6 +309,13 @@ object ScaleDedupBench {
         maxDist = 5)),
       "jaccard" -> (dir => Dedup.jaccardPairs(
         docs(dir), "doc_id", "text", shingleN = 2, threshold = 0.3)),
+      // cross-corpus linkage over an id-parity split: both halves grow
+      // with the corpus, so the slope measures the two-table band join
+      // under the same duplication pressure as the self-join rows
+      "crosscorpus_md5" -> (dir => Dedup.crossCorpusPairsMd5(
+        docs(dir).filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        docs(dir).filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.2)),
       "neardup_drop_e2e" -> { dir =>
         val d = docs(dir)
         Dedup.dropNearDuplicates(d, "doc_id",
@@ -549,7 +556,15 @@ object ScaleCorpusBench {
         Corpus.shuffleShard(docs(dir), "doc_id", "sb", 64)),
       // parallel-prefix offsets + bounded explode (spans ≤ docs + toks/L)
       "pack_sequences" -> (dir =>
-        Corpus.packSequences(docs(dir), "doc_id", "text", 1000L)))
+        Corpus.packSequences(docs(dir), "doc_id", "text", 1000L)),
+      // broadcast allocation join + map-side full-epoch explode +
+      // groupedRunning partial-epoch prefix; budget fixed, so the cost
+      // that scales is tokenization + the skew-safe per-domain prefix
+      "unimax_sample" -> (dir =>
+        Corpus.unimaxSample(
+          docs(dir).withColumn("n_tok", size(Corpus.wsTokens(col("text")))),
+          "lang", "doc_id", "n_tok", budget = 1000000L, maxEpochs = 1.5,
+          salt = "ux")))
     docs(baseDir).queryExecution.toRdd.foreach(_ => ())
     docs(bigDir).queryExecution.toRdd.foreach(_ => ())
     // optional comma-separated op filter (same knob as the dedup bench):

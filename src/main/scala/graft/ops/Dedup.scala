@@ -295,6 +295,75 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /**
+   * Persisted LSH band index — the incremental-ingestion half of
+   * [[crossCorpusPairsMd5]]. At 100 TB the corpus's shingle/minhash pass
+   * is the expensive stage; re-running it for every arriving batch is
+   * O(corpus) per batch. Instead, materialize the banded keys ONCE
+   * ((band, 8-byte key, id) — a few dozen bytes/doc, ~10⁻³ of the text)
+   * and link each new batch against the stored index: per-batch cost
+   * becomes O(batch + matched buckets).
+   *
+   * `writeBandIndex` computes and writes the index partitioned by
+   * `__band__` (partition pruning applies when a probe targets specific
+   * bands); [[linkAgainstIndex]] bands only the BATCH side, joins it to
+   * the index on (band, key), and verifies candidates with the exact
+   * shingle-set Jaccard — corpus text is touched only for the matched
+   * candidate ids (one id-equi-join against the corpus scan, which at
+   * scale prunes to the candidate set via DPP/broadcast).
+   *
+   * Identity pinned in DedupSpec: linkAgainstIndex(batch, index(corpus))
+   * ≡ crossCorpusPairsMd5(batch, corpus) — the index is a pure
+   * materialization, not an approximation.
+   */
+  def writeBandIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, shingleN: Int = 3, numHashes: Int = 16,
+      bands: Int = 4): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    corpus.select(col(idCol),
+      array_distinct(Text.shingles(col(textCol), shingleN)).as("__sh__"))
+      .select(col(idCol).as("id_r"),
+        posexplode(md5BandKeys(col("__sh__"), bands, numHashes / bands)))
+      .withColumnRenamed("pos", "__band__")
+      .withColumnRenamed("col", "__key__")
+      .write.mode("overwrite").partitionBy("__band__").parquet(path)
+  }
+
+  /** Link a new batch against a [[writeBandIndex]] output. `corpus` must
+    * be the table the index was built from (its text re-attaches by id
+    * for the exact-Jaccard verify of matched candidates only). Same
+    * (shingleN, numHashes, bands) as the index build — the caller owns
+    * that contract, exactly as with any persisted index. */
+  def linkAgainstIndex(batch: DataFrame, batchId: String, batchText: String,
+      indexPath: String, corpus: DataFrame, corpusId: String,
+      corpusText: String, shingleN: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = batch.sparkSession
+    val lp = batch.select(col(batchId).as("id_l"),
+      array_distinct(Text.shingles(col(batchText), shingleN)).as("__shl__"))
+    val bandedL = lp.select(col("id_l"),
+      posexplode(md5BandKeys(col("__shl__"), bands, numHashes / bands)))
+      .withColumnRenamed("pos", "__band__")
+      .withColumnRenamed("col", "__key__")
+    val index = spark.read.parquet(indexPath)
+      // partitionBy wrote __band__ as a partition column (int), __key__
+      // stays binary; select in join-key order
+      .select(col("id_r"), col("__band__").cast("int"), col("__key__"))
+    val candidates = bandedL.join(index, Seq("__band__", "__key__"))
+      .select("id_l", "id_r")
+      .distinct()
+    val rp = corpus.select(col(corpusId).as("id_r"),
+      array_distinct(Text.shingles(col(corpusText), shingleN)).as("__shr__"))
+    candidates
+      .join(lp, Seq("id_l"))
+      .join(rp, Seq("id_r"))
+      .select(col("id_l"), col("id_r"),
+        (size(array_intersect(col("__shl__"), col("__shr__"))).cast("double") /
+          size(array_union(col("__shl__"), col("__shr__"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Edit-distance-verified near-dup pairs: MinHash-banded candidate
     * generation (engine-portable md5 path, NO jaccard cutoff — every
     * banded collision survives to the verify) followed by an exact

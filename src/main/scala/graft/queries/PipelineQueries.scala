@@ -333,6 +333,49 @@ object PipelineQueries {
           WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
         WHERE j >= 0.2 ORDER BY id_l, id_r""")),
 
+    // Incremental ingestion: the SAME linkage as q256, but the corpus
+    // (odd) side's band keys are materialized ONCE to a partitioned
+    // parquet index (Dedup.writeBandIndex) and the batch (even) side
+    // links against the stored index — per-batch cost O(batch + matched
+    // buckets), never O(corpus). Identical oracle SQL to q256 (the index
+    // is a pure materialization) with output ids swapped to match.
+    Q("q259_incremental_linkage",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val path = "/tmp/graft_io/band_index"
+        Dedup.writeBandIndex(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", path, shingleN = 3, numHashes = 16, bands = 4)
+        Frame(Dedup.linkAgainstIndex(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          path, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          shingleN = 3, numHashes = 16, bands = 4, threshold = 0.2)
+          .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard")))
+          .sortValues(Seq(SortKey.asc("id_l"), SortKey.asc("id_r"))).df
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) >= 3
+                      THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                          for i in range(1, len(w) - 1)])
+                      ELSE [array_to_string(w, ' ')] END AS sh
+          FROM (SELECT doc_id, regexp_extract_all(trim(lower(text)), '\S+') AS w
+                FROM documents)),
+        e AS (
+          SELECT doc_id, sh, b,
+                 unhex(substr(md5(array_to_string(
+                   [list_min([md5(CAST(b*4 + r AS VARCHAR) || ':' || s)
+                              for s in sh])
+                    for r in range(0, 4)], '|')), 1, 16)) AS key
+          FROM t CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(b))
+        SELECT DISTINCT id_l, id_r, round(j, 6) AS jaccard FROM (
+          SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+                 len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+          FROM e a JOIN e b ON a.b = b.b AND a.key = b.key
+          WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
+        WHERE j >= 0.2 ORDER BY id_l, id_r""")),
+
     // n-gram Jaccard near-dup with MinHash-banded candidates under an
     // engine-portable hash (md5 — both engines compute identical band
     // keys), so candidate generation AND the exact-Jaccard verify are

@@ -332,4 +332,28 @@ class DedupSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(cross == self && cross.nonEmpty, s"cross=$cross self=$self")
   }
+
+  test("linkAgainstIndex over a persisted band index equals the direct cross join") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog today",
+      3L -> "the quick brown fox jumps over the lazy cat today",
+      4L -> "completely different words appear in this other document here",
+      5L -> "completely different words appear in this other document here")
+    val batch = d.filter(col("id") % 2 === 0)
+    val corpus = d.filter(col("id") % 2 === 1)
+    val direct = Dedup.crossCorpusPairsMd5(batch, "id", "text",
+      corpus, "id", "text", shingleN = 2, numHashes = 16, bands = 4,
+      threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val path = java.nio.file.Files.createTempDirectory("graft_bandidx")
+      .resolve("idx").toString
+    Dedup.writeBandIndex(corpus, "id", "text", path,
+      shingleN = 2, numHashes = 16, bands = 4)
+    val viaIndex = Dedup.linkAgainstIndex(batch, "id", "text", path,
+      corpus, "id", "text", shingleN = 2, numHashes = 16, bands = 4,
+      threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIndex == direct && viaIndex.nonEmpty, s"index=$viaIndex direct=$direct")
+  }
 }
