@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types._
+import graft.api.{Frame, SortKey}
 import graft.streaming.EventStream
 import QueryKit._
 
@@ -194,5 +195,62 @@ object StreamingQueries {
         SELECT lang, count(*) AS n_kept, sum(doc_id)::BIGINT AS id_sum
         FROM documents
         WHERE doc_id NOT IN (SELECT doc_id FROM collided)
-        GROUP BY lang ORDER BY lang""")))
+        GROUP BY lang ORDER BY lang""")),
+
+    // Stream-static incremental linkage: the even-id half of `documents`
+    // arrives as a file-drop stream and probes the PERSISTED band index
+    // of the odd-id half (Dedup.writeBandIndex) via a STATELESS
+    // stream-static equi-join; the batch finisher dedupes candidate hits
+    // and verifies exact Jaccard. Same oracle as q256/q259 — streaming
+    // arrival must not change the linked set.
+    Q("q260_streaming_linkage",
+      (s, dir) => {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val stage = Paths.get(s"/tmp/graft_stream/q260_docs")
+        Files.createDirectories(stage)
+        Files.copy(Paths.get(s"$dir/documents.parquet"),
+          stage.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        val idxPath = "/tmp/graft_io/band_index_q260"
+        val docs = t(s, dir, "documents")
+        graft.ops.Dedup.writeBandIndex(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", idxPath, shingleN = 3, numHashes = 16, bands = 4)
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+          .filter(col("doc_id") % 2 === 0)
+        val claims = EventStream.linkClaimsAgainstIndex(stream, "doc_id", "text",
+          s.read.parquet(idxPath), shingleN = 3, numHashes = 16, bands = 4)
+        val query = EventStream.runToMemory(claims, "q260_claims_sink", OutputMode.Append())
+        try {
+          Frame(EventStream.linksFromClaims(s.table("q260_claims_sink"),
+            docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+            docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+            shingleN = 3, threshold = 0.2)
+            .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard")))
+            .sortValues(Seq(SortKey.asc("id_l"), SortKey.asc("id_r"))).df
+        } finally query.stop()
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) >= 3
+                      THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                          for i in range(1, len(w) - 1)])
+                      ELSE [array_to_string(w, ' ')] END AS sh
+          FROM (SELECT doc_id, regexp_extract_all(trim(lower(text)), '\S+') AS w
+                FROM documents)),
+        e AS (
+          SELECT doc_id, sh, b,
+                 unhex(substr(md5(array_to_string(
+                   [list_min([md5(CAST(b*4 + r AS VARCHAR) || ':' || s)
+                              for s in sh])
+                    for r in range(0, 4)], '|')), 1, 16)) AS key
+          FROM t CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(b))
+        SELECT DISTINCT id_l, id_r, round(j, 6) AS jaccard FROM (
+          SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+                 len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+          FROM e a JOIN e b ON a.b = b.b AND a.key = b.key
+          WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
+        WHERE j >= 0.2 ORDER BY id_l, id_r""")))
 }

@@ -336,6 +336,62 @@ object EventStream {
       }
   }
 
+  /**
+   * Stream-static incremental linkage (stage 1) — the ingestion-side twin
+   * of [[graft.ops.Dedup.linkAgainstIndex]]: each arriving document bands
+   * map-side into its engine-portable md5 band keys
+   * ([[graft.ops.Dedup.md5BandKeys]] — identical to the batch generator
+   * and the persisted index) and equi-joins the PERSISTED band index
+   * ([[graft.ops.Dedup.writeBandIndex]] output, loaded as a static
+   * DataFrame). A stream-static inner join is STATELESS — no watermark,
+   * no state store; per-micro-batch cost is O(batch + matched buckets),
+   * never O(corpus) — so this is the "is this arriving doc already in
+   * the 10B-doc corpus" probe that runs at ingestion rate.
+   *
+   * Emits (id_l, id_r) candidate hits, possibly repeated when several
+   * bands collide for one pair (streaming `distinct` would need
+   * unbounded state); [[linksFromClaims]] is the batch finisher that
+   * dedupes and exact-Jaccard-verifies — the same two-stage contract as
+   * [[nearDupBandClaims]]/[[keptFromClaims]].
+   */
+  def linkClaimsAgainstIndex(docs: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, shingleN: Int = 3, numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val banded = docs
+      .withColumn("__sh__",
+        array_distinct(graft.functions.Text.shingles(col(textCol), shingleN)))
+      .select(col(idCol).as("id_l"),
+        posexplode(graft.ops.Dedup.md5BandKeys(col("__sh__"), bands, numHashes / bands)))
+      .withColumnRenamed("pos", "__band__")
+      .withColumnRenamed("col", "__key__")
+    banded.join(
+      index.select(col("id_r"), col("__band__").cast("int"), col("__key__")),
+      Seq("__band__", "__key__"))
+      .select(col("id_l"), col("id_r"))
+  }
+
+  /** Stage-2 finisher over accumulated [[linkClaimsAgainstIndex]] hits (a
+    * batch job over the sink): dedupe candidate pairs, re-attach both
+    * sides' shingle sets by id, keep pairs at or above the exact-Jaccard
+    * threshold — byte-identical semantics to the batch
+    * [[graft.ops.Dedup.linkAgainstIndex]]. */
+  def linksFromClaims(claims: DataFrame,
+      batch: DataFrame, batchId: String, batchText: String,
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    def sh(df: DataFrame, id: String, text: String, outId: String, outSh: String) =
+      df.select(col(id).as(outId),
+        array_distinct(graft.functions.Text.shingles(col(text), shingleN)).as(outSh))
+    claims.distinct()
+      .join(sh(batch, batchId, batchText, "id_l", "__shl__"), Seq("id_l"))
+      .join(sh(corpus, corpusId, corpusText, "id_r", "__shr__"), Seq("id_r"))
+      .select(col("id_l"), col("id_r"),
+        (size(array_intersect(col("__shl__"), col("__shr__"))).cast("double") /
+          size(array_union(col("__shl__"), col("__shr__"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Stage-2 finisher over accumulated [[BandClaim]]s (a batch aggregate —
     * run it per sink table or inside foreachBatch): a document survives
     * iff it claimed all `bands` of its band buckets first. */

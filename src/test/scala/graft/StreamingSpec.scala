@@ -298,6 +298,52 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static linkage against a persisted band index equals the batch cross join") {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(s"/tmp/graft_stream/linkidx_${System.nanoTime()}")
+    val flat = root.resolve("stream")
+    Files.createDirectories(flat)
+    val docs = table("documents").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 2 === 1)
+    val batch = docs.filter(col("doc_id") % 2 === 0)
+    val idxPath = root.resolve("index").toString
+    graft.ops.Dedup.writeBandIndex(corpus, "doc_id", "text", idxPath,
+      shingleN = 3, numHashes = 16, bands = 4)
+    // two arbitrary-order drops: the join is stateless, so arrival order
+    // must not matter (unlike the keyed-state suppression test above)
+    val cuts = Seq((0L, 250L), (250L, Long.MaxValue))
+    cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
+      batch.filter(col("doc_id") >= lo && col("doc_id") < hi).coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve(s"drop$i").toString)
+    }
+    val schema = spark.read.parquet(root.resolve("drop0").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(flat.toString)
+    val claims = EventStream.linkClaimsAgainstIndex(stream, "doc_id", "text",
+      spark.read.parquet(idxPath), shingleN = 3, numHashes = 16, bands = 4)
+    val q = claims.writeStream.format("memory").queryName("linkidx_claims")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // reverse drop order on purpose — stateless join, order-free result
+      cuts.indices.reverse.foreach { i =>
+        val src = root.resolve(s"drop$i").toFile.listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.copy(src.toPath, flat.resolve(f"drop$i%02d.parquet"))
+        q.processAllAvailable()
+      }
+      val streamed = EventStream.linksFromClaims(spark.table("linkidx_claims"),
+        batch, "doc_id", "text", corpus, "doc_id", "text",
+        shingleN = 3, threshold = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val direct = graft.ops.Dedup.crossCorpusPairsMd5(
+        batch, "doc_id", "text", corpus, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == direct, s"streamed=${streamed.size} direct=${direct.size}")
+      assert(direct.nonEmpty, "fixture must contain cross-parity near-dups")
+    } finally q.stop()
+  }
+
   test("near-dup suppression state evicts after the horizon: a late re-crawl re-claims") {
     import java.nio.file.{Files, Paths}
     import spark.implicits._
