@@ -208,6 +208,78 @@ object WindowExtraQueries {
         GROUP BY a.event_id
         ORDER BY a.event_id""")),
 
+    // The remaining closed-form win_type windows pandas/scipy support
+    // without a free parameter: bartlett (triangular with ZERO endpoints
+    // — exact-integer arithmetic like q137), hamming and blackman
+    // (cosine-sum windows — the 7 weights are precomputed ONCE and
+    // embedded as identical double literals in the Spark plan and the
+    // oracle SQL, so no libm cos() divergence can leak in; only the
+    // Σw·v fold and one divide are computed at runtime, the q250
+    // float-compare exposure). Same one-exchange keyed window as q137.
+    Q("q261_rolling_win_types",
+      (s, dir) => {
+        val hamW = Seq(0.08000000000000002, 0.30999999999999994, 0.7699999999999999,
+          1.0, 0.7700000000000002, 0.30999999999999994, 0.08000000000000002)
+        val blaW = Seq(-1.3877787807814457e-17, 0.12999999999999995, 0.6299999999999999,
+          0.9999999999999999, 0.6300000000000002, 0.12999999999999995,
+          -1.3877787807814457e-17)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(-6, 0)
+        val centsArr = collect_list((col("value").cast("decimal(18,2)") * 100).cast("long")).over(w)
+        val vals = collect_list(col("value").cast("double")).over(w)
+        val cnt = size(vals)
+        // bartlett scaled ints [0,1,2,3,2,1,0], Σ=9; half-up 4dp division
+        val bart = aggregate(
+          zip_with(centsArr, sequence(lit(0), cnt - 1),
+            (c, i) => c * (lit(3) - abs(lit(3) - i))),
+          lit(0L), (acc, x) => acc + x)
+        val bart4 = floor((bart * 200 + 9) / 18) / lit(10000.0)
+        def cosWin(weights: Seq[Double], wsum: Double) = {
+          val warr = array(weights.map(lit): _*)
+          round(aggregate(
+            zip_with(vals, sequence(lit(0), cnt - 1),
+              (v, i) => v * element_at(warr, i.cast("int") + 1)),
+            lit(0.0), (acc, x) => acc + x) / wsum, 4)
+        }
+        Frame(t(s, dir, "events").select(
+          col("event_id"),
+          when(cnt >= 7, bart4).as("bartlett_mean"),
+          when(cnt >= 7, cosWin(hamW, 3.3200000000000007)).as("hamming_mean"),
+          when(cnt >= 7, cosWin(blaW, 2.52)).as("blackman_mean")))
+          .sortValues(Seq(SortKey.asc("event_id"))).df
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, value,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events)
+        SELECT a.event_id,
+               CASE WHEN count(*) >= 7
+                    THEN floor((200 * sum(b.c * (3 - abs(3 - (b.rn - a.rn + 6)))) + 9)
+                               / 18) / 10000.0
+               END AS bartlett_mean,
+               CASE WHEN count(*) >= 7
+                    THEN round(sum(b.value * list_extract(
+                           [0.08000000000000002, 0.30999999999999994,
+                            0.7699999999999999, 1.0, 0.7700000000000002,
+                            0.30999999999999994, 0.08000000000000002],
+                           (b.rn - a.rn + 6) + 1)) / 3.3200000000000007, 4)
+               END AS hamming_mean,
+               CASE WHEN count(*) >= 7
+                    THEN round(sum(b.value * list_extract(
+                           [-1.3877787807814457e-17, 0.12999999999999995,
+                            0.6299999999999999, 0.9999999999999999,
+                            0.6300000000000002, 0.12999999999999995,
+                            -1.3877787807814457e-17],
+                           (b.rn - a.rn + 6) + 1)) / 2.52, 4)
+               END AS blackman_mean
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 6 AND a.rn
+        GROUP BY a.event_id
+        ORDER BY a.event_id""")),
+
     // rolling corr/cov over a 10-row window per user (reference
     // rolling_corr/cov base QC:6715,6740) — Spark's corr/covar_samp are
     // window-capable aggregates, so this stays one shuffle on user_id.
