@@ -177,5 +177,45 @@ object AggExtraQueries {
         SELECT round((conc - disc) /
                  sqrt((ntot * (ntot - 1) / 2.0 - n1t)
                     * (ntot * (ntot - 1) / 2.0 - n2t)), 8) AS tau_qty_disc
-        FROM pairs, m, tx, ty""")))
+        FROM pairs, m, tx, ty""")),
+
+    // nunique at 100 TB without the cardinality-sized shuffle: the
+    // bottom-k (KMV) sketch (ops/Sketch) caps the per-group exchange at
+    // k longs — partial buffers merge like any algebraic aggregate, the
+    // sketch output is mergeable across persisted shards, and the
+    // estimator (k−1)·2⁶⁰/h₍ₖ₎ carries ~1/√k relative error. The hash
+    // is the portable md5 60-bit fold, so DuckDB replays the identical
+    // bottom-64 set and the identical closed-form double — hash-exact,
+    // not a tolerance check. ndv_exact rides along to show the error.
+    Q("q262_ndv_sketch",
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+        val sk = graft.ops.Sketch.ndvByGroup(ord, Seq("o_orderpriority"), "o_custkey", 64)
+        val exact = ord.groupBy(col("o_orderpriority"))
+          .agg(countDistinct(col("o_custkey")).as("ndv_exact"))
+        Frame(sk.join(exact, Seq("o_orderpriority")))
+          .sortValues(Seq(SortKey.asc("o_orderpriority"))).df
+      },
+      Some("""
+        WITH h AS (
+          SELECT o_orderpriority AS g,
+                 CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS UBIGINT) AS hv
+          FROM orders WHERE o_custkey IS NOT NULL),
+        d AS (SELECT DISTINCT g, hv FROM h),
+        r AS (SELECT g, hv,
+                     row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+              FROM d),
+        sk AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS sketch_size,
+                 CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                      ELSE floor((63.0 * 1152921504606846976.0
+                                  / max(CASE WHEN rn = 64 THEN hv END)) * 10) / 10
+                 END AS ndv_est
+          FROM r WHERE rn <= 64 GROUP BY g),
+        ex AS (SELECT o_orderpriority AS g,
+                      count(DISTINCT o_custkey) AS ndv_exact
+               FROM orders GROUP BY 1)
+        SELECT sk.g AS o_orderpriority, sk.sketch_size, sk.ndv_est, ex.ndv_exact
+        FROM sk JOIN ex USING (g)
+        ORDER BY 1""")))
 }
