@@ -33,26 +33,47 @@ object Pca {
 
   /** (i, j, cov) long-form POPULATION covariance matrix of the vector
     * column — the oracle-checkable distributed stage of [[fit]].
-    * One exchange of d² partial sums per task + one d-sized mean join. */
+    * One exchange of d² partial sums per task + one d-sized mean join.
+    *
+    * Determinism: a distributed double sum is order-dependent (the
+    * partition combine order differs run to run and engine to engine), so
+    * a value landing on a half-ulp rounding boundary of the displayed
+    * precision can flip between engines. Instead each component is
+    * quantized to integer units of 2⁻²⁰ — multiplying by a power of two is
+    * IEEE-exact and `floor` is unambiguous, so every engine derives the
+    * SAME long from the same double — and the moment sums run in exact
+    * integer (decimal) arithmetic, which is associative: any partition or
+    * combine order yields bit-identical totals. The single final division
+    * back into a double is a fixed expression tree of correctly-rounded
+    * IEEE ops over identical integers, hence bit-identical across engines.
+    * The 2⁻²⁰ quantization shifts each covariance by O(2⁻²⁰·|x|) — far
+    * below any use of the matrix (the eigensolve below, OPQ balancing). */
   def covarianceLong(df: DataFrame, vecCol: String): DataFrame = {
     val v = col(vecCol)
     val d = size(v)
-    // flat outer product: row-major (i*d + j) -> x_i * x_j
-    val outer = flatten(transform(v, x =>
-      transform(v, y => x.cast("double") * y.cast("double"))))
+    // integer units of 2^-20 (floor(x·2^20) is a LongType column)
+    val q = transform(v, x => floor(x.cast("double") * lit(1048576.0)))
+    // flat outer product of quantized components: row-major (i*d + j) ->
+    // q_i·q_j as exact decimal(37,0); sum -> decimal(38,0), associative
+    val outer = flatten(transform(q, x =>
+      transform(q, y => x.cast("decimal(18,0)") * y.cast("decimal(18,0)"))))
     val sums = df.select(posexplode(outer))
-      .groupBy(col("pos")).agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-    val dims = df.select(posexplode(v))
-      .groupBy(col("pos").as("i")).agg(avg(col("col").cast("double")).as("mu"))
+      .groupBy(col("pos")).agg(sum(col("col")).as("sxy"), count(lit(1)).as("n"))
+    val dims = df.select(posexplode(q))
+      .groupBy(col("pos").as("i"))
+      .agg(sum(col("col").cast("decimal(38,0)")).as("si"))
     val dim = df.select(d.as("d")).limit(1)
+    val nD = col("n").cast("double")
     sums.crossJoin(broadcast(dim))
       .select((col("pos") / col("d")).cast("int").as("i"),
         pmod(col("pos"), col("d")).cast("int").as("j"),
-        col("s"), col("n"))
+        col("sxy"), col("n"))
       .join(broadcast(dims), Seq("i"))
-      .join(broadcast(dims.select(col("i").as("j"), col("mu").as("mu_j"))), Seq("j"))
+      .join(broadcast(dims.select(col("i").as("j"), col("si").as("sj"))), Seq("j"))
       .select(col("i"), col("j"),
-        (col("s") / col("n") - col("mu") * col("mu_j")).as("cov"))
+        ((col("sxy").cast("double") / nD
+          - (col("si").cast("double") / nD) * (col("sj").cast("double") / nD))
+          / lit(1099511627776.0)).as("cov")) // 2^40 undoes the quantization
   }
 
   /** Cyclic Jacobi eigensolver for a symmetric matrix (in-place on a

@@ -817,11 +817,13 @@ object PipelineQueries {
 
     // Distributed PCA stage (ops/Pca): the long-form population covariance
     // of the embedding cloud — per-row outer products map-side-combine to
-    // d² partials per task, so the exchange is tasks×d² doubles no matter
+    // d² partials per task, so the exchange is tasks×d² partials no matter
     // the corpus size; only the d×d matrix ever reaches the driver (where
     // the 64×64 Jacobi eigensolve runs — PcaSpec pins eigenpairs,
     // orthonormality, and whitening). The oracle replays the first 12×12
-    // block's moments.
+    // block's moments with the SAME 2^-20 integer quantization, so both
+    // engines accumulate bit-identical (associative) integer sums and the
+    // final double is deterministic — no half-ulp rounding flips.
     Q("q248_embedding_covariance",
       (s, dir) => Frame(graft.ops.Pca.covarianceLong(
           t(s, dir, "embeddings"), "embedding")
@@ -832,17 +834,19 @@ object PipelineQueries {
       Some("""
         WITH e AS (
           SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-                 unnest(embedding)::DOUBLE AS x
+                 CAST(floor(unnest(embedding)::DOUBLE * 1048576) AS BIGINT) AS qx
           FROM embeddings),
         f AS (SELECT * FROM e WHERE i < 12),
-        n AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
-        mu AS (SELECT i, avg(x) AS mu FROM f GROUP BY 1)
-        SELECT a.i AS i, b.i AS j,
-               round(sum(a.x * b.x) / any_value(n.n)
-                 - any_value(ma.mu) * any_value(mb.mu), 6) AS cov
-        FROM f a JOIN f b USING (vec_id)
-        CROSS JOIN n
-        JOIN mu ma ON ma.i = a.i
-        JOIN mu mb ON mb.i = b.i
-        GROUP BY a.i, b.i ORDER BY a.i, b.i""")))
+        n AS (SELECT count(*)::DOUBLE AS nn FROM embeddings),
+        s AS (SELECT i, sum(qx)::DOUBLE AS si FROM f GROUP BY 1),
+        xy AS (SELECT a.i AS i, b.i AS j,
+                      sum(a.qx::HUGEINT * b.qx::HUGEINT)::DOUBLE AS sxy
+               FROM f a JOIN f b USING (vec_id) GROUP BY 1, 2)
+        SELECT xy.i::BIGINT AS i, xy.j::BIGINT AS j,
+               round((sxy / n.nn - (sa.si / n.nn) * (sb.si / n.nn))
+                     / 1099511627776.0, 6) AS cov
+        FROM xy CROSS JOIN n
+        JOIN s sa ON sa.i = xy.i
+        JOIN s sb ON sb.i = xy.j
+        ORDER BY 1, 2""")))
 }
