@@ -34,6 +34,10 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     case ArrayType(DoubleType, _) => true
     case _ => false
   }
+  // element-type dispatch resolved once per expression instance — the
+  // interpreted eval reads these inside its per-element loop
+  @transient private lazy val leftIsDouble = isDouble(left)
+  @transient private lazy val rightIsDouble = isDouble(right)
   override def dataType: DataType = DoubleType
   // Can return NULL from non-null inputs (length mismatch, null array
   // element) — must be declared, or with non-nullable children codegen
@@ -57,8 +61,8 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xi = if (isDouble(left)) x.getDouble(i) else x.getFloat(i).toDouble
-      val yi = if (isDouble(right)) y.getDouble(i) else y.getFloat(i).toDouble
+      val xi = if (leftIsDouble) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (rightIsDouble) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }

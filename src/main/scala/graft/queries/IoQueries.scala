@@ -21,10 +21,8 @@ import QueryKit._
  */
 object IoQueries {
 
-  private def tmp(s: SparkSession, name: String): String = {
-    val dir = s"/tmp/graft_io/$name"
-    dir
-  }
+  private def tmp(fixtureDir: String, name: String): String =
+    QueryKit.scratch("/tmp/graft_io", fixtureDir, name)
 
   val all: Seq[Q] = Seq(
 
@@ -35,7 +33,7 @@ object IoQueries {
         val src = t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             col("o_totalprice"), col("o_orderpriority"))
-        val path = tmp(s, "orders_csv")
+        val path = tmp(dir, "orders_csv")
         src.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
         val back = s.read
           .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderpriority STRING")
@@ -54,7 +52,7 @@ object IoQueries {
       (s, dir) => {
         val src = t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
-        val path = tmp(s, "lineitem_json")
+        val path = tmp(dir, "lineitem_json")
         src.write.mode(SaveMode.Overwrite).json(path)
         val back = s.read
           .schema("l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag STRING")
@@ -91,7 +89,7 @@ object IoQueries {
     Q("q12_orc_roundtrip",
       (s, dir) => {
         val src = t(s, dir, "customer")
-        val path = tmp(s, "customer_orc")
+        val path = tmp(dir, "customer_orc")
         src.write.mode(SaveMode.Overwrite).orc(path)
         val back = s.read.orc(path)
         Frame(back.groupBy(col("c_mktsegment"))
@@ -109,7 +107,7 @@ object IoQueries {
     Q("q13_parquet_roundtrip",
       (s, dir) => {
         val src = t(s, dir, "part")
-        val path = tmp(s, "part_parquet")
+        val path = tmp(dir, "part_parquet")
         // repartition on the partition column before partitionBy: without
         // it every task writes every brand (tasks×brands small files —
         // the classic small-file explosion at scale); with it each brand
@@ -143,13 +141,13 @@ object IoQueries {
       (s, dir) => {
         val src = t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        val tpath = tmp(s, "orders_tsv")
+        val tpath = tmp(dir, "orders_tsv")
         src.write.mode(SaveMode.Overwrite)
           .option("sep", "\t").option("header", "true").csv(tpath)
         val tback = s.read
           .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
           .option("sep", "\t").option("header", "true").csv(tpath)
-        val fpath = tmp(s, "orders_fwf")
+        val fpath = tmp(dir, "orders_fwf")
         // field widths sized for the full domain (20 ≥ any long's 19
         // digits + sign, 24 ≥ any %.2f double) — java's Formatter WIDENS
         // overflowing fields rather than truncating, which would silently
@@ -182,7 +180,7 @@ object IoQueries {
       (s, dir) => {
         val src = t(s, dir, "nation")
           .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
-        val path = tmp(s, "nation_xml")
+        val path = tmp(dir, "nation_xml")
         src.write.mode(SaveMode.Overwrite)
           .option("rowTag", "nation").format("xml").save(path)
         val back = s.read
@@ -208,7 +206,7 @@ object IoQueries {
         val src = t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
             col("l_extendedprice"))
-        val path = tmp(s, "lineitem_zorder")
+        val path = tmp(dir, "lineitem_zorder")
         graft.ops.Scale.writeZOrdered(src, path, Seq("l_orderkey", "l_partkey"),
           bitsPerDim = 8, numFiles = Some(8))
         val back = s.read.parquet(path)
@@ -235,7 +233,7 @@ object IoQueries {
       (s, dir) => {
         val src = t(s, dir, "customer")
           .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-        val path = tmp(s, "cust_xlsx")
+        val path = tmp(dir, "cust_xlsx")
         new java.io.File(path).mkdirs()
         graft.sources.Excel.write(src, s"$path/customer.xlsx")
         val back = graft.sources.Excel.read(s, s"$path/customer.xlsx")
@@ -258,7 +256,7 @@ object IoQueries {
       (s, dir) => {
         val src = t(s, dir, "supplier")
           .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"), col("s_name"))
-        val path = tmp(s, "supp_feather")
+        val path = tmp(dir, "supp_feather")
         new java.io.File(path).mkdirs()
         graft.sources.ArrowIpc.writeFeather(src, s"$path/supplier.arrow")
         val back = graft.sources.ArrowIpc.readFeather(s, s"$path/supplier.arrow")
@@ -284,7 +282,7 @@ object IoQueries {
       (s, dir) => {
         val src = t(s, dir, "nation")
           .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
-        val path = tmp(s, "nation_html")
+        val path = tmp(dir, "nation_html")
         val d = new java.io.File(path)
         d.mkdirs()
         d.listFiles().filter(_.getName.endsWith(".html")).foreach(_.delete())
@@ -316,7 +314,7 @@ object IoQueries {
         val src = t(s, dir, "region")
           .join(t(s, dir, "nation"), col("r_regionkey") === col("n_regionkey"))
           .select(col("n_nationkey"), col("n_name"), col("r_name"))
-        val path = tmp(s, "nation_dta")
+        val path = tmp(dir, "nation_dta")
         new java.io.File(path).mkdirs()
         graft.sources.Stata.write(src, s"$path/nations.dta")
         val back = graft.sources.Stata.read(s, s"$path/nations.dta")
@@ -345,7 +343,7 @@ object IoQueries {
         val src = t(s, dir, "supplier")
           .select(col("s_suppkey").as("SUPPKEY"),
             col("s_nationkey").as("NATKEY"), col("s_acctbal").as("ACCTBAL"))
-        val path = tmp(s, "supp_xpt")
+        val path = tmp(dir, "supp_xpt")
         new java.io.File(path).mkdirs()
         graft.sources.SasXport.write(src, s"$path/supplier.xpt")
         val back = graft.sources.SasXport.read(s, s"$path/supplier.xpt")
@@ -375,7 +373,7 @@ object IoQueries {
         val src = t(s, dir, "customer")
           .select(col("c_custkey").as("CUSTKEY"),
             col("c_mktsegment").as("SEGMENT"), col("c_acctbal").as("ACCTBAL"))
-        val path = tmp(s, "cust_sav")
+        val path = tmp(dir, "cust_sav")
         new java.io.File(path).mkdirs()
         graft.sources.Spss.write(src, s"$path/customer.sav")
         val back = graft.sources.Spss.read(s, s"$path/customer.sav")

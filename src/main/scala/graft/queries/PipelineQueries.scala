@@ -342,7 +342,7 @@ object PipelineQueries {
     Q("q259_incremental_linkage",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val path = "/tmp/graft_io/band_index"
+        val path = QueryKit.scratch("/tmp/graft_io", dir, "band_index")
         Dedup.writeBandIndex(docs.filter(col("doc_id") % 2 === 1),
           "doc_id", "text", path, shingleN = 3, numHashes = 16, bands = 4)
         Frame(Dedup.linkAgainstIndex(
@@ -734,7 +734,7 @@ object PipelineQueries {
     Q("q160_streaming_dedup",
       (s, dir) => {
         import java.nio.file.{Files, Paths, StandardCopyOption}
-        val stage = Paths.get(s"/tmp/graft_stream/q160_docs")
+        val stage = Paths.get(QueryKit.scratch("/tmp/graft_stream", dir, "q160_docs"))
         Files.createDirectories(stage)
         Files.copy(Paths.get(s"$dir/documents.parquet"),
           stage.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)

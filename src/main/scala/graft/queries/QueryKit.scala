@@ -47,19 +47,27 @@ object QueryKit {
     * division: they overflow double precision, so never `/ 1000.0`. */
   def normalizeTemporal(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{DateType, IntegerType, StringType}
-    val longsToFix = df.schema.fields
-      .filter(f => f.dataType == LongType && TemporalLongNames(f.name)).map(_.name)
-    // one sampled row decides each column's unit — a head(1), not a scan
+    val intsToFix = df.schema.fields
+      .filter(f => (f.dataType == LongType || f.dataType == IntegerType) &&
+        TemporalLongNames(f.name)).map(_.name)
+    // one sampled row decides each column's unit — a head(1), not a scan;
+    // int columns sample through the same path so every instant column
+    // gets ONE unit, never a per-row split
     val sampled: Map[String, Long] =
-      if (longsToFix.isEmpty) Map.empty
-      else df.select(longsToFix.map(col): _*)
-        .filter(longsToFix.map(col(_).isNotNull).reduce(_ && _)).head(1)
-        .headOption.map(r => longsToFix.map(c => c ->
+      if (intsToFix.isEmpty) Map.empty
+      else df.select(intsToFix.map(c => col(c).cast("long").as(c)): _*)
+        .filter(intsToFix.map(col(_).isNotNull).reduce(_ && _)).head(1)
+        .headOption.map(r => intsToFix.map(c => c ->
           math.abs(r.getLong(r.fieldIndex(c)))).toMap).getOrElse(Map.empty)
     df.schema.fields.foldLeft(df) { (acc, f) =>
       f.dataType match {
         case LongType if sampled.contains(f.name) =>
           val sample = sampled(f.name)
+          // blind spot, documented: the days fallback (sample < 1e8)
+          // swallows genuine epoch-SECONDS instants before ~1973-03 (and
+          // any pre-epoch negative seconds). Every fixture drop so far is
+          // 2020s data (~1.7e9 s), four orders above the boundary; a
+          // pre-1973 fixture would need an explicit unit hint here.
           val micros =
             if (sample >= 100000000000000000L) expr(s"`${f.name}` DIV 1000") // nanos
             else if (sample >= 100000000000000L) col(f.name)                 // micros
@@ -67,12 +75,13 @@ object QueryKit {
             else if (sample >= 100000000L) col(f.name) * 1000000L            // seconds
             else col(f.name) * 86400000000L                                  // epoch days
           acc.withColumn(f.name, timestamp_micros(micros.cast("long")).cast("timestamp_ntz"))
-        case IntegerType if TemporalLongNames(f.name) =>
+        case IntegerType if sampled.contains(f.name) =>
           // int32 instant can only plausibly be epoch days (date32 read
-          // as raw int) or epoch seconds — same magnitude split as longs
+          // as raw int) or epoch seconds — same magnitude split as longs,
+          // decided once per column from the sampled row
+          val unit = if (sampled(f.name) >= 100000000L) 1000000L else 86400000000L
           acc.withColumn(f.name, timestamp_micros((col(f.name).cast("long") *
-            when(abs(col(f.name)) >= 100000000L, 1000000L).otherwise(86400000000L))
-            .cast("long")).cast("timestamp_ntz"))
+            lit(unit)).cast("long")).cast("timestamp_ntz"))
         case StringType if TemporalLongNames(f.name) =>
           // ISO text drop: default to_timestamp patterns cover
           // yyyy-MM-dd[ HH:mm:ss[.SSSSSS]] and the 'T' separator
@@ -83,6 +92,13 @@ object QueryKit {
       }
     }
   }
+
+  /** Per-fixture scratch path: `<base>/<sanitized fixture dir>/<name>`, so
+    * two concurrent runs against different fixture dirs (e.g. the sf0.01
+    * gate and an sf0.1 self-run) never clobber each other's staged files
+    * or persisted indexes mid-query. */
+  def scratch(base: String, fixtureDir: String, name: String): String =
+    s"$base/${fixtureDir.replaceAll("[^A-Za-z0-9._-]", "_")}/$name"
 
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     // TIMESTAMP(NANOS) parquet is unreadable by Spark's vectorized reader

@@ -154,7 +154,7 @@ object StreamingQueries {
     Q("q232_streaming_neardup",
       (s, dir) => {
         import java.nio.file.{Files, Paths, StandardCopyOption}
-        val stage = Paths.get(s"/tmp/graft_stream/q232_docs")
+        val stage = Paths.get(QueryKit.scratch("/tmp/graft_stream", dir, "q232_docs"))
         Files.createDirectories(stage)
         Files.copy(Paths.get(s"$dir/documents.parquet"),
           stage.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
@@ -206,11 +206,11 @@ object StreamingQueries {
     Q("q260_streaming_linkage",
       (s, dir) => {
         import java.nio.file.{Files, Paths, StandardCopyOption}
-        val stage = Paths.get(s"/tmp/graft_stream/q260_docs")
+        val stage = Paths.get(QueryKit.scratch("/tmp/graft_stream", dir, "q260_docs"))
         Files.createDirectories(stage)
         Files.copy(Paths.get(s"$dir/documents.parquet"),
           stage.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
-        val idxPath = "/tmp/graft_io/band_index_q260"
+        val idxPath = QueryKit.scratch("/tmp/graft_io", dir, "band_index_q260")
         val docs = t(s, dir, "documents")
         graft.ops.Dedup.writeBandIndex(docs.filter(col("doc_id") % 2 === 1),
           "doc_id", "text", idxPath, shingleN = 3, numHashes = 16, bands = 4)
