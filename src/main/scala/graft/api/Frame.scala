@@ -744,6 +744,35 @@ final case class Frame(
     if (nulls > 1) false else n == d + nulls
   }
 
+  /** pandas `df.nunique(axis=0)` as a long-form (column, nunique) frame,
+    * nulls excluded (dropna=True). `approx <= 0` is exact: ONE aggregate
+    * row of countDistinct per column (Spark expands multi-distinct into
+    * one pass), melted to long form. `approx = k` switches to the
+    * bottom-k KMV sketch ([[graft.ops.Sketch]]): the table melts once to
+    * (column, 60-bit hash) pairs and a single bounded aggregate keeps the
+    * k smallest hashes per column — the exchange is ≤ k longs per column
+    * per task REGARDLESS of cardinality, where exact countDistinct must
+    * shuffle every distinct value. The estimate is EXACT (the sketch
+    * holds every hash) whenever a column's true NDV is below k. */
+  def nunique(cols: Seq[String], approx: Int = 0): Frame =
+    if (approx <= 0) {
+      val aggs = cols.map(c => countDistinct(col(c)).as(c))
+      Frame(df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c =>
+          struct(lit(c).as("column"), col(c).cast("double").as("nunique"))): _*)).as("p"))
+        .select(col("p.column").as("column"), col("p.nunique").as("nunique")))
+    } else {
+      import graft.ops.Sketch
+      val pairs = df
+        .select(explode(array(cols.map(c =>
+          struct(lit(c).as("column"), Sketch.hash60(col(c)).as("h"))): _*)).as("p"))
+        .select(col("p.column").as("column"), col("p.h").as("__h60"))
+        .filter(col("__h60").isNotNull)
+      Frame(pairs.groupBy(col("column"))
+        .agg(Sketch.estimate(Sketch.bottomKAgg(col("__h60"), approx), approx)
+          .as("nunique")))
+    }
+
   /** memory_usage (reference base QC / DataFrame.memory_usage — pandas
     * reports per-block nbytes). There is no block model here, so the
     * documented analog is the Tungsten UnsafeRow footprint per column:

@@ -55,6 +55,26 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
     agg(exprs: _*)
   }
 
+  /** pandas `groupby.nunique()` on one column, nulls excluded. `approx <=
+    * 0` is exact countDistinct (shuffles every distinct (group, value)
+    * pair — fine at dimension scale, cardinality-bound at 100 TB).
+    * `approx = k` rides the bottom-k KMV sketch ([[graft.ops.Sketch]]):
+    * map-side buffers cap at k longs per group per task, so the exchange
+    * is independent of the value column's cardinality, and the estimate
+    * (relative error ~1/√k) is EXACT whenever the group's true NDV is
+    * below k. */
+  def nunique(column: String, as: String, approx: Int = 0): Frame =
+    if (approx <= 0) agg(as -> countDistinct(col(column)))
+    else {
+      import graft.ops.Sketch
+      Frame(df.filter(col(column).isNotNull)
+        .select(kcols :+ Sketch.hash60(col(column)).as("__h60"): _*)
+        .groupBy(kcols: _*)
+        .agg(Sketch.estimate(Sketch.bottomKAgg(col("__h60"), approx), approx)
+          .as(as)),
+        indexCols = keys)
+    }
+
   // -------------------------------------------------------------------
   // window-based per-group ops: one shuffle on keys, order within group
   // -------------------------------------------------------------------

@@ -81,4 +81,23 @@ class SketchSpec extends SparkSuite {
     assert(run(2) == run(7))
     assert(run(7) == run(7))
   }
+
+  test("GroupBy.nunique(approx=k) is exact below k and matches exact mode there") {
+    val df = (1 to 90).map(i => (s"g${i % 3}", i % 25)).toDF("g", "v")
+    val exact = graft.api.Frame(df).groupby("g").nunique("v", "ndv")
+      .df.orderBy("g").collect().map(r => r.getString(0) -> r.getLong(1).toDouble)
+    val approx = graft.api.Frame(df).groupby("g").nunique("v", "ndv", approx = 64)
+      .df.orderBy("g").collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(approx.toSeq == exact.toSeq) // every group's NDV < k=64 -> exact
+  }
+
+  test("Frame.nunique long form: exact mode counts, approx=k exact below k") {
+    val df = (1 to 50).map(i => (i % 7, s"s${i % 11}")).toDF("a", "b")
+    val exact = graft.api.Frame(df).nunique(Seq("a", "b"))
+      .df.orderBy("column").collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(exact.toSeq == Seq("a" -> 7.0, "b" -> 11.0))
+    val approx = graft.api.Frame(df).nunique(Seq("a", "b"), approx = 32)
+      .df.orderBy("column").collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(approx.toSeq == exact.toSeq)
+  }
 }
