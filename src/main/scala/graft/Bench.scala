@@ -382,7 +382,7 @@ object ScaleDedupBench {
     // optional comma-separated op filter: re-measure one op after a fix
     // without re-running the (expensive) full family
     val only = sys.env.get("SPARK_GRAFT_SCALE_OPS")
-      .map(_.split(",").toSet).getOrElse(ops.map(_._1).toSet)
+      .map(_.split(",").toSet).getOrElse(ops.map(_._1).toSet + "band_index")
     val opsRun = ops.filter { case (n, _) => only(n) }
 
     // row ratios are measured, not assumed — and PER TABLE: the dup
@@ -410,6 +410,29 @@ object ScaleDedupBench {
     }.mkString("{", ",", "}")
     val fl = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"scale_slope_dedup","factor":$factor,"dup_pct":$dupPct,"row_ratio_docs":$docRatio,"row_ratio_emb":$embRatio,"queries":$qs,"flagged":$fl,"base":"$baseDir"}""")
+
+    // Persisted band index asymmetry — the feature's entire point: index
+    // BUILD grows with the corpus (one banding pass, expected slope ≈ 1),
+    // while LINKING a constant-size arriving batch against the stored
+    // index must cost O(batch + matched buckets), NOT O(corpus) — so the
+    // link ratio across a factor× corpus should stay near 1, far below
+    // the corpus growth. Batch = the 1× documents table in both runs.
+    if (only("band_index")) {
+      val batch = docs(oneDir)
+      def measure(dir: String, tag: String): (Double, Double) = {
+        val path = s"/tmp/graft_scale_dedup/band_index_$tag"
+        val build = ScaleBench.minTime(2)(Dedup.writeBandIndex(
+          docs(dir), "doc_id", "text", path, shingleN = 3, numHashes = 16, bands = 4))
+        val link = ScaleBench.minTime(2)(Dedup.linkAgainstIndex(
+          batch, "doc_id", "text", path, docs(dir), "doc_id", "text",
+          shingleN = 3, numHashes = 16, bands = 4, threshold = 0.2)
+          .queryExecution.toRdd.foreach(_ => ()))
+        (build, link)
+      }
+      val (b1, l1) = measure(oneDir, "x1")
+      val (bf, lf) = measure(bigDir, s"x$factor")
+      println(f"""{"metric":"band_index_asymmetry","factor":$factor,"corpus_ratio":$docRatio%.3f,"build_base":$b1%.3f,"build_scaled":$bf%.3f,"build_slope":${(bf / b1) / docRatio}%.3f,"link_base":$l1%.3f,"link_scaled":$lf%.3f,"link_ratio":${lf / l1}%.3f,"base":"$baseDir"}""")
+    }
     spark.stop()
   }
 }

@@ -199,21 +199,49 @@ object Dedup {
       rowsPerBand = numHashes / bands)
   }
 
+  /** One md5 digest (32 hex chars) per shingle — the ONLY md5 work that
+    * scales with shingle volume. Every MinHash order derives from this
+    * digest via [[md5BandKeysFromDigests]] rotation lanes, so the
+    * per-shingle hash cost is constant in numHashes (it used to be one
+    * md5 per shingle PER HASH — numHashes× the work). Project this into a
+    * column BEFORE banding so the digest array is provably computed once
+    * (CollapseProject keeps a multi-referenced non-cheap alias
+    * materialized). DuckDB twin: `md5(s)`. */
+  def shingleDigests(shingleArr: Column): Column =
+    transform(shingleArr, x => md5(x))
+
   /** The engine-portable md5 LSH band keys as one expression: an array of
-    * `nBands` 8-byte binary keys over a shingle-array column. Band b's raw
-    * key concatenates `rowsPerBand` true MinHashes (row r's random order =
-    * md5((b·rowsPerBand+r) + ":" + shingle)), folded to 8 bytes before any
-    * exchange — see [[md5BandedPairs]] for the collision-safety argument.
-    * Shared verbatim by the batch pair generator and the streaming
-    * near-dup suppressor ([[graft.streaming.EventStream.nearDupBandClaims]])
-    * so batch, stream, and the DuckDB oracle all band identically. */
-  def md5BandKeys(shingleArr: Column, nBands: Int, rowsPerBand: Int): Column =
+    * `nBands` 8-byte binary keys over a [[shingleDigests]] column. Hash
+    * h's random order over shingles is LEXICOGRAPHIC ON THE ROTATION LANE
+    * `substr(dg‖dg, 2h+1, 16)` — the 16-hex-char (64-bit) window starting
+    * at hex offset 2h of the doubled digest — so one md5 serves all
+    * numHashes hash functions. Each lane leads with fresh digest bits
+    * (offsets 2h apart), so per-lane argmins are ~independent and the
+    * classic (bands, rows) S-curve is unchanged; beyond 16 lanes the
+    * window wraps onto lane h−16, hence the require. Band b's raw key
+    * concatenates its `rowsPerBand` lane-minima, folded to 8 bytes before
+    * any exchange — see [[md5BandedPairs]] for the collision-safety
+    * argument. Shared verbatim by the batch pair generator, the persisted
+    * band index, and the streaming near-dup suppressor
+    * ([[graft.streaming.EventStream.nearDupBandClaims]]); DuckDB
+    * reproduces every step (`substr(md5(s)||md5(s), (b*rpb+r)*2+1, 16)`),
+    * so batch, stream, index, and oracle all band identically. */
+  def md5BandKeysFromDigests(digArr: Column, nBands: Int, rowsPerBand: Int): Column = {
+    require(nBands * rowsPerBand <= 16,
+      s"rotation lanes exhaust the 32-hex digest beyond 16 hashes: got ${nBands * rowsPerBand}")
     array((0 until nBands).map { bnd =>
       unhex(substring(md5(concat_ws("|", (0 until rowsPerBand).map { r =>
-        array_min(transform(shingleArr,
-          x => md5(concat(lit(s"${bnd * rowsPerBand + r}:"), x))))
+        val off = 2 * (bnd * rowsPerBand + r)
+        array_min(transform(digArr, dg => substring(concat(dg, dg), off + 1, 16)))
       }: _*)), 1, 16))
     }: _*)
+  }
+
+  /** [[md5BandKeysFromDigests]] over a raw shingle array — for one-shot
+    * callers; when the keys feed several expressions, project
+    * [[shingleDigests]] first so the md5 pass runs once. */
+  def md5BandKeys(shingleArr: Column, nBands: Int, rowsPerBand: Int): Column =
+    md5BandKeysFromDigests(shingleDigests(shingleArr), nBands, rowsPerBand)
 
   private def md5BandedPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double, nBands: Int, rowsPerBand: Int): DataFrame = {
@@ -227,8 +255,10 @@ object Dedup {
     // buckets, adding spurious candidates the exact-Jaccard verify below
     // already filters — it can never drop a true candidate — so the fold
     // trades zero correctness for ~8× narrower band-join exchanges.
-    val banded = prepped.select(col(idCol),
-      posexplode(md5BandKeys(col("__sh__"), nBands, rowsPerBand)))
+    val banded = prepped
+      .withColumn("__dg__", shingleDigests(col("__sh__")))
+      .select(col(idCol),
+        posexplode(md5BandKeysFromDigests(col("__dg__"), nBands, rowsPerBand)))
       .withColumnRenamed("pos", "__band__")
       .withColumnRenamed("col", "__key__")
     val a = banded.select(col(idCol).as("id_a"), col("__band__"), col("__key__"))
@@ -275,8 +305,9 @@ object Dedup {
       df.select(col(id).as(outId),
         array_distinct(Text.shingles(col(text), shingleN)).as(outSh))
     def banded(prepped: DataFrame, id: String, sh: String) =
-      prepped.select(col(id),
-        posexplode(md5BandKeys(col(sh), bands, rowsPerBand)))
+      prepped.withColumn("__dg__", shingleDigests(col(sh)))
+        .select(col(id),
+          posexplode(md5BandKeysFromDigests(col("__dg__"), bands, rowsPerBand)))
         .withColumnRenamed("pos", "__band__")
         .withColumnRenamed("col", "__key__")
         .select(col(id), col("__band__"), col("__key__"))
@@ -322,8 +353,9 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     corpus.select(col(idCol),
       array_distinct(Text.shingles(col(textCol), shingleN)).as("__sh__"))
+      .withColumn("__dg__", shingleDigests(col("__sh__")))
       .select(col(idCol).as("id_r"),
-        posexplode(md5BandKeys(col("__sh__"), bands, numHashes / bands)))
+        posexplode(md5BandKeysFromDigests(col("__dg__"), bands, numHashes / bands)))
       .withColumnRenamed("pos", "__band__")
       .withColumnRenamed("col", "__key__")
       .write.mode("overwrite").partitionBy("__band__").parquet(path)
@@ -342,8 +374,9 @@ object Dedup {
     val spark = batch.sparkSession
     val lp = batch.select(col(batchId).as("id_l"),
       array_distinct(Text.shingles(col(batchText), shingleN)).as("__shl__"))
-    val bandedL = lp.select(col("id_l"),
-      posexplode(md5BandKeys(col("__shl__"), bands, numHashes / bands)))
+    val bandedL = lp.withColumn("__dg__", shingleDigests(col("__shl__")))
+      .select(col("id_l"),
+        posexplode(md5BandKeysFromDigests(col("__dg__"), bands, numHashes / bands)))
       .withColumnRenamed("pos", "__band__")
       .withColumnRenamed("col", "__key__")
     val index = spark.read.parquet(indexPath)

@@ -305,8 +305,9 @@ object EventStream {
       .withWatermark(tsCol, delay)
       .withColumn("__sh__",
         array_distinct(graft.functions.Text.shingles(col(textCol), shingleN)))
+      .withColumn("__dg__", graft.ops.Dedup.shingleDigests(col("__sh__")))
       .select(col(idCol).cast("long").as("__id__"), col(tsCol).as("__ts__"),
-        posexplode(graft.ops.Dedup.md5BandKeys(col("__sh__"), bands, rowsPerBand)))
+        posexplode(graft.ops.Dedup.md5BandKeysFromDigests(col("__dg__"), bands, rowsPerBand)))
       .select(
         concat_ws(":", col("pos").cast("string"), hex(col("col"))).as("_1"),
         col("__id__").as("_2"), col("pos").cast("int").as("_3"), col("__ts__").as("_4"))
@@ -361,8 +362,9 @@ object EventStream {
     val banded = docs
       .withColumn("__sh__",
         array_distinct(graft.functions.Text.shingles(col(textCol), shingleN)))
+      .withColumn("__dg__", graft.ops.Dedup.shingleDigests(col("__sh__")))
       .select(col(idCol).as("id_l"),
-        posexplode(graft.ops.Dedup.md5BandKeys(col("__sh__"), bands, numHashes / bands)))
+        posexplode(graft.ops.Dedup.md5BandKeysFromDigests(col("__dg__"), bands, numHashes / bands)))
       .withColumnRenamed("pos", "__band__")
       .withColumnRenamed("col", "__key__")
     banded.join(
