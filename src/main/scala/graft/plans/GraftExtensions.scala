@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.simhashDescriptor)
     ext.injectFunction(GraftExtensions.cosineDescriptor)
+    ext.injectFunction(GraftExtensions.bandKeysDescriptor)
     ext.injectOptimizerRule(_ => SelfCosineRule)
   }
 }
@@ -32,6 +33,25 @@ object GraftExtensions {
       require(children.length == 1, "graft_simhash(tokens) takes one argument")
       SimHash64(children.head)
     })
+
+  /** graft_band_keys(digests, nBands, rowsPerBand) — the two counts must
+    * be integer literals (they shape the generated kernel). */
+  private def buildBandKeys(children: Seq[Expression]): Expression = {
+    require(children.length == 3,
+      "graft_band_keys(digests, nBands, rowsPerBand) takes three arguments")
+    def litInt(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_band_keys: $what must be an integer literal, got $other")
+    }
+    LaneMinBandKeys(children.head,
+      litInt(children(1), "nBands"), litInt(children(2), "rowsPerBand"))
+  }
+
+  private val bandKeysDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_band_keys"),
+    new ExpressionInfo(classOf[LaneMinBandKeys].getName, "graft_band_keys"),
+    (children: Seq[Expression]) => buildBandKeys(children))
 
   private val cosineDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_cosine"),
@@ -47,5 +67,7 @@ object GraftExtensions {
       "graft_simhash", children => SimHash64(children.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", children => CosineSim(children(0), children(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_band_keys", buildBandKeys, "scala_udf")
   }
 }

@@ -196,7 +196,7 @@ object PipelineQueries {
         e AS (
           SELECT doc_id, sh, b,
                  unhex(substr(md5(array_to_string(
-                   [list_min([substr(md5(s) || md5(s), (b*4 + r)*2 + 1, 16)
+                   [list_min([substr(md5(s), b*4 + r + 1, 16)
                               for s in sh])
                     for r in range(0, 4)], '|')), 1, 16)) AS key
           FROM t CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(b))
@@ -278,7 +278,7 @@ object PipelineQueries {
         e AS (
           SELECT doc_id, b,
                  unhex(substr(md5(array_to_string(
-                   [list_min([substr(md5(s) || md5(s), (b*4 + r)*2 + 1, 16)
+                   [list_min([substr(md5(s), b*4 + r + 1, 16)
                               for s in sh])
                     for r in range(0, 4)], '|')), 1, 16)) AS key
           FROM t CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(b)),
@@ -321,7 +321,7 @@ object PipelineQueries {
         e AS (
           SELECT doc_id, sh, b,
                  unhex(substr(md5(array_to_string(
-                   [list_min([substr(md5(s) || md5(s), (b*4 + r)*2 + 1, 16)
+                   [list_min([substr(md5(s), b*4 + r + 1, 16)
                               for s in sh])
                     for r in range(0, 4)], '|')), 1, 16)) AS key
           FROM t CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(b))
@@ -364,7 +364,7 @@ object PipelineQueries {
         e AS (
           SELECT doc_id, sh, b,
                  unhex(substr(md5(array_to_string(
-                   [list_min([substr(md5(s) || md5(s), (b*4 + r)*2 + 1, 16)
+                   [list_min([substr(md5(s), b*4 + r + 1, 16)
                               for s in sh])
                     for r in range(0, 4)], '|')), 1, 16)) AS key
           FROM t CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(b))
@@ -395,7 +395,7 @@ object PipelineQueries {
                 FROM documents)),
         e AS (
           SELECT doc_id, sh, b,
-                 unhex(substr(md5(list_min([substr(md5(s) || md5(s), b*2 + 1, 16)
+                 unhex(substr(md5(list_min([substr(md5(s), b + 1, 16)
                                             for s in sh])), 1, 16)) AS key
           FROM t CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(b))
         SELECT DISTINCT id_a, id_b, round(j, 6) AS jaccard FROM (

@@ -185,7 +185,7 @@ object StreamingQueries {
         e AS (
           SELECT doc_id, b,
                  unhex(substr(md5(array_to_string(
-                   [list_min([substr(md5(s) || md5(s), (b*4 + r)*2 + 1, 16)
+                   [list_min([substr(md5(s), b*4 + r + 1, 16)
                               for s in sh])
                     for r in range(0, 4)], '|')), 1, 16)) AS key
           FROM t CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(b)),
@@ -242,7 +242,7 @@ object StreamingQueries {
         e AS (
           SELECT doc_id, sh, b,
                  unhex(substr(md5(array_to_string(
-                   [list_min([substr(md5(s) || md5(s), (b*4 + r)*2 + 1, 16)
+                   [list_min([substr(md5(s), b*4 + r + 1, 16)
                               for s in sh])
                     for r in range(0, 4)], '|')), 1, 16)) AS key
           FROM t CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(b))

@@ -296,6 +296,7 @@ object EventStream {
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       delay: String = "2 hours", horizonSeconds: Long = 7200L): Dataset[BandClaim] = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.plans.GraftExtensions.register(docs.sparkSession)
     import docs.sparkSession.implicits._
     val rowsPerBand = numHashes / bands
     // cast before the watermark (see sessionizeOoo); the band explode is
@@ -359,6 +360,7 @@ object EventStream {
       index: DataFrame, shingleN: Int = 3, numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.plans.GraftExtensions.register(docs.sparkSession)
     val banded = docs
       .withColumn("__sh__",
         array_distinct(graft.functions.Text.shingles(col(textCol), shingleN)))

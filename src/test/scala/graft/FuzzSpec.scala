@@ -25,7 +25,13 @@ import graft.api.{Frame, SortKey}
  * covering and/or/not, in-lists, ** → POWER, // → FLOOR), string derives
  * that mint new group-key domains mid-pipeline, and the global backward
  * asof join (Joins.asofGlobal's union+prefix shape vs a left-join +
- * row_number replay).
+ * row_number replay). Round 10 closed the last unfuzzed families —
+ * strings and dates: containment filters (contains/startswith/endswith
+ * via instr twins, no LIKE-wildcard asymmetry), slice/case and regex
+ * extract derives whose Scala-computed domains keep feeding downstream
+ * IN-filters and groupbys, date-part derives that mint integer group
+ * keys (year/month/quarter/dayofweek), and month-subset / datediff-
+ * horizon date filters.
  *
  * The Frame chain exercises the API wrapper layer (ordering propagation
  * into head(), window specs, keep=first/last/none reversal, na masks);
@@ -546,6 +552,121 @@ class FuzzSpec extends SparkSuite {
     }
   }
 
+  /** String containment filter (pandas str.contains/startswith/endswith,
+    * regex=False): the needle is a slice of a KNOWN domain value so
+    * matches exist; the twin spells instr/startswith/endswith — no LIKE,
+    * so no wildcard-escaping asymmetry. Null strings drop on both sides
+    * (null predicate ⇒ filtered). */
+  private def opStrContains(st: St, r: Random): St = {
+    val c = pick(r, st.cols.filter(x => x.kind == 's' && x.dom.exists(_.length >= 2)))
+    val src = pick(r, c.dom.filter(_.length >= 2))
+    r.nextInt(3) match {
+      case 0 =>
+        val from = r.nextInt(src.length - 1)
+        val sub = src.substring(from, math.min(src.length, from + 1 + r.nextInt(3)))
+        st.copy(
+          fr = st.fr.filter(col(c.name).contains(sub)),
+          sql = s"SELECT * FROM ${wrap(st.sql)}WHERE instr(${c.name}, '$sub') > 0")
+          .addOp(s"strContains(${c.name},'$sub')")
+      case 1 =>
+        val pre = src.substring(0, 1 + r.nextInt(math.min(3, src.length)))
+        st.copy(
+          fr = st.fr.filter(col(c.name).startsWith(pre)),
+          sql = s"SELECT * FROM ${wrap(st.sql)}WHERE startswith(${c.name}, '$pre')")
+          .addOp(s"strStarts(${c.name},'$pre')")
+      case _ =>
+        val suf = src.substring(src.length - 1 - r.nextInt(math.min(3, src.length - 1)))
+        st.copy(
+          fr = st.fr.filter(col(c.name).endsWith(suf)),
+          sql = s"SELECT * FROM ${wrap(st.sql)}WHERE endswith(${c.name}, '$suf')")
+          .addOp(s"strEnds(${c.name},'$suf')")
+    }
+  }
+
+  /** String slice derive (pandas str.slice + str.lower / str.upper): the
+    * derived domain is computed by the SAME rule in Scala, so downstream
+    * IN-filters and groupbys keep drawing on it. */
+  private def opStrSlice(st: St, r: Random): St = {
+    val c = pick(r, st.cols.filter(x => x.kind == 's' && x.dom.nonEmpty && x.dom.forall(_.nonEmpty)))
+    val name = fresh(st, "sl")
+    val pos = 1 + r.nextInt(2)
+    val len = 1 + r.nextInt(3)
+    val lowerIt = r.nextBoolean()
+    val rule = (v: String) => {
+      val s = if (pos - 1 < v.length) v.substring(pos - 1, math.min(v.length, pos - 1 + len)) else ""
+      if (lowerIt) s.toLowerCase else s
+    }
+    val dom = c.dom.map(rule).distinct.sorted
+    val inner = substring(col(c.name), pos, len)
+    val (fcol, fn) = if (lowerIt) (lower(inner), "LOWER") else (inner, "")
+    val sqlExpr = if (lowerIt) s"LOWER(SUBSTRING(${c.name}, $pos, $len))"
+                  else s"SUBSTRING(${c.name}, $pos, $len)"
+    st.copy(
+      fr = st.fr.withColumn(name, fcol),
+      sql = s"SELECT *, $sqlExpr AS $name FROM ${wrap(st.sql)}",
+      cols = st.cols :+ FCol(name, 's', dom, lowCard = dom.size <= 8))
+      .addOp(s"strSlice($name=$fn(${c.name},$pos,$len))")
+  }
+
+  /** Regex extract derive (pandas str.extract, one group): first run of
+    * letters, or first run of digits. Spark returns '' on no match; the
+    * Scala-side domain rule reproduces that, so the derived domain stays
+    * draw-able. */
+  private def opStrExtract(st: St, r: Random): St = {
+    val c = pick(r, st.cols.filter(x => x.kind == 's' && x.dom.nonEmpty))
+    val name = fresh(st, "rx")
+    val (pat, scalaRx, tag) =
+      if (r.nextBoolean()) ("([A-Za-z]+)", "[A-Za-z]+".r, "alpha")
+      else ("([0-9]+)", "[0-9]+".r, "digits")
+    val dom = c.dom.map(v => scalaRx.findFirstIn(v).getOrElse("")).distinct.sorted
+    st.copy(
+      fr = st.fr.withColumn(name, regexp_extract(col(c.name), pat, 1)),
+      sql = s"SELECT *, regexp_extract(${c.name}, '$pat', 1) AS $name FROM ${wrap(st.sql)}",
+      cols = st.cols :+ FCol(name, 's', dom, lowCard = dom.size <= 8))
+      .addOp(s"strExtract($name=$tag(${c.name}))")
+  }
+
+  /** Date-part derive (pandas dt.year/month/quarter/dayofweek): mints a
+    * low-cardinality integer group key mid-pipeline. dayofweek follows
+    * Spark SQL (1=Sunday) on both sides — the engine's pandas-dialect
+    * weekday mapping is pinned by its own oracle rows (q73/q79/q239),
+    * here both twins share one convention by construction. */
+  private def opDatePart(st: St, r: Random): St = {
+    val d = pick(r, st.cols.filter(_.kind == 'd'))
+    val name = fresh(st, "dp")
+    val (fcol, sqlFn, tag) = r.nextInt(4) match {
+      case 0 => (year(col(d.name)), s"year(${d.name})", "year")
+      case 1 => (month(col(d.name)), s"month(${d.name})", "month")
+      case 2 => (quarter(col(d.name)), s"quarter(${d.name})", "quarter")
+      case _ => (dayofweek(col(d.name)), s"dayofweek(${d.name})", "dayofweek")
+    }
+    st.copy(
+      fr = st.fr.withColumn(name, fcol.cast("long")),
+      sql = s"SELECT *, CAST($sqlFn AS BIGINT) AS $name FROM ${wrap(st.sql)}",
+      cols = st.cols :+ FCol(name, 'i', lowCard = true))
+      .addOp(s"datePart($name=$tag(${d.name}))")
+  }
+
+  /** Date filter (pandas boolean dt masks): month-subset or a datediff
+    * horizon from a fixed anchor inside the fixture's date range. */
+  private def opDateFilter(st: St, r: Random): St = {
+    val d = pick(r, st.cols.filter(_.kind == 'd'))
+    if (r.nextBoolean()) {
+      val months = r.shuffle(1 to 12).take(3 + r.nextInt(6)).sorted
+      st.copy(
+        fr = st.fr.filter(month(col(d.name)).isin(months.map(_.asInstanceOf[Any]): _*)),
+        sql = s"SELECT * FROM ${wrap(st.sql)}WHERE month(${d.name}) IN (${months.mkString(", ")})")
+        .addOp(s"dateFilter(month(${d.name}) in ${months.mkString("/")})")
+    } else {
+      val anchor = pick(r, Seq("2020-06-15", "2021-01-01", "2021-09-30"))
+      val horizon = pick(r, Seq(90, 365, 800))
+      st.copy(
+        fr = st.fr.filter(abs(datediff(col(d.name), lit(anchor))) <= horizon),
+        sql = s"SELECT * FROM ${wrap(st.sql)}WHERE abs(datediff(${d.name}, '$anchor')) <= $horizon")
+        .addOp(s"dateFilter(|${d.name}-$anchor|<=${horizon}d)")
+    }
+  }
+
   /** Global backward asof against a literal threshold ladder — the
     * engine runs the two-phase union+prefix shape (Joins.asofGlobal),
     * the twin a left-join + row_number pick of the greatest right key
@@ -601,6 +722,14 @@ class FuzzSpec extends SparkSuite {
       (if (hasNum) 1 else 0) -> (opEvalPandas _),
       (if (hasNum || st.cols.exists(c => c.kind == 's' && c.dom.nonEmpty)) 1 else 0)
         -> (opStrDerive _),
+      (if (st.cols.exists(c => c.kind == 's' && c.dom.exists(_.length >= 2))) 2 else 0)
+        -> (opStrContains _),
+      (if (st.cols.exists(c => c.kind == 's' && c.dom.nonEmpty && c.dom.forall(_.nonEmpty))) 1 else 0)
+        -> (opStrSlice _),
+      (if (st.cols.exists(c => c.kind == 's' && c.dom.nonEmpty)) 1 else 0)
+        -> (opStrExtract _),
+      (if (st.cols.exists(_.kind == 'd')) 2 else 0) -> (opDatePart _),
+      (if (st.cols.exists(_.kind == 'd')) 2 else 0) -> (opDateFilter _),
       (if (hasUniq && hasNum) 1 else 0) -> (opAsofGlobal _),
       1 -> (opRename _),
       (if (hasNum) 1 else 0) -> (opConcat _),
