@@ -322,6 +322,21 @@ object ScaleDedupBench {
           Dedup.jaccardPairs(d, "doc_id", "text", shingleN = 2, threshold = 0.3),
           "id_a", "id_b")
       },
+      // same end-to-end removal through the SELECTIVE 4x4 banding (P =
+      // J^4 per band): on template-heavy corpora the low-threshold
+      // single-hash-band jaccard path above carries ~326 candidate pairs
+      // per doc (linear mass, huge constant — its exact-verify array
+      // attachment is what hits the single-node disk wall at 64x), while
+      // this path carries ~1200x fewer candidates at identical corpus
+      // scale — the recall/candidate-mass trade the (bands, rows) S-curve
+      // governs (Dedup.planBands)
+      "neardup_drop_e2e_minhash" -> { dir =>
+        val d = docs(dir)
+        Dedup.dropNearDuplicates(d, "doc_id",
+          Dedup.minhashLshPairsMd5(d, "doc_id", "text",
+            shingleN = 3, numHashes = 16, bands = 4, threshold = 0.2),
+          "id_a", "id_b")
+      },
       "emb_neardup_lsh" -> { dir =>
         Dedup.embeddingPairsLsh(emb(dir), "vec_id", "embedding", threshold = 0.9,
           nPlanes = planesByDir(dir), nTables = 8)
