@@ -347,4 +347,55 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
 
   def getGroup(values: Seq[Any]): Frame = frame.copy(
     df = keys.zip(values).foldLeft(df) { case (d, (k, v)) => d.filter(col(k) === lit(v)) })
+
+  /** pandas `groupby(...).ewm(alpha=…)` — the fluent surface over the
+    * ops/Ewm recurrences (reference modin/pandas/window.py:34; one hash
+    * shuffle on the group key, then a sequential O(1)-per-row fold per
+    * group — ewm's chain dependency is inherently sequential within a
+    * group, parallel across groups). Requires a single integral group
+    * key (the kernel keys on one long), an order column, and an
+    * integral tie-break id column standing in for the pandas row index.
+    * Use `Ewm.alphaFrom{Span,Com,Halflife}` for the other decay
+    * parameterizations. */
+  def ewm(orderCol: String, idCol: String, alpha: Double,
+      adjust: Boolean = true, ignoreNa: Boolean = false): GroupEwm = {
+    require(keys.size == 1, s"ewm requires a single group key, got $keys")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    GroupEwm(frame, keys.head, orderCol, idCol, alpha, adjust, ignoreNa)
+  }
+}
+
+/** `groupby.ewm(...)` aggregate surface. Each method returns the Series
+  * analog: (group key, id, result column(s)) — `idCol` is the caller's
+  * row identity, so results re-attach to the source frame by id without
+  * the op ever carrying the full row payload through the fold. */
+final case class GroupEwm(frame: Frame, key: String, orderCol: String,
+    idCol: String, alpha: Double, adjust: Boolean, ignoreNa: Boolean) {
+  import graft.ops.Ewm
+
+  private def sel(df: DataFrame, cols: String*): Frame =
+    Frame(df.select((Seq(key, idCol) ++ cols).map(col): _*))
+
+  def mean(c: String, as: String): Frame =
+    sel(Ewm.meanByKey(frame.df, key, orderCol, idCol, c, alpha, as, adjust, ignoreNa), as)
+
+  /** `ewm.var(bias=False)` plus its sqrt `<as>_std`. adjust=True only —
+    * the parameterization pandas defines the Bessel debias factor for.
+    * alpha=0.5 routes through the bit-deterministic dyadic kernel
+    * ([[graft.ops.Ewm.varByKeyDyadic]]); other alphas use the double
+    * recurrence. */
+  def variance(c: String, as: String): Frame = {
+    require(adjust, "ewm.var is defined for adjust=True")
+    val d =
+      if (alpha == 0.5) Ewm.varByKeyDyadic(frame.df, key, orderCol, idCol, c, as, ignoreNa)
+      else Ewm.varByKey(frame.df, key, orderCol, idCol, c, alpha, as, ignoreNa)
+    sel(d, as, s"${as}_std")
+  }
+
+  /** `ewm.cov(other, bias=False)` plus `<as>_corr` = `ewm.corr(other)`. */
+  def cov(x: String, y: String, as: String): Frame = {
+    require(adjust, "ewm.cov is defined for adjust=True")
+    sel(Ewm.covByKey(frame.df, key, orderCol, idCol, x, y, alpha, as, ignoreNa),
+      as, s"${as}_corr")
+  }
 }

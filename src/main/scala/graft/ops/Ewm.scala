@@ -88,6 +88,134 @@ object Ewm {
       }(enc)
   }
 
+  /** Bit-deterministic `ewm(alpha=0.5).var(bias=False)` — the
+    * cross-engine-exact twin of [[varByKey]] for the dyadic decay
+    * d = 1−α = 1/2, whose powers are exact binary fractions.
+    *
+    * [[varByKey]]'s O(n) double recurrence and an oracle's closed-form
+    * weighted sums are the same real number but DIFFERENT doubles (fp
+    * addition is order-dependent), so outputs straddling a half-ulp of
+    * the caller's `round(·, 4)` flip between engines (~5/100k rows on
+    * the events fixture at sf0.1). This path removes the float
+    * dependence entirely instead of hoping the round masks it — the
+    * same recipe as Pca.covarianceLong's integer moments:
+    *
+    *   1. quantize x to integer units of 2⁻³⁰ (`floor(x·2³⁰)`; the
+    *      multiply-then-floor is the identical IEEE op sequence in any
+    *      engine reading the same input bits);
+    *   2. cap the window at the `capK`=40 most recent decay steps —
+    *      dropped terms carry relative weight < 2⁻⁴⁰, and BOTH engines
+    *      drop the same terms so the computed number is identical
+    *      (this replaces the unbounded tail, which in float arithmetic
+    *      is exactly where association order used to leak);
+    *   3. the four decayed moment sums become exact integers under
+    *      power-of-two scaling (Σw·2⁴⁰, Σw²·2⁸⁰, Σwx·2⁷⁰, Σwx²·2¹⁰⁰,
+    *      max ~2¹²¹ at |x| ≲ 1024 < the 126-bit headroom of BigInt
+    *      here / HUGEINT in the oracle) — integer addition is
+    *      associative, so ANY partition/aggregation order gives the
+    *      same bits;
+    *   4. convert each sum through a fixed 3×40-bit chunk split (each
+    *      chunk < 2⁵³ converts to double exactly for any 128-bit
+    *      input; the reassembly tree is the only rounding and is the
+    *      same IEEE sequence both sides — DuckDB's direct
+    *      HUGEINT→DOUBLE cast is NOT correctly rounded, measured ~1%
+    *      off-by-ulp, so the split is load-bearing) and evaluate one
+    *      fixed expression tree:
+    *      var = (sw²/(sw²−sw2))·(swx2/sw − (swx/sw)²), floored at 0.
+    *
+    * Deviation vs pandas: the 2⁻³⁰ input quantization and 2⁻⁴⁰ weight
+    * floor — ≲2⁻⁴⁰·x_max² ABSOLUTE error in var (~1e-6 at the events
+    * fixture's |x| ≲ 560; the dropped tail scales with the raw-moment
+    * sums, i.e. with x², NOT with the variance — clustered groups see
+    * the worst relative error). COVERAGE.md deviation 14 — now
+    * deterministic and bounded, previously an engine-dependent
+    * association-order tie. Null/NaN
+    * semantics identical to [[varByKey]]: NaN is a missing observation;
+    * `ignoreNa=false` decays weights across null rows; output null
+    * until two observations. Distribution shape unchanged: one hash
+    * shuffle on the group key, then a sequential O(capK)-per-row scan
+    * of a bounded ring of quantized values — constant work per row at
+    * any corpus size. */
+  def varByKeyDyadic(
+      df: DataFrame, keyCol: String, orderCol: String, idCol: String,
+      valueCol: String, out: String,
+      ignoreNa: Boolean = false, capK: Int = 40): DataFrame = {
+    // capK=40 with 2^-30 quantization keeps the largest sum (Σwx²) under
+    // ~2^125 for |x| < 4096 — inside HUGEINT's 128-bit headroom; past
+    // that the oracle side would overflow LOUDLY (DuckDB raises), never
+    // silently drift
+    require(capK >= 1 && capK <= 40, "capK beyond 40 overflows the 128-bit oracle sums")
+
+    val src = df
+      .filter(col(keyCol).isNotNull && col(orderCol).isNotNull && col(idCol).isNotNull)
+      .select(
+        col(keyCol).cast("long"),
+        ewmOrderKey(df, orderCol).as(orderCol),
+        col(idCol).cast("long"),
+        col(valueCol).cast("double"))
+    val outSchema = StructType(src.schema.fields :+
+      StructField(out, DoubleType) :+ StructField(s"${out}_std", DoubleType))
+    val enc = Encoders.row(outSchema)
+    val K = capK
+
+    src.groupByKey(_.getLong(0))(Encoders.scalaLong)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(r => (r.getLong(1), r.getLong(2)))
+        // ring of the last K+1 decay slots; EMPTY marks a decayed-over
+        // null row (consumes a weight step, contributes no term)
+        val EMPTY = Long.MinValue
+        val slots = scala.collection.mutable.ArrayDeque.empty[Long]
+        var nObs = 0L
+        val P40 = (1L << 40).toDouble
+        val P80 = P40 * P40
+        val M40 = (BigInt(1) << 40) - 1
+        def toD(s: BigInt): Double =
+          (s >> 80).toLong.toDouble * P80 +
+            (((s >> 40) & M40).toLong.toDouble * P40 + (s & M40).toLong.toDouble)
+        rows.iterator.map { r =>
+          val isObs = !r.isNullAt(3) && !r.getDouble(3).isNaN
+          if (isObs || (!ignoreNa && nObs > 0)) {
+            slots.prepend(EMPTY)
+            if (slots.length > K + 1) slots.remove(K + 1, slots.length - (K + 1))
+          }
+          if (isObs) {
+            // multiply-then-floor: the same two IEEE ops the oracle runs
+            slots(0) = math.floor(r.getDouble(3) * (1L << 30).toDouble).toLong
+            nObs += 1
+          }
+          var swS = BigInt(0); var sw2S = BigInt(0)
+          var swxS = BigInt(0); var swx2S = BigInt(0)
+          var k = 0
+          while (k < slots.length) {
+            val xq = slots(k)
+            if (xq != EMPTY) {
+              val w = BigInt(1) << (K - k)
+              swS += w; sw2S += w * w
+              val xb = BigInt(xq)
+              swxS += xb * w; swx2S += xb * xb * w
+            }
+            k += 1
+          }
+          // the fixed tree — mirrored literally in the oracle SQL
+          // (scales 2^K, 2^2K, 2^(K+30), 2^(K+60): exact powers of two,
+          // so each division is a single exact exponent shift)
+          val swD = toD(swS) / math.pow(2.0, K)
+          val sw2D = toD(sw2S) / math.pow(2.0, 2 * K)
+          val swxD = toD(swxS) / math.pow(2.0, K + 30)
+          val swx2D = toD(swx2S) / math.pow(2.0, K + 60)
+          val denom = swD * swD - sw2D
+          val v: Any =
+            if (nObs >= 2 && denom > 0) {
+              val mean = swxD / swD
+              val vb = swx2D / swD - mean * mean
+              math.max((swD * swD / denom) * vb, 0.0)
+            } else null
+          val s: Any = v match { case d: Double => math.sqrt(d); case _ => null }
+          Row.fromSeq(r.toSeq :+ v :+ s)
+        }
+      }(enc)
+  }
+
   /** Adds `out` = ewm-mean of `valueCol` per `keyCol` group ordered by
     * (`orderCol` asc, tie-break `idCol` asc). Input columns must be
     * (bigint, orderable, bigint, double). The full pandas option

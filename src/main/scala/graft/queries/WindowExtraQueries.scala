@@ -631,17 +631,23 @@ object WindowExtraQueries {
         FROM g FULL OUTER JOIN r ON g.k = r.k
         ORDER BY 1""")),
 
-    // ewm.var / ewm.std (bias=False, adjust=True) — the O(n) decayed
-    // power-sum recurrence (ops/Ewm.varByKey). The oracle restates the
-    // definition as the O(n²)-per-group weighted-sum join (fine at
-    // oracle scale; the recurrence exists so the engine never does
-    // that). Null until two observations (debias denominator zero).
+    // ewm.var / ewm.std (bias=False, adjust=True), alpha=0.5 — the
+    // bit-deterministic dyadic path (ops/Ewm.varByKeyDyadic): quantized
+    // inputs, 40-step weight cap, exact 128-bit integer moment sums,
+    // one fixed double tree — see the op's doc for why the plain
+    // recurrence/closed-form pair hash-drifted at sf0.1 (deviation 14).
+    // The oracle replays the identical integer sums as HUGEINTs over a
+    // capped O(n·41) self-join (n = a.rn is the total-observation count
+    // — the fixture has no null values) plus the identical conversion
+    // tree: the 3×36-bit chunk split exists because DuckDB's direct
+    // HUGEINT→DOUBLE cast is not correctly rounded (~1% off-by-ulp,
+    // measured), while BIGINT chunks < 2^53 convert exactly everywhere.
     Q("q195_ewm_var",
       (s, dir) => {
         val src = t(s, dir, "events")
           .withColumn("__ord__", unix_micros(col("ts").cast("timestamp")))
-        Frame(Ewm.varByKey(src, "user_id", "__ord__", "event_id", "value",
-          alpha = 0.5, out = "ev")
+        Frame(Ewm.varByKeyDyadic(src, "user_id", "__ord__", "event_id", "value",
+          out = "ev")
           .select(col("event_id"), round(col("ev"), 4).as("ewm_var"),
             round(col("ev_std"), 4).as("ewm_std")))
           .sortValues(Seq(SortKey.asc("event_id"))).df
@@ -652,22 +658,41 @@ object WindowExtraQueries {
                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
           FROM events),
         sums AS (
-          SELECT a.event_id,
-                 count(*) AS n,
-                 sum(power(0.5, a.rn - b.rn)) AS sw,
-                 sum(power(0.5, 2 * (a.rn - b.rn))) AS sw2,
-                 sum(power(0.5, a.rn - b.rn) * b.value) AS swx,
-                 sum(power(0.5, a.rn - b.rn) * b.value * b.value) AS swx2
-          FROM e a JOIN e b ON a.user_id = b.user_id AND b.rn <= a.rn
-          GROUP BY a.event_id)
+          SELECT a.event_id, a.rn AS n,
+                 sum((1::BIGINT << (40 - (a.rn - b.rn)))::HUGEINT) AS sw_s,
+                 sum(((1::BIGINT << (40 - (a.rn - b.rn)))::HUGEINT)
+                     * ((1::BIGINT << (40 - (a.rn - b.rn)))::HUGEINT)) AS sw2_s,
+                 sum(CAST(floor(b.value * 1073741824.0) AS HUGEINT)
+                     * (1::BIGINT << (40 - (a.rn - b.rn)))::HUGEINT) AS swx_s,
+                 sum(CAST(floor(b.value * 1073741824.0) AS HUGEINT)
+                     * CAST(floor(b.value * 1073741824.0) AS HUGEINT)
+                     * (1::BIGINT << (40 - (a.rn - b.rn)))::HUGEINT) AS swx2_s
+          FROM e a JOIN e b ON a.user_id = b.user_id
+                           AND b.rn <= a.rn AND b.rn >= a.rn - 40
+          GROUP BY a.event_id, a.rn),
+        d AS (
+          SELECT event_id, n,
+                 (CAST(CAST(sw_s // (1::HUGEINT << 80) AS BIGINT) AS DOUBLE) * 1208925819614629174706176.0
+                  + (CAST(CAST((sw_s // 1099511627776) % 1099511627776 AS BIGINT) AS DOUBLE) * 1099511627776.0
+                     + CAST(CAST(sw_s % 1099511627776 AS BIGINT) AS DOUBLE))) / 1099511627776.0 AS sw,
+                 (CAST(CAST(sw2_s // (1::HUGEINT << 80) AS BIGINT) AS DOUBLE) * 1208925819614629174706176.0
+                  + (CAST(CAST((sw2_s // 1099511627776) % 1099511627776 AS BIGINT) AS DOUBLE) * 1099511627776.0
+                     + CAST(CAST(sw2_s % 1099511627776 AS BIGINT) AS DOUBLE))) / 1208925819614629174706176.0 AS sw2,
+                 (CAST(CAST(swx_s // (1::HUGEINT << 80) AS BIGINT) AS DOUBLE) * 1208925819614629174706176.0
+                  + (CAST(CAST((swx_s // 1099511627776) % 1099511627776 AS BIGINT) AS DOUBLE) * 1099511627776.0
+                     + CAST(CAST(swx_s % 1099511627776 AS BIGINT) AS DOUBLE))) / 1180591620717411303424.0 AS swx,
+                 (CAST(CAST(swx2_s // (1::HUGEINT << 80) AS BIGINT) AS DOUBLE) * 1208925819614629174706176.0
+                  + (CAST(CAST((swx2_s // 1099511627776) % 1099511627776 AS BIGINT) AS DOUBLE) * 1099511627776.0
+                     + CAST(CAST(swx2_s % 1099511627776 AS BIGINT) AS DOUBLE))) / 1267650600228229401496703205376.0 AS swx2
+          FROM sums)
         SELECT event_id,
                CASE WHEN n >= 2 AND sw * sw - sw2 > 0
                     THEN round(greatest((sw * sw / (sw * sw - sw2))
-                         * (swx2 / sw - (swx / sw) * (swx / sw)), 0), 4) END AS ewm_var,
+                         * (swx2 / sw - (swx / sw) * (swx / sw)), 0.0), 4) END AS ewm_var,
                CASE WHEN n >= 2 AND sw * sw - sw2 > 0
                     THEN round(sqrt(greatest((sw * sw / (sw * sw - sw2))
-                         * (swx2 / sw - (swx / sw) * (swx / sw)), 0)), 4) END AS ewm_std
-        FROM sums ORDER BY event_id""")),
+                         * (swx2 / sw - (swx / sw) * (swx / sw)), 0.0)), 4) END AS ewm_std
+        FROM d ORDER BY event_id""")),
 
     // ewm.cov / ewm.corr (r9 — completes the ewm family): the O(n)
     // seven-sum recurrence vs the oracle's O(n²) closed form over decayed

@@ -183,4 +183,37 @@ class GroupBySpec extends SparkSuite {
     assert(sums("left") == Seq(None, Some(1.0), Some(2.0)))         // [t-w, t): first row empty
     assert(sums("neither") == Seq(None, None, None))                // (t-w, t): all empty
   }
+
+  test("groupby.ewm fluent accessor equals the Ewm ops and routes alpha=0.5 to the dyadic kernel") {
+    import spark.implicits._
+    import graft.ops.Ewm
+    val d = Seq((1L, 1L, 1L, 1.0), (1L, 2L, 2L, 2.0), (1L, 3L, 3L, 4.0),
+      (2L, 1L, 4L, 10.0), (2L, 2L, 5L, 20.0)).toDF("k", "o", "id", "v")
+    val g = Frame(d).groupby("k").ewm("o", "id", alpha = 0.5)
+
+    val m = g.mean("v", "e").df.orderBy("id").collect().map(_.getAs[Double]("e")).toSeq
+    val mOp = Ewm.meanByKey(d, "k", "o", "id", "v", 0.5, "e")
+      .orderBy("id").collect().map(_.getAs[Double]("e")).toSeq
+    assert(m == mOp)
+
+    // alpha=0.5 variance goes through the deterministic dyadic kernel
+    val v = g.variance("v", "ev").df.orderBy("id").collect()
+      .map(r => Option(r.getAs[java.lang.Double]("ev")).map(_.toDouble)).toSeq
+    val vOp = Ewm.varByKeyDyadic(d, "k", "o", "id", "v", out = "ev")
+      .orderBy("id").collect()
+      .map(r => Option(r.getAs[java.lang.Double]("ev")).map(_.toDouble)).toSeq
+    assert(v == vOp)
+    assert(v(1).exists(x => math.abs(x - 0.5) < 1e-12))  // pandas [NaN, 0.5, 2.5]
+
+    val c = g.cov("v", "v", "ec").df.orderBy("id").collect()
+    assert(c.forall(r => r.schema.fieldNames.contains("ec_corr")))
+    // cov(x,x) is var; corr(x,x) is 1 once defined
+    val corr2 = Option(c(2).getAs[java.lang.Double]("ec_corr")).map(_.toDouble)
+    assert(corr2.exists(x => math.abs(x - 1.0) < 1e-9), s"got $corr2")
+
+    // surface contract: multi-key groupby refuses (the kernel keys on one long)
+    intercept[IllegalArgumentException] {
+      Frame(d).groupby("k", "o").ewm("o", "id", alpha = 0.5)
+    }
+  }
 }

@@ -346,6 +346,54 @@ class OpsSpec extends SparkSuite {
     assert(math.abs(out(2).get - 2.5) < 1e-12)
   }
 
+  test("dyadic ewm var matches the double recurrence and handles null/NaN the same") {
+    import spark.implicits._
+    // pin: dyadic inputs quantize losslessly, so the capped path
+    // reproduces pandas' [NaN, 0.5, 2.5] to fp-division precision
+    val d = Seq((1L, 1L, 1L, 1.0), (1L, 2L, 2L, 2.0), (1L, 3L, 3L, 4.0))
+      .toDF("k", "o", "id", "v")
+    val out = Ewm.varByKeyDyadic(d, "k", "o", "id", "v", out = "ev")
+      .orderBy("o").collect()
+      .map(r => Option(r.getAs[java.lang.Double]("ev")).map(_.toDouble)).toSeq
+    assert(out(0).isEmpty)
+    assert(out(1).exists(x => math.abs(x - 0.5) < 1e-12), s"got $out")
+    assert(out(2).exists(x => math.abs(x - 2.5) < 1e-12), s"got $out")
+
+    // NaN is a missing observation, same as the recurrence path
+    val gap = Seq((1L, 1L, 1L, 1.0), (1L, 2L, 2L, Double.NaN), (1L, 3L, 3L, 3.0))
+      .toDF("k", "o", "id", "v")
+    val gv = Ewm.varByKeyDyadic(gap, "k", "o", "id", "v", out = "ev")
+      .orderBy("o").collect()
+      .map(r => Option(r.getAs[java.lang.Double]("ev")).map(_.toDouble)).toSeq
+    assert(gv(0).isEmpty && gv(1).isEmpty)
+    assert(gv(2).exists(x => math.abs(x - 2.0) < 1e-9), s"got ${gv(2)}")
+
+    // parity with the unbounded double recurrence on a 3-group random
+    // fixture incl. nulls: the 2^-30 quantization and 2^-40 weight floor
+    // perturb var by ≲2^-40·x_max² ABSOLUTE (the floor drops tail mass
+    // proportional to the raw-moment sums, so the error scales with x²,
+    // not with var)
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 300).map { i =>
+      val v: java.lang.Double =
+        if (rnd.nextInt(10) == 0) null else rnd.nextDouble() * 560.0
+      (i % 3L, i.toLong, i.toLong, v)
+    }
+    val big = rows.toDF("k", "o", "id", "v")
+    val a = Ewm.varByKey(big, "k", "o", "id", "v", alpha = 0.5, out = "ev")
+      .select("id", "ev").as[(Long, Option[Double])].collect().toMap
+    val b = Ewm.varByKeyDyadic(big, "k", "o", "id", "v", out = "ev")
+      .select("id", "ev").as[(Long, Option[Double])].collect().toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (id, av) =>
+      (av, b(id)) match {
+        case (Some(x), Some(y)) =>
+          assert(math.abs(x - y) <= 1e-6 + 1e-9 * math.abs(x), s"id=$id $x vs $y")
+        case (x, y) => assert(x == y, s"id=$id $x vs $y")
+      }
+    }
+  }
+
   test("ewm cov(x,x) equals ewm var; corr is ±1 on linear pairs, null on constants") {
     import spark.implicits._
     val d = Seq((1L, 1L, 1L, 1.0, 1.0), (1L, 2L, 2L, 2.0, 2.0), (1L, 3L, 3L, 4.0, 4.0))
