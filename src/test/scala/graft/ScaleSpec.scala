@@ -117,6 +117,32 @@ class ScaleSpec extends SparkSuite {
       n("BroadcastHashJoin"), n("SortMergeJoin"), n("CartesianProduct"))
   }
 
+  test("q262's KMV sketch plans one partial/final pair; q261 windows stay per-block") {
+    def q(name: String) = queries.Registry.all.find(_.name == name).get.fn(spark, sfDir)
+    // q262: the sketch branch must be a map-side-combined udaf — a
+    // partial_bottomk before its group-key exchange (so every exchange
+    // carries <= k longs per group per task, never the value
+    // cardinality) — and the sketch/exact reconciliation join must
+    // broadcast the 5-row side, not sort-merge it
+    val df262 = q("q262_ndv_sketch")
+    val plan262 = df262.queryExecution.executedPlan.toString
+    assert(plan262.contains("partial_bottomk"),
+      "KMV sketch lost its map-side partial combine")
+    // shuffle budget: sketch group-key exchange + the exact-count
+    // branch's distinct+group pair + the final presentation sort
+    val (sh262, bc262, smj262, cart262) = planCounts(df262)
+    assert(sh262 <= 4 && bc262 >= 1 && smj262 == 0 && cart262 == 0,
+      s"q262 plan drifted: shuffles=$sh262 bc=$bc262 smj=$smj262 cart=$cart262")
+    // q261: three weighted windows over one per-user partition spec —
+    // exactly one data-sized hash exchange (the window's partitionBy)
+    // plus the final presentation sort, no join of any kind, never an
+    // empty-partition-spec global window
+    val df261 = q("q261_rolling_win_types")
+    val (sh261, bc261, smj261, cart261) = planCounts(df261)
+    assert(sh261 == 2 && bc261 == 0 && smj261 == 0 && cart261 == 0,
+      s"q261 plan drifted: shuffles=$sh261 bc=$bc261 smj=$smj261 cart=$cart261")
+  }
+
   test("q213-q215 broadcast their small sides; no SMJ or cartesian in the e2e chains") {
     def q(name: String) = queries.Registry.all.find(_.name == name).get.fn(spark, sfDir)
     val (_, bc213, smj213, cart213) = planCounts(q("q213_e2e_customer_features"))
