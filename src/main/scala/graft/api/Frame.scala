@@ -683,6 +683,32 @@ final case class Frame(
       (if (ascending) col("count").asc else col("count").desc), col(c).asc))
   }
 
+  /** value_counts' frequent tail at corpus scale: every value whose
+    * count ≥ φ·n, with its EXACT count ([[graft.ops.Sketch.heavyHitters]]
+    * — per-partition Misra–Gries candidates + broadcast semi-join
+    * verify; no cardinality-sized shuffle, unlike [[valueCounts]]). φ is
+    * quantized to a rational over 10⁶ so the threshold compare stays
+    * exact integer arithmetic; output is (value, cnt) sorted count-desc
+    * with the value as deterministic tie-break. */
+  def heavyHitters(c: String, phi: Double): Frame = {
+    require(phi > 0 && phi < 1, s"heavyHitters needs 0 < phi < 1: $phi")
+    val num = math.max(1L, math.round(phi * 1000000L))
+    Frame(graft.ops.Sketch.heavyHitters(df, c, num, 1000000L)
+      .orderBy(col("cnt").desc, col(c).asc))
+  }
+
+  /** `df.quantile(qs)` on the bounded-memory quantized-histogram path
+    * ([[graft.ops.Sketch.quantileQuantized]]): values round to integer
+    * units of 10^−scale, the aggregate state is the value-span-bounded
+    * histogram (never the data), and the deterministic error is half a
+    * unit. Each q is quantized to a rational over 10⁶ so the pandas
+    * linear-interpolation rank math stays exact-integer. Output: one
+    * (q, value) row per requested quantile. */
+  def quantileApprox(c: String, qs: Seq[Double], scale: Int): Frame = {
+    val rs = qs.map(q => (math.round(q * 1000000L), 1000000L))
+    Frame(graft.ops.Sketch.quantileQuantized(df, c, rs, scale))
+  }
+
   /** pandas `df.rolling(window, min_periods)` over the frame's declared
     * ordering — the fluent face of [[graft.ops.RollingBlocks]] (global
     * bounded windows at full parallelism, no single-partition sort).

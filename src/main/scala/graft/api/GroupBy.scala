@@ -75,6 +75,19 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
         indexCols = keys)
     }
 
+  /** `groupby.quantile(qs)` on the bounded-memory quantized-histogram
+    * path ([[graft.ops.Sketch.quantileQuantizedBy]]): per-group
+    * aggregate state is that group's span-bounded histogram, never its
+    * rows — where the exact `percentile` buffers every value of the
+    * group. Deterministic half-unit error at 10^−scale precision; qs
+    * quantize to rationals over 10⁶ (exact-integer rank math). Output:
+    * one (keys…, q, value) row per group × quantile. */
+  def quantileApprox(column: String, qs: Seq[Double], scale: Int): Frame = {
+    val rs = qs.map(q => (math.round(q * 1000000L), 1000000L))
+    Frame(graft.ops.Sketch.quantileQuantizedBy(df, keys, column, rs, scale),
+      indexCols = keys)
+  }
+
   // -------------------------------------------------------------------
   // window-based per-group ops: one shuffle on keys, order within group
   // -------------------------------------------------------------------

@@ -115,4 +115,155 @@ object Sketch {
         size(col("__sk")).cast("long").as("sketch_size") :+
         estimate(col("__sk"), k).as("ndv_est"): _*)
   }
+
+  /** Exact φ-heavy-hitters (every value whose count ≥ φ·n, with its
+    * EXACT count) without a cardinality-sized shuffle — the 100 TB path
+    * for `value_counts` when only the frequent tail matters.
+    *
+    * The naive plan (`groupBy(value).count.filter`) shuffles every
+    * distinct value; at corpus cardinality that exchange dwarfs the
+    * answer. Here a per-partition Misra–Gries pass (FOCS '82 / the
+    * "frequent" algorithm) keeps ⌈1/φ⌉ counters per task and emits only
+    * its surviving CANDIDATE keys. Completeness is a pigeonhole
+    * argument, not a heuristic: if count(v) ≥ φ·n = φ·Σnₚ then some
+    * partition has countₚ(v) ≥ φ·nₚ, and Misra–Gries with c = ⌈1/φ⌉
+    * counters retains every key whose partition count exceeds
+    * nₚ/(c+1) < φ·nₚ — so every true heavy hitter survives in at least
+    * one partition. The candidate set (≤ ⌈1/φ⌉ per task) broadcasts
+    * back as a semi-join, and one partial-agg count over the filtered
+    * rows yields EXACT counts; the final threshold compares integers
+    * (cnt·phiDen ≥ n·phiNum), so false candidates drop out and the
+    * result is deterministic regardless of partitioning — which is what
+    * makes it hash-oracle-able against an engine that counted exactly.
+    *
+    * Exchanges: candidates (≤ tasks·⌈1/φ⌉ strings) + the semi-joined
+    * count's partial rows (≤ tasks·⌈1/φ⌉) + one scalar. Per-task memory:
+    * ⌈1/φ⌉ counters. Decrement-all events release c+1 count mass each,
+    * so the MG pass is O(nₚ) amortized. Nulls excluded (pandas
+    * value_counts dropna=True). */
+  def heavyHitters(df: DataFrame, valueCol: String, phiNum: Long,
+      phiDen: Long): DataFrame = {
+    require(phiNum > 0 && phiDen > 0 && phiNum < phiDen,
+      s"heavyHitters needs 0 < phi < 1, got $phiNum/$phiDen")
+    val cap = ((phiDen + phiNum - 1) / phiNum).toInt // ⌈1/φ⌉ counters
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nonNull = df.filter(col(valueCol).isNotNull)
+    val candidates = nonNull
+      .select(col(valueCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val counts = new scala.collection.mutable.HashMap[String, Long]
+        it.foreach { v =>
+          counts.get(v) match {
+            case Some(c) => counts.update(v, c + 1L)
+            case None if counts.size < cap => counts.update(v, 1L)
+            case None =>
+              // decrement-all: one occurrence of every tracked key plus
+              // the arriving one die together (c+1 mass per event)
+              val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+              counts.foreach { case (k, c) =>
+                if (c == 1L) dead += k else counts.update(k, c - 1L)
+              }
+              dead.foreach(counts.remove)
+          }
+        }
+        counts.keysIterator
+      }.toDF("__cand").distinct()
+    val counted = nonNull
+      .join(broadcast(candidates),
+        col(valueCol).cast("string") === col("__cand"), "left_semi")
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
+    val tot = nonNull.agg(count(lit(1)).as("__n"))
+    counted.crossJoin(broadcast(tot))
+      // decimal(38,0) keeps cnt·phiDen exact where long·long could
+      // overflow (n ~ 10¹² rows × phiDen ~ 10⁹)
+      .filter(col("cnt").cast("decimal(38,0)") * phiDen >=
+        col("__n").cast("decimal(38,0)") * phiNum)
+      .select(col(valueCol), col("cnt"))
+  }
+
+  /** 10^e as an exact long (e ≤ 18). */
+  private def pow10L(e: Int): Long = {
+    require(e >= 0 && e <= 18, s"scale out of range: $e")
+    var r = 1L; var i = 0; while (i < e) { r *= 10L; i += 1 }; r
+  }
+
+  /** Value quantized to round-half-up integer units of 10^−scale —
+    * floor(x·10^s + 0.5) for s ≥ 0, floor(x/10^−s + 0.5) below (divide
+    * by the EXACT integer power rather than multiplying by an inexact
+    * 0.1…, so both engines evaluate the identical IEEE expression). */
+  def quantize(c: Column, scale: Int): Column =
+    if (scale >= 0) floor(c * lit(pow10L(scale)) + lit(0.5)).cast("long")
+    else floor(c / lit(pow10L(-scale)) + lit(0.5)).cast("long")
+
+  /** Quantile over a quantized-value histogram — the bounded-memory
+    * 100 TB path for `quantile`, the rank sibling of the KMV NDV sketch.
+    *
+    * Spark's exact `percentile` buffers every value per group; at corpus
+    * scale that aggregate state (and DuckDB's equivalent sort) grows
+    * with n. Quantizing to integer units of 10^−scale first makes the
+    * aggregate a HISTOGRAM whose size is bounded by the value SPAN ×
+    * 10^scale — independent of row count — with a deterministic error
+    * bound of half a unit (not probabilistic). The exchange is the
+    * histogram (partial-agg combined); the cumulative-rank window runs
+    * over the bounded histogram, never the data (the same bounded-side
+    * rule as the d×d PCA moment matrix).
+    *
+    * Each quantile q is a RATIONAL num/den so the pandas linear-
+    * interpolation rank r = (n−1)·q decomposes exactly: lo = value at
+    * rank ⌊r⌋, hi = value at ⌈r⌉, and the interpolated result
+    * ((den−rem)·lo + rem·hi) / (den·10^scale) stays in exact integer
+    * arithmetic until ONE double division of two exact integers —
+    * correctly rounded, hence bit-identical in any engine and
+    * association order. Nulls excluded (pandas default). */
+  def quantileQuantized(df: DataFrame, valueCol: String,
+      qs: Seq[(Long, Long)], scale: Int): DataFrame =
+    quantileQuantizedBy(df, Nil, valueCol, qs, scale)
+
+  /** Per-group [[quantileQuantized]]: the histogram carries the group
+    * key, the rank window partitions by group (per-partition state =
+    * that group's bounded histogram), output one row per group × q. */
+  def quantileQuantizedBy(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, qs: Seq[(Long, Long)], scale: Int): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (n, d) => n >= 0 && d > 0 && n <= d },
+      s"quantiles must be rationals in [0,1], got $qs")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy((groupCols.map(col) :+ quantize(col(valueCol), scale).as("__qv")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val w = (if (groupCols.isEmpty) Window.partitionBy()
+             else Window.partitionBy(groupCols.map(col): _*)).orderBy(col("__qv"))
+    val cum = hist
+      .withColumn("__cum", sum(col("__cnt")).over(w))
+      .withColumn("__n", sum(col("__cnt")).over(
+        if (groupCols.isEmpty) Window.partitionBy()
+        else Window.partitionBy(groupCols.map(col): _*)))
+    val aggs = qs.zipWithIndex.flatMap { case ((num, den), i) =>
+      val rnum = (col("__n") - 1L) * num // rank·den, exact long
+      val rem = pmod(rnum, lit(den))
+      // rnum−rem is divisible by den; Spark's `/` is double division, so
+      // cast back (exact — magnitudes < 2^53)
+      val loRank = ((rnum - rem) / den).cast("long") + 1L
+      val hiRank = loRank + when(rem > 0L, 1L).otherwise(0L)
+      Seq(
+        min(when(col("__cum") >= loRank, col("__qv"))).as(s"__lo$i"),
+        min(when(col("__cum") >= hiRank, col("__qv"))).as(s"__hi$i"),
+        max(rem).as(s"__rem$i")) // constant within a group; max reads it
+    }
+    val picked =
+      if (groupCols.isEmpty) cum.agg(aggs.head, aggs.tail: _*)
+      else cum.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val rows = qs.zipWithIndex.map { case ((num, den), i) =>
+      val unscaled = (lit(den) - col(s"__rem$i")) * col(s"__lo$i") +
+        col(s"__rem$i") * col(s"__hi$i")
+      val value =
+        if (scale >= 0) unscaled.cast("double") / lit(den * pow10L(scale))
+        else (unscaled * lit(pow10L(-scale))).cast("double") / lit(den)
+      struct(lit(num.toDouble / den).as("q"), value.as("value"))
+    }
+    picked
+      .select((groupCols.map(col) :+ explode(array(rows: _*)).as("__p")): _*)
+      .select((groupCols.map(col) :+ col("__p.q").as("q") :+
+        col("__p.value").as("value")): _*)
+  }
 }

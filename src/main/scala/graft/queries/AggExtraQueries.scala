@@ -217,5 +217,94 @@ object AggExtraQueries {
                FROM orders GROUP BY 1)
         SELECT sk.g AS o_orderpriority, sk.sketch_size, sk.ndv_est, ex.ndv_exact
         FROM sk JOIN ex USING (g)
-        ORDER BY 1""")))
+        ORDER BY 1""")),
+
+    // value_counts' frequent tail at 100 TB: exact φ-heavy-hitters
+    // WITHOUT the cardinality-sized shuffle (ops/Sketch.heavyHitters —
+    // per-partition Misra–Gries keeps ⌈1/φ⌉ counters and emits only
+    // candidates; completeness is the pigeonhole argument in the doc
+    // comment; a broadcast semi-join + partial-agg count then yields
+    // EXACT counts, so the answer is deterministic regardless of which
+    // extra candidates each partitioning surfaces). The oracle counts
+    // exactly — a hash match proves candidate recall, not a tolerance.
+    Q("q263_heavy_hitters",
+      (s, dir) => f(s, dir, "events")
+        .heavyHitters("user_id", 0.008).df,
+      Some("""
+        WITH n AS (SELECT count(*) AS n FROM events WHERE user_id IS NOT NULL)
+        SELECT user_id, count(*) AS cnt
+        FROM events, n
+        WHERE user_id IS NOT NULL
+        GROUP BY user_id, n.n
+        HAVING CAST(count(*) AS HUGEINT) * 1000000 >= CAST(n.n AS HUGEINT) * 8000
+        ORDER BY cnt DESC, user_id""")),
+
+    // quantile at 100 TB without buffering the column: the quantized-
+    // histogram sketch (ops/Sketch.quantileQuantized). Values round to
+    // 10-currency-unit buckets (scale=-1), the aggregate state is the
+    // span-bounded histogram, and the pandas (n−1)·q linear
+    // interpolation runs in EXACT integer arithmetic (q as a rational
+    // over 10⁶) until one double division — bit-identical in both
+    // engines, hash-exact oracle with a deterministic half-bucket error
+    // bound vs the true quantile.
+    Q("q264_quantile_sketch",
+      (s, dir) => f(s, dir, "orders")
+        .quantileApprox("o_totalprice", Seq(0.25, 0.5, 0.75, 0.99), -1)
+        .sortValues(Seq(SortKey.asc("q"))).df,
+      Some("""
+        WITH hist AS (
+          SELECT CAST(floor(o_totalprice / 10 + 0.5) AS BIGINT) AS qv,
+                 count(*) AS cnt
+          FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+        cum AS (
+          SELECT qv, sum(cnt) OVER (ORDER BY qv) AS cum,
+                 sum(cnt) OVER () AS n
+          FROM hist),
+        qs AS (SELECT * FROM (VALUES (250000), (500000), (750000), (990000)) AS q(num)),
+        picks AS (
+          SELECT num,
+                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % 1000000)) / 1000000 + 1
+                     THEN qv END) AS lo,
+                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % 1000000)) / 1000000 + 1
+                               + (CASE WHEN ((n-1)*num) % 1000000 > 0 THEN 1 ELSE 0 END)
+                     THEN qv END) AS hi,
+                 max(((n-1)*num) % 1000000) AS rem
+          FROM cum, qs GROUP BY num)
+        SELECT CAST(num AS DOUBLE) / 1000000 AS q,
+               CAST(((1000000 - rem) * lo + rem * hi) * 10 AS DOUBLE) / 1000000 AS value
+        FROM picks ORDER BY q""")),
+
+    // the per-group face of the same sketch: groupby.quantile where the
+    // per-group aggregate state is that group's bounded histogram (the
+    // exact `percentile` buffers every value of the group — the state
+    // Spark spills at corpus scale). Same exact-integer rank math.
+    Q("q265_groupby_quantile_sketch",
+      (s, dir) => f(s, dir, "orders")
+        .groupby("o_orderpriority")
+        .quantileApprox("o_totalprice", Seq(0.5, 0.9), -1)
+        .sortValues(Seq(SortKey.asc("o_orderpriority"), SortKey.asc("q"))).df,
+      Some("""
+        WITH hist AS (
+          SELECT o_orderpriority AS g,
+                 CAST(floor(o_totalprice / 10 + 0.5) AS BIGINT) AS qv,
+                 count(*) AS cnt
+          FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2),
+        cum AS (
+          SELECT g, qv, sum(cnt) OVER (PARTITION BY g ORDER BY qv) AS cum,
+                 sum(cnt) OVER (PARTITION BY g) AS n
+          FROM hist),
+        qs AS (SELECT * FROM (VALUES (500000), (900000)) AS q(num)),
+        picks AS (
+          SELECT g, num,
+                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % 1000000)) / 1000000 + 1
+                     THEN qv END) AS lo,
+                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % 1000000)) / 1000000 + 1
+                               + (CASE WHEN ((n-1)*num) % 1000000 > 0 THEN 1 ELSE 0 END)
+                     THEN qv END) AS hi,
+                 max(((n-1)*num) % 1000000) AS rem
+          FROM cum, qs GROUP BY 1, 2)
+        SELECT g AS o_orderpriority,
+               CAST(num AS DOUBLE) / 1000000 AS q,
+               CAST(((1000000 - rem) * lo + rem * hi) * 10 AS DOUBLE) / 1000000 AS value
+        FROM picks ORDER BY 1, 2""")))
 }

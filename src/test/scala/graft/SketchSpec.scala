@@ -100,4 +100,100 @@ class SketchSpec extends SparkSuite {
       .df.orderBy("column").collect().map(r => r.getString(0) -> r.getDouble(1))
     assert(approx.toSeq == exact.toSeq)
   }
+
+  // ---- heavy hitters (Misra–Gries candidates + exact verify) ----
+
+  test("heavyHitters returns exactly the values with count >= phi*n, boundary inclusive") {
+    val rows = Seq.fill(300)("a") ++ Seq.fill(100)("b") ++
+      Seq.fill(50)("c") ++ (1 to 550).map(i => s"u$i") // n = 1000
+    val df = rows.toDF("v")
+    // phi = 5% -> threshold 50: "c" sits exactly on the boundary (>=)
+    val r = Sketch.heavyHitters(df, "v", 5, 100)
+      .orderBy(desc("cnt"), col("v")).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r.toSeq == Seq("a" -> 300L, "b" -> 100L, "c" -> 50L))
+  }
+
+  test("heavyHitters deterministic across partitionings and equals brute force") {
+    val rows = (1 to 5000).map(i => s"v${i % 37}") ++ Seq.fill(800)("hot")
+    def run(p: Int) =
+      Sketch.heavyHitters(rows.toDF("v").repartition(p), "v", 1, 10)
+        .orderBy("v").collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    val truth = rows.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+      .filter(_._2 * 10L >= rows.size.toLong).toSeq.sortBy(_._1)
+    assert(run(1) == truth)
+    assert(run(13) == truth)
+    assert(run(32) == truth)
+  }
+
+  test("heavyHitters excludes nulls from counts and from the total") {
+    val df = (Seq.fill(6)(Some("x")) ++ Seq.fill(4)(Option.empty[String]) ++
+      Seq(Some("y"))).toDF("v")
+    // n = 7 non-null; phi = 1/2 -> only x (6 >= 3.5)
+    val r = Sketch.heavyHitters(df, "v", 1, 2).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r.toSeq == Seq("x" -> 6L))
+  }
+
+  // ---- quantized-histogram quantile ----
+
+  test("quantileQuantized matches pandas linear interpolation at a lossless scale") {
+    val df = Seq(10, 20, 30, 40).toDF("v")
+    val r = Sketch.quantileQuantized(df, "v",
+        Seq((0L, 1L), (1L, 4L), (1L, 2L), (3L, 4L), (1L, 1L)), 0)
+      .orderBy("q").collect().map(x => (x.getDouble(0), x.getDouble(1)))
+    // pandas: r = (n-1)q over [10,20,30,40]
+    assert(r.toSeq == Seq(0.0 -> 10.0, 0.25 -> 17.5, 0.5 -> 25.0,
+      0.75 -> 32.5, 1.0 -> 40.0))
+  }
+
+  test("quantization error is bounded by half a unit of 10^-scale") {
+    val vals = (1 to 999).map(_ * 0.777)
+    val exactMedian = vals.sorted.apply(499) // (n-1)*0.5 = 499 exactly
+    val r = Sketch.quantileQuantized(vals.toDF("v"), "v", Seq((1L, 2L)), 1)
+      .collect().head.getDouble(1)
+    assert(math.abs(r - exactMedian) <= 0.05 + 1e-9,
+      s"median $r vs exact $exactMedian")
+  }
+
+  test("negative scale buckets coarsely and rescales back") {
+    val df = Seq(100.0, 200.0, 300.0).toDF("v")
+    val r = Sketch.quantileQuantized(df, "v", Seq((1L, 2L)), -2)
+      .collect().head.getDouble(1)
+    assert(r == 200.0)
+  }
+
+  test("grouped quantile sketch equals running each group alone; deterministic") {
+    val df = (1 to 200).map(i => (s"g${i % 2}", i.toDouble)).toDF("g", "v")
+    val qs = Seq((1L, 2L), (9L, 10L))
+    val grouped = Sketch.quantileQuantizedBy(df.repartition(7), Seq("g"), "v", qs, 0)
+      .orderBy("g", "q").collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2))).toSeq
+    val solo = Seq("g0", "g1").flatMap { g =>
+      Sketch.quantileQuantized(df.filter(col("g") === g), "v", qs, 0)
+        .orderBy("q").collect().map(x => (g, x.getDouble(0), x.getDouble(1)))
+    }
+    assert(grouped == solo)
+    val again = Sketch.quantileQuantizedBy(df.repartition(3), Seq("g"), "v", qs, 0)
+      .orderBy("g", "q").collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2))).toSeq
+    assert(grouped == again)
+  }
+
+  test("Frame.heavyHitters / quantileApprox and GroupBy.quantileApprox wire through") {
+    val hh = graft.api.Frame(
+        (Seq.fill(30)("a") ++ Seq.fill(5)("b") ++ (1 to 65).map(i => s"u$i")).toDF("v"))
+      .heavyHitters("v", 0.25).df.collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(hh.toSeq == Seq("a" -> 30L)) // 30 >= 25, b/u* below
+    val fq = graft.api.Frame(Seq(10, 20, 30, 40).toDF("v"))
+      .quantileApprox("v", Seq(0.5), 0).df.collect().head
+    assert(fq.getDouble(0) == 0.5 && fq.getDouble(1) == 25.0)
+    val gq = graft.api.Frame((1 to 100).map(i => (s"g${i % 2}", i)).toDF("g", "v"))
+      .groupby("g").quantileApprox("v", Seq(0.5), 0)
+      .df.orderBy("g").collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2)))
+    // g0: evens 2..100 -> median 51; g1: odds 1..99 -> median 50
+    assert(gq.toSeq == Seq(("g0", 0.5, 51.0), ("g1", 0.5, 50.0)))
+  }
 }
