@@ -539,6 +539,79 @@ object SkewBench {
 }
 
 /**
+ * Scale-slope test for the round-10 sketch family. Two regimes on
+ * purpose: heavy hitters amplify with user_id KEPT (each hitter's count
+ * grows with n, so the φ-threshold answer is stable — the "one domain
+ * grows" regime; the stock stride amplification would dilute every
+ * value below φ and measure an empty verify), while the quantile
+ * histograms ride the stock disjoint-replica amplification because
+ * o_totalprice is untouched by the stride — the histogram stays
+ * span-bounded as rows grow ×factor, which IS the claim: the
+ * aggregate's state and the rank window are O(span·10^scale), only the
+ * scan+partial-agg should scale.
+ */
+object ScaleSketchBench {
+  import org.apache.spark.sql.functions._
+  import graft.ops.Sketch
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "8").toInt
+    val spark = ScaleBench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val bigDir = ScaleBench.ensureAmplified(spark, baseDir, factor)
+    // keep-keys events replica: event_id shifts (stays unique), user_id
+    // repeats — materialized once so generation cost never pollutes timing
+    val keepDir = s"/tmp/graft_scale/x$factor/events_keepkeys.parquet"
+    if (!new java.io.File(keepDir, "_SUCCESS").exists()) {
+      val ev = spark.read.parquet(s"$baseDir/events.parquet")
+      ev.withColumn("__r", explode(array((0 until factor).map(lit): _*)))
+        .withColumn("event_id", col("event_id") + col("__r").cast("long") * 1000000000L)
+        .drop("__r")
+        .repartition(32)
+        .write.mode("overwrite").parquet(keepDir)
+    }
+    def events(dir: String) =
+      if (dir == baseDir) spark.read.parquet(s"$dir/events.parquet")
+      else spark.read.parquet(keepDir)
+    def orders(dir: String) = spark.read.parquet(s"$dir/orders.parquet")
+    val qs = Seq((250000L, 1000000L), (500000L, 1000000L),
+      (750000L, 1000000L), (990000L, 1000000L))
+    val shapes: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
+      "heavy_hitters" -> (dir =>
+        Sketch.heavyHitters(events(dir), "user_id", 8, 1000)),
+      "quantile_hist" -> (dir =>
+        Sketch.quantileQuantized(orders(dir), "o_totalprice", qs, -1)),
+      "quantile_hist_grouped" -> (dir =>
+        Sketch.quantileQuantizedBy(orders(dir), Seq("o_orderpriority"),
+          "o_totalprice", qs.take(2), -1)),
+      // the exact ops the sketches replace, same inputs — the A/B that
+      // shows what the bounded state buys as n grows
+      "quantile_exact_percentile" -> (dir =>
+        orders(dir).groupBy(col("o_orderpriority"))
+          .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+            percentile(col("o_totalprice"), lit(0.9)).as("p90"))),
+      "value_counts_exact" -> (dir =>
+        events(dir).groupBy(col("user_id")).count()))
+    events(baseDir).queryExecution.toRdd.foreach(_ => ())
+    events(bigDir).queryExecution.toRdd.foreach(_ => ())
+    orders(bigDir).queryExecution.toRdd.foreach(_ => ())
+    val rows = shapes.map { case (name, f) =>
+      def t(dir: String) =
+        ScaleBench.minTime(2)(f(dir).queryExecution.toRdd.foreach(_ => ()))
+      val (tb, ts) = (t(baseDir), t(bigDir))
+      (name, tb, ts, (ts / tb) / factor)
+    }
+    val flagged = rows.collect { case (n, _, _, s) if s > 1.5 => n }
+    val out = rows.map { case (n, tb, ts, s) =>
+      f""""$n":{"base":$tb%.3f,"scaled":$ts%.3f,"slope":$s%.3f}"""
+    }.mkString("{", ",", "}")
+    val fl = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"scale_slope_sketch","factor":$factor,"queries":$out,"flagged":$fl,"base":"$baseDir"}""")
+    spark.stop()
+  }
+}
+
+/**
  * Scale-slope test for the round-9 corpus additions: sliding-window
  * chunking (map-only — slope should track the scan, well under 1) and
  * temperature mixture sampling (count shuffle + broadcast rate join —
