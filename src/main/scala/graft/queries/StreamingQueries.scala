@@ -252,5 +252,44 @@ object StreamingQueries {
                    / len(list_distinct(list_concat(a.sh, b.sh))) AS j
           FROM e a JOIN e b ON a.b = b.b AND a.key = b.key
           WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
-        WHERE j >= 0.2 ORDER BY id_l, id_r""")))
+        WHERE j >= 0.2 ORDER BY id_l, id_r""")),
+
+    // Streaming NDV per key via the KMV bottom-k sketch: the maximally
+    // out-of-order shuffled replay (every drop spans the whole time
+    // range) must fold to the IDENTICAL sketch as batch, because bottom-k
+    // set-union is commutative and associative — arrival-order immunity
+    // by algebra, not by watermark buffering (no watermark, Complete
+    // mode, no sentinels). Streaming state per key = one ≤ k-long sorted
+    // buffer, the same bytes a batch partial-agg task holds. The oracle
+    // is the q262 construction on (event_type, user_id): hash-exact,
+    // since both engines replay the identical md5 bottom-64 set and
+    // closed-form estimate.
+    Q("q266_streaming_ndv_sketch",
+      (s, dir) => {
+        val (flat, _, _) = stageReplay(s, dir, "q266")
+        val stream = EventStream.read(s, flat, replaySchema)
+        val query = EventStream.ndvSketch(stream, "event_type", "user_id", 64)
+          .writeStream.format("memory").queryName("q266_sink")
+          .outputMode(OutputMode.Complete()).start()
+        try {
+          query.processAllAvailable()
+          s.table("q266_sink").orderBy("event_type")
+        } finally query.stop()
+      },
+      Some("""
+        WITH h AS (
+          SELECT event_type AS g,
+                 CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS hv
+          FROM events WHERE user_id IS NOT NULL),
+        d AS (SELECT DISTINCT g, hv FROM h),
+        r AS (SELECT g, hv,
+                     row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+              FROM d)
+        SELECT g AS event_type, CAST(count(*) AS BIGINT) AS sketch_size,
+               CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                    ELSE floor((63.0 * 1152921504606846976.0
+                                / max(CASE WHEN rn = 64 THEN hv END)) * 10) / 10
+               END AS ndv_est
+        FROM r WHERE rn <= 64 GROUP BY g
+        ORDER BY g""")))
 }

@@ -35,6 +35,30 @@ object EventStream {
         approx_count_distinct(col("user_id")).as("approx_users"))
       .select(col("win.start").as("bucket"), col("n"), col("sum_value"), col("approx_users"))
 
+  /** Streaming per-key NDV via the bottom-k KMV sketch
+    * ([[graft.ops.Sketch]]) — `approx_count_distinct` with an exactly
+    * reproducible answer. The sketch's merge is a commutative,
+    * associative set-union of bottom-k hash sets, so the folded result
+    * is IDENTICAL for every micro-batch arrival order — no watermark
+    * buffering needed for exactness (unlike the Ooo twins, whose fold is
+    * order-sensitive). State per key is the ≤ k-long sorted buffer; the
+    * streaming state store holds exactly the same partial buffer a batch
+    * partial-aggregate task would. The same q262 DuckDB oracle applies
+    * verbatim: replaying ANY permutation of the stream equals the batch
+    * sketch bit-for-bit. */
+  def ndvSketch(events: DataFrame, keyCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    import graft.ops.Sketch
+    events
+      .filter(col(valueCol).isNotNull)
+      .select(col(keyCol), Sketch.hash60(col(valueCol)).as("__h60"))
+      .groupBy(col(keyCol))
+      .agg(Sketch.bottomKAgg(col("__h60"), k).as("__sk"))
+      .select(col(keyCol),
+        size(col("__sk")).cast("long").as("sketch_size"),
+        Sketch.estimate(col("__sk"), k).as("ndv_est"))
+  }
+
   /** Per-user session state: (sessionCount, lastSeenMicros). */
   final case class SessionState(sessions: Long, lastMicros: Long)
   final case class SessionUpdate(userId: Long, sessions: Long)

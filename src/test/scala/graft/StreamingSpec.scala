@@ -197,6 +197,35 @@ class StreamingSpec extends SparkSuite {
     } finally if (query != null) query.stop()
   }
 
+  test("streaming KMV NDV sketch equals batch bit-for-bit on a shuffled replay") {
+    import org.apache.spark.sql.types._
+    var query: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      shuffledReplay { (streamDir, ev) =>
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("ts", TimestampType), StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        val stream = EventStream.read(spark, streamDir, schema)
+        // k=32 < |users| so the estimator path (not sub-k exactness) is
+        // what must match; bottom-k union is order-immune by algebra, so
+        // the maximally shuffled arrival needs no watermark to agree
+        query = EventStream.ndvSketch(stream, "event_type", "user_id", 32)
+          .writeStream.format("memory").queryName("ndv_stream")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+        query.processAllAvailable()
+        val streamed = spark.table("ndv_stream").orderBy("event_type").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+        // ndvSketch is plan-generic: applied to the static frame it IS the
+        // batch sketch
+        val batch = EventStream.ndvSketch(ev, "event_type", "user_id", 32)
+          .orderBy("event_type").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+        assert(streamed.nonEmpty && streamed == batch)
+      }
+    } finally if (query != null) query.stop()
+  }
+
   test("out-of-order enrichment equals the batch merge_asof on a shuffled replay") {
     import org.apache.spark.sql.types._
     var query: org.apache.spark.sql.streaming.StreamingQuery = null
