@@ -582,6 +582,44 @@ object Corpus {
   }
 
   /**
+   * CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
+   * every document's LM perplexity ([[perplexity]], self-trained here),
+   * cut EACH LANGUAGE's perplexity distribution into head/middle/tail
+   * terciles, and label every document — the quality-split stage CCNet
+   * runs before choosing which thirds to keep per language.
+   *
+   * The tercile boundaries ride the quantized-histogram quantile
+   * ([[Sketch.quantileQuantizedBy]]) on ppl rounded to 4 decimals: the
+   * per-language aggregate state is a span-bounded histogram, never the
+   * score column — at corpus scale the boundary computation costs one
+   * bounded aggregate, and the labels are a broadcast join of the
+   * |languages|×2 cut table back onto the scored stream (map-side, no
+   * extra data-sized exchange beyond [[perplexity]]'s own). Rank math is
+   * exact-integer (q = 1/3, 2/3 as true rationals), so the cut values —
+   * and therefore every label — are bit-identical cross-engine; the only
+   * carried caveat is q236's round(ppl,4) half-ulp class. Boundary
+   * convention: r_ppl ≤ b1 → head, ≤ b2 → middle, else tail (documents
+   * tied with a cut value land low, deterministically).
+   */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, k: Double = 0.1): DataFrame = {
+    val scored = docs.select(col(idCol), col(langCol))
+      .join(perplexity(docs, docs, idCol, textCol, k), Seq(idCol))
+      .withColumn("r_ppl", round(col("ppl"), 4))
+    val cuts = Sketch.quantileQuantizedBy(scored, Seq(langCol), "r_ppl",
+        Seq((1L, 3L), (2L, 3L)), 4)
+      .groupBy(col(langCol))
+      .agg(min(when(col("q") < 0.5, col("value"))).as("__b1__"),
+        max(when(col("q") > 0.5, col("value"))).as("__b2__"))
+    scored.join(broadcast(cuts), Seq(langCol))
+      .withColumn("bucket",
+        when(col("r_ppl") <= col("__b1__"), "head")
+          .when(col("r_ppl") <= col("__b2__"), "middle")
+          .otherwise("tail"))
+      .select(col(idCol), col(langCol), col("r_ppl"), col("bucket"))
+  }
+
+  /**
    * GPT-style concat-and-split sequence packing: the corpus token stream
    * (docs concatenated in `orderCol` order) is cut into consecutive
    * sequences of EXACTLY `seqLen` tokens, documents splitting across

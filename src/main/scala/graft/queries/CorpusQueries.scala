@@ -360,6 +360,94 @@ object CorpusQueries {
         FROM documents JOIN scored USING (doc_id)
         GROUP BY lang ORDER BY lang""")),
 
+    // CCNet's NEXT stage after q236's scoring: cut each language's
+    // perplexity distribution into head/middle/tail terciles and label
+    // every document (Wenzek et al. 2020 §4.3 — the split CCNet uses to
+    // keep the best thirds per language). Boundaries come from the
+    // quantized-histogram quantile (q264's construction, per-lang), so
+    // the cut values are exact-integer rank math over a span-bounded
+    // histogram and every label is bit-identical cross-engine — the
+    // whole composition (LM train → score → cut → label → report) stays
+    // hash-oracle-able. Exchanges: q236's scoring joins + one bounded
+    // histogram aggregate + a broadcast of the |langs|×2 cut table.
+    Q("q267_ccnet_ppl_buckets",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        // mean over EXACT integer 10^-4 units, one double division at the
+        // end — round(avg(double),4) flipped a half-ulp boundary between
+        // this plan's partition order and DuckDB's (the q248 lesson);
+        // r_ppl is already 4-decimal, so the quantization is lossless
+        Corpus.perplexityBuckets(docs, "doc_id", "text", "lang", k = 0.1)
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(graft.ops.Sketch.quantize(col("r_ppl"), 4)).as("__sq__"))
+          .select(col("lang"), col("bucket"), col("n_docs"),
+            (col("__sq__").cast("double") /
+              (col("n_docs") * 10000L).cast("double")).as("mean_rppl"))
+          .orderBy(col("lang"), col("bucket"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, lang, regexp_extract_all(trim(lower(text)), '\S+') AS t
+          FROM documents),
+        bi AS (
+          SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2
+          FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+          WHERE len(t) >= 2),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        v AS (SELECT count(DISTINCT w)::DOUBLE AS v
+              FROM (SELECT unnest(t) AS w FROM tok)),
+        p AS (
+          SELECT b.doc_id,
+                 CASE WHEN c1.c1 IS NOT NULL
+                      THEN (coalesce(c12.c12, 0)::DOUBLE + 0.1) / (c1.c1::DOUBLE + 0.1 * v.v)
+                      ELSE 1.0 / v.v END AS p
+          FROM bi b
+          LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+          LEFT JOIN c1 ON b.w1 = c1.w1
+          CROSS JOIN v),
+        scored AS (
+          SELECT d.doc_id, d.lang,
+                 round(exp(-sum(ln(p.p)) / count(*)), 4) AS r_ppl
+          FROM p JOIN documents d USING (doc_id)
+          GROUP BY d.doc_id, d.lang),
+        hist AS (
+          SELECT lang, CAST(floor(r_ppl * 10000 + 0.5) AS BIGINT) AS qv,
+                 count(*) AS cnt
+          FROM scored GROUP BY 1, 2),
+        cum AS (
+          SELECT lang, qv, sum(cnt) OVER (PARTITION BY lang ORDER BY qv) AS cum,
+                 sum(cnt) OVER (PARTITION BY lang) AS n
+          FROM hist),
+        qs AS (SELECT * FROM (VALUES (1), (2)) AS q(num)),
+        picks AS (
+          SELECT lang, num,
+                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % 3)) / 3 + 1
+                     THEN qv END) AS lo,
+                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % 3)) / 3 + 1
+                               + (CASE WHEN ((n-1)*num) % 3 > 0 THEN 1 ELSE 0 END)
+                     THEN qv END) AS hi,
+                 max(((n-1)*num) % 3) AS rem
+          FROM cum, qs GROUP BY 1, 2),
+        cuts AS (
+          SELECT lang,
+                 min(CASE WHEN num = 1
+                     THEN CAST((3 - rem) * lo + rem * hi AS DOUBLE) / 30000 END) AS b1,
+                 max(CASE WHEN num = 2
+                     THEN CAST((3 - rem) * lo + rem * hi AS DOUBLE) / 30000 END) AS b2
+          FROM picks GROUP BY lang),
+        labeled AS (
+          SELECT s.doc_id, s.lang, s.r_ppl,
+                 CASE WHEN s.r_ppl <= c.b1 THEN 'head'
+                      WHEN s.r_ppl <= c.b2 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM scored s JOIN cuts c USING (lang))
+        SELECT lang, bucket, count(*) AS n_docs,
+               CAST(sum(CAST(floor(r_ppl * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / CAST(count(*) * 10000 AS BIGINT) AS mean_rppl
+        FROM labeled GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Bloom-filter decontamination (the q181 semantics on the scale path
     // for benchmark sets too large to broadcast as a hash relation):
     // distributed bloom build over the gram set → map-side prune of the

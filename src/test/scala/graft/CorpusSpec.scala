@@ -191,6 +191,40 @@ class CorpusSpec extends SparkSuite {
     assert(pplIn < pplOut / 2, s"in-domain $pplIn vs unseen $pplOut")
   }
 
+  test("perplexityBuckets cuts each language into thirds; labels deterministic") {
+    import spark.implicits._
+    // 30 docs per lang with spread-out perplexities: doc i repeats a
+    // rare-vs-common mix so ppl varies monotonically enough to split
+    val docs = (0 until 30).flatMap { i =>
+      val common = Seq.fill(30 - i)("the cat sat").mkString(" ")
+      val rare = Seq.tabulate(i)(j => s"tok${i}_$j").mkString(" ")
+      Seq((i.toLong, s"$common $rare", "en"),
+        (100L + i, s"$common $rare extra", "fr"))
+    }.toDF("doc_id", "text", "lang")
+    val out = Corpus.perplexityBuckets(docs, "doc_id", "text", "lang")
+    val byLang = out.groupBy("lang", "bucket").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // terciles of 30: each bucket lands 10 +/- boundary ties
+    for (l <- Seq("en", "fr"); b <- Seq("head", "middle", "tail")) {
+      val n = byLang.getOrElse((l, b), 0L)
+      assert(n >= 7 && n <= 13, s"$l/$b bucket size $n not near a third of 30")
+    }
+    // head must hold the lowest scores: max(head) <= min(tail) per lang
+    val rows = out.collect().map(r =>
+      (r.getString(1), r.getDouble(2), r.getString(3)))
+    for (l <- Seq("en", "fr")) {
+      val h = rows.filter(x => x._1 == l && x._3 == "head").map(_._2)
+      val t = rows.filter(x => x._1 == l && x._3 == "tail").map(_._2)
+      assert(h.max <= t.min, s"$l: head max ${h.max} above tail min ${t.min}")
+    }
+    // partitioning must not move any label
+    val again = Corpus.perplexityBuckets(docs.repartition(13), "doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(3))).sortBy(_._1).toSeq
+    assert(rows.length.toLong == again.length.toLong)
+    val first = out.collect().map(r => (r.getLong(0), r.getString(3))).sortBy(_._1).toSeq
+    assert(first == again)
+  }
+
   test("exactSubstrDedup removes later copies of duplicated spans, keeps first") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog",
