@@ -75,6 +75,20 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
         indexCols = keys)
     }
 
+  /** The group-relative frequent tail at corpus scale: every value with
+    * count ≥ φ·n_group and its EXACT count
+    * ([[graft.ops.Sketch.heavyHittersByGroup]] — per-group Misra–Gries
+    * candidates per partition + broadcast verify; no
+    * cardinality-sized shuffle). Output ordered (keys…, cnt desc,
+    * value) for determinism. */
+  def heavyHitters(column: String, phi: Double): Frame = {
+    require(phi > 0 && phi < 1, s"heavyHitters needs 0 < phi < 1: $phi")
+    val num = math.max(1L, math.round(phi * 1000000L))
+    Frame(graft.ops.Sketch.heavyHittersByGroup(df, keys, column, num, 1000000L)
+      .orderBy(keys.map(col) ++ Seq(col("cnt").desc, col(column).asc): _*),
+      indexCols = keys)
+  }
+
   /** `groupby.quantile(qs)` on the bounded-memory quantized-histogram
     * path ([[graft.ops.Sketch.quantileQuantizedBy]]): per-group
     * aggregate state is that group's span-bounded histogram, never its

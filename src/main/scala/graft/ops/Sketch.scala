@@ -182,6 +182,66 @@ object Sketch {
       .select(col(valueCol), col("cnt"))
   }
 
+  /** Per-group [[heavyHitters]]: every (group, value) with value count
+    * ≥ φ·n_group, exact counts — frequent tokens per language, top
+    * domains per day, the group-relative frequent tail. The pigeonhole
+    * completeness argument applies within each group unchanged: a
+    * group-global φ-hitter is a local φ-hitter of that group's slice in
+    * at least one partition, and each partition runs an independent
+    * Misra–Gries per group (⌈1/φ⌉ counters each — per-task memory is
+    * groups-seen-by-task × ⌈1/φ⌉, the documented bound; group counts are
+    * usually dimension-sized). Group keys fold to a \u0001-joined string
+    * for the candidate pass; the verify aggregate keeps the original
+    * typed columns. The per-group totals are one |groups|-row aggregate
+    * broadcast back, and the threshold compare is exact decimal —
+    * deterministic output regardless of candidate wobble. */
+  def heavyHittersByGroup(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, phiNum: Long, phiDen: Long): DataFrame = {
+    require(groupCols.nonEmpty, "use heavyHitters for the ungrouped form")
+    require(phiNum > 0 && phiDen > 0 && phiNum < phiDen,
+      s"heavyHittersByGroup needs 0 < phi < 1, got $phiNum/$phiDen")
+    val cap = ((phiDen + phiNum - 1) / phiNum).toInt
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nonNull = df.filter(col(valueCol).isNotNull &&
+      groupCols.map(col(_).isNotNull).reduce(_ && _))
+    val gkey = concat_ws("\u0001", groupCols.map(col(_).cast("string")): _*)
+    val candidates = nonNull
+      .select(gkey.as("g"), col(valueCol).cast("string").as("v"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val groups = new scala.collection.mutable.HashMap[
+          String, scala.collection.mutable.HashMap[String, Long]]
+        it.foreach { case (g, v) =>
+          val counts = groups.getOrElseUpdate(g,
+            new scala.collection.mutable.HashMap[String, Long])
+          counts.get(v) match {
+            case Some(c) => counts.update(v, c + 1L)
+            case None if counts.size < cap => counts.update(v, 1L)
+            case None =>
+              val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+              counts.foreach { case (k, c) =>
+                if (c == 1L) dead += k else counts.update(k, c - 1L)
+              }
+              dead.foreach(counts.remove)
+          }
+        }
+        groups.iterator.flatMap { case (g, m) => m.keysIterator.map(g -> _) }
+      }.toDF("__cg", "__cand").distinct()
+    val counted = nonNull
+      .join(broadcast(candidates),
+        gkey === col("__cg") && col(valueCol).cast("string") === col("__cand"),
+        "left_semi")
+      .groupBy(groupCols.map(col) :+ col(valueCol): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val totals = nonNull.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    counted.join(broadcast(totals), groupCols)
+      .filter(col("cnt").cast("decimal(38,0)") * phiDen >=
+        col("__n").cast("decimal(38,0)") * phiNum)
+      .select(groupCols.map(col) :+ col(valueCol) :+ col("cnt"): _*)
+  }
+
   /** 10^e as an exact long (e ≤ 18). */
   private def pow10L(e: Int): Long = {
     require(e >= 0 && e <= 18, s"scale out of range: $e")

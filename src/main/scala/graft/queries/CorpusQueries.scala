@@ -448,6 +448,32 @@ object CorpusQueries {
                  / CAST(count(*) * 10000 AS BIGINT) AS mean_rppl
         FROM labeled GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // the group-relative frequent tail over real text: tokens making up
+    // >= 1% of EACH LANGUAGE's token stream (stopword/template-word
+    // discovery — the fingerprint CCNet-style pipelines inspect per
+    // language). ops/Sketch.heavyHittersByGroup: per-partition per-group
+    // Misra-Gries candidates (pigeonhole-complete within each group),
+    // broadcast verify, exact counts — no token-cardinality shuffle. The
+    // oracle counts every token exactly; hash equality proves per-group
+    // candidate recall.
+    Q("q268_groupby_heavy_hitters",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val toks = docs.select(col("lang"),
+          explode(Corpus.wsTokensLower(col("text"))).as("token"))
+        graft.api.Frame(toks).groupby("lang").heavyHitters("token", 0.01).df
+      },
+      Some("""
+        WITH tok AS (
+          SELECT lang, unnest(regexp_extract_all(trim(lower(text)), '\S+')) AS token
+          FROM documents),
+        n AS (SELECT lang, count(*) AS n FROM tok GROUP BY 1)
+        SELECT tok.lang, token, count(*) AS cnt
+        FROM tok JOIN n ON tok.lang = n.lang
+        GROUP BY tok.lang, token, n.n
+        HAVING CAST(count(*) AS HUGEINT) * 1000000 >= CAST(n.n AS HUGEINT) * 10000
+        ORDER BY tok.lang, cnt DESC, token""")),
+
     // Bloom-filter decontamination (the q181 semantics on the scale path
     // for benchmark sets too large to broadcast as a hash relation):
     // distributed bloom build over the gram set → map-side prune of the

@@ -135,6 +135,27 @@ class SketchSpec extends SparkSuite {
     assert(r.toSeq == Seq("x" -> 6L))
   }
 
+  test("heavyHittersByGroup: per-group thresholds, group isolation, brute parity") {
+    // "x" is heavy in g1 (60%) but light in g2 (2%); "y" heavy only in g2
+    val rows = Seq.fill(60)(("g1", "x")) ++ (1 to 40).map(i => ("g1", s"a$i")) ++
+      Seq.fill(4)(("g2", "x")) ++ Seq.fill(80)(("g2", "y")) ++
+      (1 to 116).map(i => ("g2", s"b$i"))
+    def run(p: Int) =
+      Sketch.heavyHittersByGroup(rows.toDF("g", "v").repartition(p),
+          Seq("g"), "v", 1, 10)
+        .orderBy("g", "v").collect()
+        .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq
+    val truth = rows.groupBy(identity).map { case ((g, v), occ) =>
+      (g, v, occ.size.toLong)
+    }.filter { case (g, _, c) =>
+      c * 10L >= rows.count(_._1 == g).toLong
+    }.toSeq.sortBy(x => (x._1, x._2))
+    assert(truth.map(t => (t._1, t._2)) == Seq(("g1", "x"), ("g2", "y")))
+    assert(run(1) == truth)
+    assert(run(7) == truth)
+    assert(run(32) == truth)
+  }
+
   // ---- quantized-histogram quantile ----
 
   test("quantileQuantized matches pandas linear interpolation at a lossless scale") {
