@@ -709,6 +709,15 @@ final case class Frame(
     Frame(graft.ops.Sketch.quantileQuantized(df, c, rs, scale))
   }
 
+  /** `df[col].describe()` on the bounded-state path
+    * ([[graft.ops.Sketch.describeQuantized]]): exact integer moments for
+    * count/mean/std, exact min/max, histogram-sketch quartiles — two
+    * data passes, every exchange bounded, long-form (stat, value)
+    * output. `scale` = decimal digits kept (negative = coarser than
+    * integer units). */
+  def describeApprox(c: String, scale: Int): Frame =
+    Frame(graft.ops.Sketch.describeQuantized(df, c, scale))
+
   /** pandas `df.rolling(window, min_periods)` over the frame's declared
     * ordering — the fluent face of [[graft.ops.RollingBlocks]] (global
     * bounded windows at full parallelism, no single-partition sort).

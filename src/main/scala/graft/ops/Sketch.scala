@@ -256,6 +256,64 @@ object Sketch {
     if (scale >= 0) floor(c * lit(pow10L(scale)) + lit(0.5)).cast("long")
     else floor(c / lit(pow10L(-scale)) + lit(0.5)).cast("long")
 
+  /** `describe()` on the bounded-state path — the whole pandas summary
+    * (count, mean, std, min, 25/50/75%, max) without buffering the
+    * column: count/mean/std fold EXACT integer moments of the quantized
+    * values (sums in decimal(38,0) — associative in any partition
+    * order, so the one double conversion at the end is bit-identical
+    * cross-engine; the q248 idiom applied to second moments), min/max
+    * are exact on the raw values, and the quartiles ride
+    * [[quantileQuantized]]'s span-bounded histogram. Two data passes
+    * total (moments+extrema in one aggregate, the histogram in the
+    * other), every exchange bounded. Output is the pandas long form:
+    * one (stat, value) row each for count, mean, std, min, 25%, 50%,
+    * 75%, max — mean/std/quartiles carry the deterministic 10^−scale
+    * quantization error, the rest are exact. */
+  def describeQuantized(df: DataFrame, valueCol: String, scale: Int): DataFrame = {
+    val qcol = quantize(col(valueCol), scale).cast("decimal(38,0)")
+    val moments = df.filter(col(valueCol).isNotNull).agg(
+      count(lit(1)).as("__n"),
+      sum(qcol).as("__s1"),
+      sum(qcol * qcol).as("__s2"),
+      min(col(valueCol).cast("double")).as("__mn"),
+      max(col(valueCol).cast("double")).as("__mx"))
+    val quartiles = quantileQuantized(df, valueCol,
+        Seq((1L, 4L), (1L, 2L), (3L, 4L)), scale)
+      .agg(min(when(col("q") === 0.25, col("value"))).as("__q1"),
+        min(when(col("q") === 0.5, col("value"))).as("__q2"),
+        min(when(col("q") === 0.75, col("value"))).as("__q3"))
+    // one double division/conversion per stat, every operand an exact
+    // integer (decimal) or an exact long power of ten
+    val unit = if (scale >= 0) None else Some(pow10L(-scale))
+    val nDec = col("__n").cast("decimal(38,0)")
+    val mean = unit match {
+      case None => (col("__s1").cast("double")) /
+        (nDec * lit(pow10L(scale))).cast("double")
+      case Some(u) => (col("__s1") * lit(u)).cast("double") / col("__n").cast("double")
+    }
+    // sample variance in quantized units²: (n·Σq² − (Σq)²) / (n(n−1)),
+    // numerator and denominator both exact decimals; null when n < 2
+    // (pandas std of a single row is NaN → null here)
+    val varNum = (nDec * col("__s2") - col("__s1") * col("__s1")).cast("double")
+    val varDen = (nDec * (nDec - lit(1))).cast("double")
+    val stdUnits = sqrt(varNum / varDen)
+    val std = when(col("__n") < 2, lit(null).cast("double")).otherwise(unit match {
+      case None => stdUnits / lit(pow10L(scale).toDouble)
+      case Some(u) => stdUnits * lit(u.toDouble)
+    })
+    moments.crossJoin(broadcast(quartiles))
+      .select(explode(array(
+        struct(lit("count").as("stat"), col("__n").cast("double").as("value")),
+        struct(lit("mean").as("stat"), mean.as("value")),
+        struct(lit("std").as("stat"), std.as("value")),
+        struct(lit("min").as("stat"), col("__mn").as("value")),
+        struct(lit("25%").as("stat"), col("__q1").as("value")),
+        struct(lit("50%").as("stat"), col("__q2").as("value")),
+        struct(lit("75%").as("stat"), col("__q3").as("value")),
+        struct(lit("max").as("stat"), col("__mx").as("value")))).as("__p"))
+      .select(col("__p.stat").as("stat"), col("__p.value").as("value"))
+  }
+
   /** Quantile over a quantized-value histogram — the bounded-memory
     * 100 TB path for `quantile`, the rank sibling of the KMV NDV sketch.
     *

@@ -306,5 +306,54 @@ object AggExtraQueries {
         SELECT g AS o_orderpriority,
                CAST(num AS DOUBLE) / 1000000 AS q,
                CAST(((1000000 - rem) * lo + rem * hi) * 10 AS DOUBLE) / 1000000 AS value
-        FROM picks ORDER BY 1, 2""")))
+        FROM picks ORDER BY 1, 2""")),
+
+    // describe() without buffering the column (q22's scale sibling):
+    // count/mean/std from EXACT integer moments of the quantized values
+    // (decimal sums are associative in any partition order — the q248
+    // idiom extended to second moments, so the one double conversion at
+    // the end is bit-identical), min/max exact on raw values, quartiles
+    // from the span-bounded histogram. Two data passes, every exchange
+    // bounded; the whole summary is hash-exact vs DuckDB replaying the
+    // identical integer arithmetic in HUGEINT.
+    Q("q269_describe_sketch",
+      (s, dir) => f(s, dir, "orders")
+        .describeApprox("o_totalprice", -1)
+        .sortValues(Seq(SortKey.asc("stat"))).df,
+      Some("""
+        WITH base AS (SELECT o_totalprice AS v FROM orders WHERE o_totalprice IS NOT NULL),
+        qz AS (SELECT CAST(floor(v / 10 + 0.5) AS BIGINT) AS qv FROM base),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(qv AS HUGEINT)) AS s1,
+                     sum(CAST(qv AS HUGEINT) * qv) AS s2 FROM qz),
+        ext AS (SELECT min(v) AS mn, max(v) AS mx FROM base),
+        hist AS (SELECT qv, count(*) AS cnt FROM qz GROUP BY 1),
+        cum AS (SELECT qv, sum(cnt) OVER (ORDER BY qv) AS cum,
+                       sum(cnt) OVER () AS n FROM hist),
+        qs AS (SELECT * FROM (VALUES (1, 4), (1, 2), (3, 4)) AS r(num, den)),
+        picks AS (
+          SELECT num, den,
+                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % den)) / den + 1
+                     THEN qv END) AS lo,
+                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % den)) / den + 1
+                               + (CASE WHEN ((n-1)*num) % den > 0 THEN 1 ELSE 0 END)
+                     THEN qv END) AS hi,
+                 max(((n-1)*num) % den) AS rem
+          FROM cum, qs GROUP BY 1, 2),
+        quart AS (
+          SELECT CAST(num AS DOUBLE) / den AS qq,
+                 CAST(((den - rem) * lo + rem * hi) * 10 AS DOUBLE) / den AS value
+          FROM picks)
+        SELECT stat, value FROM (
+          SELECT 'count' AS stat, CAST(n AS DOUBLE) AS value FROM m
+          UNION ALL SELECT 'mean', CAST(s1 * 10 AS DOUBLE) / CAST(n AS DOUBLE) FROM m
+          UNION ALL SELECT 'std',
+            sqrt(CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)) * 10.0 FROM m
+          UNION ALL SELECT 'min', mn FROM ext
+          UNION ALL SELECT 'max', mx FROM ext
+          UNION ALL SELECT '25%', value FROM quart WHERE qq = 0.25
+          UNION ALL SELECT '50%', value FROM quart WHERE qq = 0.5
+          UNION ALL SELECT '75%', value FROM quart WHERE qq = 0.75)
+        ORDER BY stat""")))
 }

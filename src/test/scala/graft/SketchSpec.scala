@@ -201,6 +201,27 @@ class SketchSpec extends SparkSuite {
     assert(grouped == again)
   }
 
+  test("describeQuantized: exact moments at lossless scale, null std below 2 rows") {
+    val df = Seq(10, 20, 30, 40).toDF("v")
+    val r = Sketch.describeQuantized(df, "v", 0).collect()
+      .map(x => x.getString(0) -> (if (x.isNullAt(1)) Double.NaN else x.getDouble(1)))
+      .toMap
+    assert(r("count") == 4.0 && r("mean") == 25.0)
+    assert(r("min") == 10.0 && r("max") == 40.0)
+    assert(r("25%") == 17.5 && r("50%") == 25.0 && r("75%") == 32.5)
+    // sample var = (nΣq² − (Σq)²)/(n(n−1)) = (4·3000 − 10000)/12
+    assert(r("std") == math.sqrt(2000.0 / 12.0))
+    val one = Sketch.describeQuantized(Seq(7).toDF("v"), "v", 0).collect()
+      .map(x => x.getString(0) -> x.isNullAt(1)).toMap
+    assert(one("std"), "std of a single row must be null (pandas NaN)")
+    // determinism across partitionings (the decimal moments are
+    // associative — any partition order, same bits)
+    val big = (1 to 5000).map(i => i * 0.37).toDF("v")
+    def run(p: Int) = Sketch.describeQuantized(big.repartition(p), "v", 1)
+      .orderBy("stat").collect().map(x => (x.getString(0), x.getDouble(1))).toSeq
+    assert(run(2) == run(31))
+  }
+
   test("Frame.heavyHitters / quantileApprox and GroupBy.quantileApprox wire through") {
     val hh = graft.api.Frame(
         (Seq.fill(30)("a") ++ Seq.fill(5)("b") ++ (1 to 65).map(i => s"u$i")).toDF("v"))
