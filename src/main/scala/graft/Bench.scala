@@ -591,7 +591,18 @@ object ScaleSketchBench {
           .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
             percentile(col("o_totalprice"), lit(0.9)).as("p90"))),
       "value_counts_exact" -> (dir =>
-        events(dir).groupBy(col("user_id")).count()))
+        events(dir).groupBy(col("user_id")).count()),
+      // per-lang frequent tokens (q268's shape): the token explode is the
+      // data-sized cost; candidates/verify stay bounded per group
+      "groupby_heavy_hitters" -> { dir =>
+        val toks = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("lang"),
+            explode(graft.ops.Corpus.wsTokensLower(col("text"))).as("token"))
+        Sketch.heavyHittersByGroup(toks, Seq("lang"), "token", 1, 100)
+      },
+      // full describe in two bounded passes (q269's shape)
+      "describe_sketch" -> (dir =>
+        Sketch.describeQuantized(orders(dir), "o_totalprice", -1)))
     events(baseDir).queryExecution.toRdd.foreach(_ => ())
     events(bigDir).queryExecution.toRdd.foreach(_ => ())
     orders(bigDir).queryExecution.toRdd.foreach(_ => ())
