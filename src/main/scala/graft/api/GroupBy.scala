@@ -89,6 +89,15 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
       indexCols = keys)
   }
 
+  /** `groupby.describe()` on the bounded-state path
+    * ([[graft.ops.Sketch.describeQuantizedBy]]): per-group exact integer
+    * moments + histogram quartiles, long-form (keys…, stat, value)
+    * output — the q269 construction with the group key carried
+    * through. */
+  def describeApprox(column: String, scale: Int): Frame =
+    Frame(graft.ops.Sketch.describeQuantizedBy(df, keys, column, scale),
+      indexCols = keys)
+
   /** `groupby.quantile(qs)` on the bounded-memory quantized-histogram
     * path ([[graft.ops.Sketch.quantileQuantizedBy]]): per-group
     * aggregate state is that group's span-bounded histogram, never its

@@ -269,19 +269,37 @@ object Sketch {
     * one (stat, value) row each for count, mean, std, min, 25%, 50%,
     * 75%, max — mean/std/quartiles carry the deterministic 10^−scale
     * quantization error, the rest are exact. */
-  def describeQuantized(df: DataFrame, valueCol: String, scale: Int): DataFrame = {
+  def describeQuantized(df: DataFrame, valueCol: String, scale: Int): DataFrame =
+    describeQuantizedBy(df, Nil, valueCol, scale)
+
+  /** Per-group [[describeQuantized]]: moments and quartiles both carry
+    * the group key (per-group state = one moment row + that group's
+    * bounded histogram), joined on keys — output one (keys…, stat,
+    * value) row per group × stat. */
+  def describeQuantizedBy(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, scale: Int): DataFrame = {
     val qcol = quantize(col(valueCol), scale).cast("decimal(38,0)")
-    val moments = df.filter(col(valueCol).isNotNull).agg(
+    val momentAggs = Seq(
       count(lit(1)).as("__n"),
       sum(qcol).as("__s1"),
       sum(qcol * qcol).as("__s2"),
       min(col(valueCol).cast("double")).as("__mn"),
       max(col(valueCol).cast("double")).as("__mx"))
-    val quartiles = quantileQuantized(df, valueCol,
-        Seq((1L, 4L), (1L, 2L), (3L, 4L)), scale)
-      .agg(min(when(col("q") === 0.25, col("value"))).as("__q1"),
-        min(when(col("q") === 0.5, col("value"))).as("__q2"),
-        min(when(col("q") === 0.75, col("value"))).as("__q3"))
+    val nonNull = df.filter(col(valueCol).isNotNull)
+    val moments =
+      if (groupCols.isEmpty) nonNull.agg(momentAggs.head, momentAggs.tail: _*)
+      else nonNull.groupBy(groupCols.map(col): _*)
+        .agg(momentAggs.head, momentAggs.tail: _*)
+    val quartAggs = Seq(
+      min(when(col("q") === 0.25, col("value"))).as("__q1"),
+      min(when(col("q") === 0.5, col("value"))).as("__q2"),
+      min(when(col("q") === 0.75, col("value"))).as("__q3"))
+    val quartSrc = quantileQuantizedBy(df, groupCols, valueCol,
+      Seq((1L, 4L), (1L, 2L), (3L, 4L)), scale)
+    val quartiles =
+      if (groupCols.isEmpty) quartSrc.agg(quartAggs.head, quartAggs.tail: _*)
+      else quartSrc.groupBy(groupCols.map(col): _*)
+        .agg(quartAggs.head, quartAggs.tail: _*)
     // one double division/conversion per stat, every operand an exact
     // integer (decimal) or an exact long power of ten
     val unit = if (scale >= 0) None else Some(pow10L(-scale))
@@ -301,8 +319,11 @@ object Sketch {
       case None => stdUnits / lit(pow10L(scale).toDouble)
       case Some(u) => stdUnits * lit(u.toDouble)
     })
-    moments.crossJoin(broadcast(quartiles))
-      .select(explode(array(
+    val joined =
+      if (groupCols.isEmpty) moments.crossJoin(broadcast(quartiles))
+      else moments.join(quartiles, groupCols)
+    joined
+      .select(groupCols.map(col) :+ explode(array(
         struct(lit("count").as("stat"), col("__n").cast("double").as("value")),
         struct(lit("mean").as("stat"), mean.as("value")),
         struct(lit("std").as("stat"), std.as("value")),
@@ -310,8 +331,9 @@ object Sketch {
         struct(lit("25%").as("stat"), col("__q1").as("value")),
         struct(lit("50%").as("stat"), col("__q2").as("value")),
         struct(lit("75%").as("stat"), col("__q3").as("value")),
-        struct(lit("max").as("stat"), col("__mx").as("value")))).as("__p"))
-      .select(col("__p.stat").as("stat"), col("__p.value").as("value"))
+        struct(lit("max").as("stat"), col("__mx").as("value")))).as("__p"): _*)
+      .select(groupCols.map(col) :+ col("__p.stat").as("stat") :+
+        col("__p.value").as("value"): _*)
   }
 
   /** Quantile over a quantized-value histogram — the bounded-memory

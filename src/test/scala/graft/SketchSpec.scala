@@ -222,6 +222,23 @@ class SketchSpec extends SparkSuite {
     assert(run(2) == run(31))
   }
 
+  test("describeQuantizedBy equals running describe on each group alone") {
+    val df = (1 to 100).map(i => (s"g${i % 2}", i * 1.0)).toDF("g", "v")
+    val grouped = Sketch.describeQuantizedBy(df.repartition(5), Seq("g"), "v", 0)
+      .orderBy("g", "stat").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getDouble(2))).toSeq
+    val solo = Seq("g0", "g1").flatMap { g =>
+      Sketch.describeQuantized(df.filter(col("g") === g), "v", 0)
+        .orderBy("stat").collect()
+        .map(x => (g, x.getString(0), x.getDouble(1)))
+    }
+    assert(grouped == solo)
+    val api = graft.api.Frame(df).groupby("g").describeApprox("v", 0)
+      .df.orderBy("g", "stat").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getDouble(2))).toSeq
+    assert(api == grouped)
+  }
+
   test("Frame.heavyHitters / quantileApprox and GroupBy.quantileApprox wire through") {
     val hh = graft.api.Frame(
         (Seq.fill(30)("a") ++ Seq.fill(5)("b") ++ (1 to 65).map(i => s"u$i")).toDF("v"))
