@@ -709,6 +709,16 @@ final case class Frame(
     Frame(graft.ops.Sketch.quantileQuantized(df, c, rs, scale))
   }
 
+  /** numpy 2.0 `quantile(weights=…, method='inverted_cdf')` on the
+    * bounded-state path ([[graft.ops.Sketch.weightedQuantileQuantized]]):
+    * token/byte-weighted percentile cuts with exact integer cumulative
+    * weights — rows with null or non-positive weight drop. */
+  def weightedQuantileApprox(c: String, weightCol: String, qs: Seq[Double],
+      scale: Int): Frame = {
+    val rs = qs.map(q => (math.round(q * 1000000L), 1000000L))
+    Frame(graft.ops.Sketch.weightedQuantileQuantized(df, c, weightCol, rs, scale))
+  }
+
   /** `df[col].describe()` on the bounded-state path
     * ([[graft.ops.Sketch.describeQuantized]]): exact integer moments for
     * count/mean/std, exact min/max, histogram-sketch quartiles — two

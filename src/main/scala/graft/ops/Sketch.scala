@@ -256,6 +256,48 @@ object Sketch {
     if (scale >= 0) floor(c * lit(pow10L(scale)) + lit(0.5)).cast("long")
     else floor(c / lit(pow10L(-scale)) + lit(0.5)).cast("long")
 
+  /** Weighted quantile over the quantized histogram — numpy 2.0's
+    * `quantile(…, weights=…, method='inverted_cdf')`, the corpus-
+    * budgeting primitive (token- or byte-weighted percentile cuts:
+    * "the quality threshold below which 10 % of TOKENS fall"). Weights
+    * must be positive integers (token counts, sizes — rows with null or
+    * non-positive weight drop, numpy's non-negativity contract), so the
+    * histogram accumulates EXACT long weight sums and the selection rule
+    * — smallest value whose cumulative weight covers q·W, compared as
+    * cum·den ≥ W·num in decimal(38,0) — is pure integer arithmetic:
+    * deterministic in any partition order, hash-oracle-able. Inverted
+    * CDF picks an actual data value (no interpolation), so the only
+    * inexactness is the declared 10^−scale quantization. State and
+    * exchanges are the span-bounded histogram, never the data. */
+  def weightedQuantileQuantized(df: DataFrame, valueCol: String,
+      weightCol: String, qs: Seq[(Long, Long)], scale: Int): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (n, d) => n > 0 && d > 0 && n <= d },
+      s"weighted quantiles must be rationals in (0,1], got $qs")
+    import org.apache.spark.sql.expressions.Window
+    val w = col(weightCol).cast("long")
+    val hist = df
+      .filter(col(valueCol).isNotNull && w.isNotNull && w > 0)
+      .groupBy(quantize(col(valueCol), scale).as("__qv"))
+      .agg(sum(w).as("__w"))
+    val cum = hist
+      .withColumn("__cum", sum(col("__w")).over(
+        Window.partitionBy().orderBy(col("__qv"))))
+      .withColumn("__W", sum(col("__w")).over(Window.partitionBy()))
+    val aggs = qs.zipWithIndex.map { case ((num, den), i) =>
+      min(when(col("__cum").cast("decimal(38,0)") * den >=
+        col("__W").cast("decimal(38,0)") * num, col("__qv"))).as(s"__v$i")
+    }
+    val rows = qs.zipWithIndex.map { case ((num, den), i) =>
+      val value =
+        if (scale >= 0) col(s"__v$i").cast("double") / lit(pow10L(scale))
+        else (col(s"__v$i") * lit(pow10L(-scale))).cast("double")
+      struct(lit(num.toDouble / den).as("q"), value.as("value"))
+    }
+    cum.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("__p"))
+      .select(col("__p.q").as("q"), col("__p.value").as("value"))
+  }
+
   /** `describe()` on the bounded-state path — the whole pandas summary
     * (count, mean, std, min, 25/50/75%, max) without buffering the
     * column: count/mean/std fold EXACT integer moments of the quantized

@@ -355,5 +355,35 @@ object AggExtraQueries {
           UNION ALL SELECT '25%', value FROM quart WHERE qq = 0.25
           UNION ALL SELECT '50%', value FROM quart WHERE qq = 0.5
           UNION ALL SELECT '75%', value FROM quart WHERE qq = 0.75)
-        ORDER BY stat""")))
+        ORDER BY stat""")),
+
+    // WEIGHTED quantile (numpy 2.0 inverted_cdf) — the corpus-budgeting
+    // cut: "the price below which half the QUANTITY-mass sits", the same
+    // shape as token-weighted quality thresholds in an LLM pipeline.
+    // ops/Sketch.weightedQuantileQuantized: exact long weight sums over
+    // the span-bounded histogram, selection by pure integer comparison
+    // (cum·den ≥ W·num in decimal) — deterministic any partition order.
+    Q("q270_weighted_quantile_sketch",
+      (s, dir) => f(s, dir, "lineitem")
+        .weightedQuantileApprox("l_extendedprice", "l_quantity",
+          Seq(0.5, 0.9, 0.99), -1)
+        .sortValues(Seq(SortKey.asc("q"))).df,
+      Some("""
+        WITH hist AS (
+          SELECT CAST(floor(l_extendedprice / 10 + 0.5) AS BIGINT) AS qv,
+                 sum(CAST(l_quantity AS BIGINT)) AS w
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+            AND CAST(l_quantity AS BIGINT) > 0
+          GROUP BY 1),
+        cum AS (
+          SELECT qv, sum(w) OVER (ORDER BY qv) AS cum,
+                 sum(w) OVER () AS tw
+          FROM hist),
+        qs AS (SELECT * FROM (VALUES (500000), (900000), (990000)) AS r(num))
+        SELECT CAST(num AS DOUBLE) / 1000000 AS q,
+               CAST(min(CASE WHEN CAST(cum AS HUGEINT) * 1000000
+                                  >= CAST(tw AS HUGEINT) * num
+                        THEN qv END) * 10 AS DOUBLE) AS value
+        FROM cum, qs GROUP BY num ORDER BY q""")))
 }

@@ -222,6 +222,28 @@ class SketchSpec extends SparkSuite {
     assert(run(2) == run(31))
   }
 
+  test("weightedQuantileQuantized equals inverted-cdf on the weight-expanded multiset") {
+    val data = Seq((1.0, 1), (2.0, 1), (3.0, 2), (5.0, 4))
+    val df = data.toDF("v", "w")
+    val expanded = data.flatMap { case (v, w) => Seq.fill(w)(v) }.sorted
+    def invertedCdf(q: Double): Double = {
+      // smallest x with ecdf(x) >= q over the expanded multiset
+      val W = expanded.size
+      expanded(math.max(0, math.ceil(q * W).toInt - 1))
+    }
+    val qs = Seq((1L, 4L), (1L, 2L), (3L, 4L), (1L, 1L))
+    val r = Sketch.weightedQuantileQuantized(df.repartition(3), "v", "w", qs, 0)
+      .orderBy("q").collect().map(x => (x.getDouble(0), x.getDouble(1))).toSeq
+    assert(r == qs.map { case (n, d) =>
+      (n.toDouble / d, invertedCdf(n.toDouble / d)) })
+    // zero/negative/null weights drop (numpy's non-negativity contract)
+    val dirty = Seq((1.0, Some(0)), (2.0, Some(-3)), (3.0, Option.empty[Int]),
+      (4.0, Some(2))).toDF("v", "w")
+    val only4 = Sketch.weightedQuantileQuantized(dirty, "v", "w", Seq((1L, 2L)), 0)
+      .collect().head.getDouble(1)
+    assert(only4 == 4.0)
+  }
+
   test("describeQuantizedBy equals running describe on each group alone") {
     val df = (1 to 100).map(i => (s"g${i % 2}", i * 1.0)).toDF("g", "v")
     val grouped = Sketch.describeQuantizedBy(df.repartition(5), Seq("g"), "v", 0)
