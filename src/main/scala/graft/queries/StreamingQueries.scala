@@ -291,5 +291,46 @@ object StreamingQueries {
                                 / max(CASE WHEN rn = 64 THEN hv END)) * 10) / 10
                END AS ndv_est
         FROM r WHERE rn <= 64 GROUP BY g
-        ORDER BY g""")))
+        ORDER BY g""")),
+
+    // the production shape of q266: watermarked per-HOUR NDV sketches in
+    // APPEND mode — state is one <= k-long buffer per open window, each
+    // hour emits exactly once when the watermark passes. k=8 < the ~14
+    // users/hour so the ESTIMATOR path must match per bucket, not sub-k
+    // exactness. Sentinel drops push the watermark past the real data;
+    // their own far-future buckets are filtered by bucket <= max(ts).
+    Q("q271_streaming_hourly_ndv",
+      (s, dir) => {
+        val (flat, maxTs, spanDays) = stageReplay(s, dir, "q271")
+        val stream = EventStream.read(s, flat, replaySchema)
+        val query = EventStream
+          .ndvSketchHourly(stream, "ts", "user_id", 8, s"$spanDays days")
+          .writeStream.format("memory").queryName("q271_sink")
+          .outputMode(OutputMode.Append()).start()
+        try {
+          query.processAllAvailable()
+          sentinel(s, flat, maxTs, spanDays + 10, "flush1")
+          sentinel(s, flat, maxTs, 2 * spanDays + 20, "flush2")
+          query.processAllAvailable()
+          s.table("q271_sink")
+            .filter(col("bucket") <= lit(maxTs).cast("timestamp_ntz"))
+            .orderBy("bucket")
+        } finally query.stop()
+      },
+      Some("""
+        WITH h AS (
+          SELECT date_trunc('hour', ts) AS bucket,
+                 CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS hv
+          FROM events WHERE user_id IS NOT NULL),
+        d AS (SELECT DISTINCT bucket, hv FROM h),
+        r AS (SELECT bucket, hv,
+                     row_number() OVER (PARTITION BY bucket ORDER BY hv) AS rn
+              FROM d)
+        SELECT bucket, CAST(count(*) AS BIGINT) AS sketch_size,
+               CASE WHEN count(*) < 8 THEN CAST(count(*) AS DOUBLE)
+                    ELSE floor((7.0 * 1152921504606846976.0
+                                / max(CASE WHEN rn = 8 THEN hv END)) * 10) / 10
+               END AS ndv_est
+        FROM r WHERE rn <= 8 GROUP BY bucket
+        ORDER BY bucket""")))
 }

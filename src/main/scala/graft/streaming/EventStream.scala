@@ -59,6 +59,28 @@ object EventStream {
         Sketch.estimate(col("__sk"), k).as("ndv_est"))
   }
 
+  /** Watermarked per-hour NDV sketches in APPEND mode — the production
+    * shape of [[ndvSketch]]: state is one ≤ k-long buffer per OPEN
+    * window (bounded by the watermark horizon, not stream length), and
+    * each hour's final sketch emits exactly once when the watermark
+    * passes it. Within-horizon out-of-order arrival cannot change the
+    * emitted sketch (bottom-k union is order-immune); beyond-horizon
+    * lates drop like any watermarked aggregate. Applied to a static
+    * frame the same expression is the batch per-hour sketch — the
+    * parity StreamingSpec pins. */
+  def ndvSketchHourly(events: DataFrame, tsCol: String, valueCol: String,
+      k: Int, delay: String): DataFrame = {
+    import graft.ops.Sketch
+    events
+      .filter(col(valueCol).isNotNull)
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), "1 hour"))
+      .agg(Sketch.bottomKAgg(Sketch.hash60(col(valueCol)), k).as("__sk"))
+      .select(col("window.start").cast("timestamp_ntz").as("bucket"),
+        size(col("__sk")).cast("long").as("sketch_size"),
+        Sketch.estimate(col("__sk"), k).as("ndv_est"))
+  }
+
   /** Per-user session state: (sessionCount, lastSeenMicros). */
   final case class SessionState(sessions: Long, lastMicros: Long)
   final case class SessionUpdate(userId: Long, sessions: Long)

@@ -226,6 +226,40 @@ class StreamingSpec extends SparkSuite {
     } finally if (query != null) query.stop()
   }
 
+  test("watermarked hourly NDV sketches emit once and equal batch per bucket") {
+    import org.apache.spark.sql.types._
+    var query: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      var maxTs: java.sql.Timestamp = null
+      shuffledReplay { (streamDir, ev) =>
+        maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("ts", TimestampType), StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        val stream = EventStream.read(spark, streamDir, schema)
+        query = EventStream.ndvSketchHourly(stream, "ts", "user_id", 8, "40 days")
+          .writeStream.format("memory").queryName("hourly_ndv")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+        query.processAllAvailable() // drain replay; sentinels land after
+      }
+      query.processAllAvailable() // both sentinels → watermark folds all real hours
+      val streamed = spark.table("hourly_ndv")
+        .filter(col("bucket") <= lit(maxTs).cast("timestamp_ntz"))
+        .orderBy("bucket").collect()
+        .map(r => (r.get(0).toString, r.getLong(1), r.getDouble(2))).toSeq
+      // appended exactly once per bucket
+      assert(streamed.map(_._1).distinct.size == streamed.size)
+      val batch = EventStream.ndvSketchHourly(
+          queries.QueryKit.t(spark, sfDir, "events")
+            .select(col("user_id"), col("ts").cast("timestamp").as("ts")),
+          "ts", "user_id", 8, "40 days")
+        .orderBy("bucket").collect()
+        .map(r => (r.get(0).toString, r.getLong(1), r.getDouble(2))).toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally if (query != null) query.stop()
+  }
+
   test("out-of-order enrichment equals the batch merge_asof on a shuffled replay") {
     import org.apache.spark.sql.types._
     var query: org.apache.spark.sql.streaming.StreamingQuery = null
