@@ -89,6 +89,17 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
       indexCols = keys)
   }
 
+  /** Per-group numpy `quantile(weights=…, method='inverted_cdf')`
+    * ([[graft.ops.Sketch.weightedQuantileQuantizedBy]]) — per-domain
+    * token/byte-weighted percentile cuts with exact integer cumulative
+    * weights. */
+  def weightedQuantileApprox(column: String, weightCol: String,
+      qs: Seq[Double], scale: Int): Frame = {
+    val rs = qs.map(q => (math.round(q * 1000000L), 1000000L))
+    Frame(graft.ops.Sketch.weightedQuantileQuantizedBy(df, keys, column,
+      weightCol, rs, scale), indexCols = keys)
+  }
+
   /** `groupby.describe()` on the bounded-state path
     * ([[graft.ops.Sketch.describeQuantizedBy]]): per-group exact integer
     * moments + histogram quartiles, long-form (keys…, stat, value)

@@ -270,32 +270,46 @@ object Sketch {
     * inexactness is the declared 10^−scale quantization. State and
     * exchanges are the span-bounded histogram, never the data. */
   def weightedQuantileQuantized(df: DataFrame, valueCol: String,
-      weightCol: String, qs: Seq[(Long, Long)], scale: Int): DataFrame = {
+      weightCol: String, qs: Seq[(Long, Long)], scale: Int): DataFrame =
+    weightedQuantileQuantizedBy(df, Nil, valueCol, weightCol, qs, scale)
+
+  /** Per-group [[weightedQuantileQuantized]] — per-domain token-weighted
+    * cuts ("each language's price-per-token p90"): the weighted
+    * histogram carries the group key, the cumulative-weight window
+    * partitions by group. */
+  def weightedQuantileQuantizedBy(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, weightCol: String, qs: Seq[(Long, Long)],
+      scale: Int): DataFrame = {
     require(qs.nonEmpty && qs.forall { case (n, d) => n > 0 && d > 0 && n <= d },
       s"weighted quantiles must be rationals in (0,1], got $qs")
     import org.apache.spark.sql.expressions.Window
     val w = col(weightCol).cast("long")
     val hist = df
       .filter(col(valueCol).isNotNull && w.isNotNull && w > 0)
-      .groupBy(quantize(col(valueCol), scale).as("__qv"))
+      .groupBy((groupCols.map(col) :+ quantize(col(valueCol), scale).as("__qv")): _*)
       .agg(sum(w).as("__w"))
+    def part = if (groupCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupCols.map(col): _*)
     val cum = hist
-      .withColumn("__cum", sum(col("__w")).over(
-        Window.partitionBy().orderBy(col("__qv"))))
-      .withColumn("__W", sum(col("__w")).over(Window.partitionBy()))
+      .withColumn("__cum", sum(col("__w")).over(part.orderBy(col("__qv"))))
+      .withColumn("__W", sum(col("__w")).over(part))
     val aggs = qs.zipWithIndex.map { case ((num, den), i) =>
       min(when(col("__cum").cast("decimal(38,0)") * den >=
         col("__W").cast("decimal(38,0)") * num, col("__qv"))).as(s"__v$i")
     }
+    val picked =
+      if (groupCols.isEmpty) cum.agg(aggs.head, aggs.tail: _*)
+      else cum.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val rows = qs.zipWithIndex.map { case ((num, den), i) =>
       val value =
         if (scale >= 0) col(s"__v$i").cast("double") / lit(pow10L(scale))
         else (col(s"__v$i") * lit(pow10L(-scale))).cast("double")
       struct(lit(num.toDouble / den).as("q"), value.as("value"))
     }
-    cum.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(rows: _*)).as("__p"))
-      .select(col("__p.q").as("q"), col("__p.value").as("value"))
+    picked
+      .select((groupCols.map(col) :+ explode(array(rows: _*)).as("__p")): _*)
+      .select((groupCols.map(col) :+ col("__p.q").as("q") :+
+        col("__p.value").as("value")): _*)
   }
 
   /** `describe()` on the bounded-state path — the whole pandas summary

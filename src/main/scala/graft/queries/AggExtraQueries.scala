@@ -385,5 +385,36 @@ object AggExtraQueries {
                CAST(min(CASE WHEN CAST(cum AS HUGEINT) * 1000000
                                   >= CAST(tw AS HUGEINT) * num
                         THEN qv END) * 10 AS DOUBLE) AS value
-        FROM cum, qs GROUP BY num ORDER BY q""")))
+        FROM cum, qs GROUP BY num ORDER BY q""")),
+
+    // the per-group face: quantity-weighted price quantiles per return
+    // flag — the per-domain weighted-cut shape (each language's
+    // token-weighted quality p90) on TPC-H columns. Same exact-integer
+    // selection, cumulative-weight window partitioned by group.
+    Q("q272_groupby_weighted_quantile",
+      (s, dir) => f(s, dir, "lineitem")
+        .groupby("l_returnflag")
+        .weightedQuantileApprox("l_extendedprice", "l_quantity",
+          Seq(0.5, 0.9), -1)
+        .sortValues(Seq(SortKey.asc("l_returnflag"), SortKey.asc("q"))).df,
+      Some("""
+        WITH hist AS (
+          SELECT l_returnflag AS g,
+                 CAST(floor(l_extendedprice / 10 + 0.5) AS BIGINT) AS qv,
+                 sum(CAST(l_quantity AS BIGINT)) AS w
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+            AND CAST(l_quantity AS BIGINT) > 0
+          GROUP BY 1, 2),
+        cum AS (
+          SELECT g, qv, sum(w) OVER (PARTITION BY g ORDER BY qv) AS cum,
+                 sum(w) OVER (PARTITION BY g) AS tw
+          FROM hist),
+        qs AS (SELECT * FROM (VALUES (500000), (900000)) AS r(num))
+        SELECT g AS l_returnflag,
+               CAST(num AS DOUBLE) / 1000000 AS q,
+               CAST(min(CASE WHEN CAST(cum AS HUGEINT) * 1000000
+                                  >= CAST(tw AS HUGEINT) * num
+                        THEN qv END) * 10 AS DOUBLE) AS value
+        FROM cum, qs GROUP BY g, num ORDER BY 1, 2""")))
 }

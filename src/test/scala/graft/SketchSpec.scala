@@ -244,6 +244,21 @@ class SketchSpec extends SparkSuite {
     assert(only4 == 4.0)
   }
 
+  test("weightedQuantileQuantizedBy equals running each group alone") {
+    val df = (1 to 120).map(i => (s"g${i % 3}", i.toDouble, 1 + i % 5))
+      .toDF("g", "v", "w")
+    val qs = Seq((1L, 2L), (9L, 10L))
+    val grouped = Sketch.weightedQuantileQuantizedBy(
+        df.repartition(7), Seq("g"), "v", "w", qs, 0)
+      .orderBy("g", "q").collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2))).toSeq
+    val solo = Seq("g0", "g1", "g2").flatMap { g =>
+      Sketch.weightedQuantileQuantized(df.filter(col("g") === g), "v", "w", qs, 0)
+        .orderBy("q").collect().map(x => (g, x.getDouble(0), x.getDouble(1)))
+    }
+    assert(grouped == solo)
+  }
+
   test("describeQuantizedBy equals running describe on each group alone") {
     val df = (1 to 100).map(i => (s"g${i % 2}", i * 1.0)).toDF("g", "v")
     val grouped = Sketch.describeQuantizedBy(df.repartition(5), Seq("g"), "v", 0)
