@@ -602,7 +602,14 @@ object ScaleSketchBench {
       },
       // full describe in two bounded passes (q269's shape)
       "describe_sketch" -> (dir =>
-        Sketch.describeQuantized(orders(dir), "o_totalprice", -1)))
+        Sketch.describeQuantized(orders(dir), "o_totalprice", -1)),
+      // weighted inverted-cdf cuts per group (q272's shape) over the
+      // stride-amplified lineitem
+      "weighted_quantile_grouped" -> (dir =>
+        Sketch.weightedQuantileQuantizedBy(
+          spark.read.parquet(s"$dir/lineitem.parquet"), Seq("l_returnflag"),
+          "l_extendedprice", "l_quantity",
+          Seq((500000L, 1000000L), (900000L, 1000000L)), -1)))
     events(baseDir).queryExecution.toRdd.foreach(_ => ())
     events(bigDir).queryExecution.toRdd.foreach(_ => ())
     orders(bigDir).queryExecution.toRdd.foreach(_ => ())
