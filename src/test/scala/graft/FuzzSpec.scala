@@ -694,6 +694,58 @@ class FuzzSpec extends SparkSuite {
       .addOp(s"asofGlobal(${n.name})")
   }
 
+  /** Quantized-histogram quantile (Sketch.quantileQuantized via
+    * Frame.quantileApprox) against a scalar-subquery twin: the inner
+    * SELECT aggregates lo/hi/rem over the cum-histogram, so an EMPTY
+    * upstream yields one all-null row → value NULL on both sides (a
+    * GROUP-BY-shaped twin would yield zero rows and diverge — the shape
+    * the registered oracles never exercise because fixtures are never
+    * empty). Terminal-ish: the frame collapses to one (q, value) row. */
+  private def opQuantileSketch(st: St, r: Random): St = {
+    val c = pick(r, numeric(st))
+    val (num, den) = pick(r, Seq((250000L, 1000000L), (500000L, 1000000L),
+      (750000L, 1000000L), (900000L, 1000000L)))
+    val scale = r.nextInt(3) // 0, 1, 2 decimal digits kept
+    val mul = Seq(1L, 10L, 100L)(scale)
+    val denom = den * mul
+    val rk = s"(CAST((n - 1) AS DECIMAL(38,0)) * $num)"
+    val loRank = s"($rk - ($rk % $den)) / $den + 1"
+    val hiRank = s"$loRank + (CASE WHEN $rk % $den > 0 THEN 1 ELSE 0 END)"
+    st.copy(
+      fr = st.fr.quantileApprox(c.name, Seq(num.toDouble / den), scale),
+      sql = s"SELECT CAST($num AS DOUBLE) / $den AS q, (" +
+        s"SELECT CAST(($den - rem) * lo + rem * hi AS DOUBLE) / $denom FROM (" +
+        s"SELECT min(CASE WHEN cum >= $loRank THEN qv END) AS lo, " +
+        s"min(CASE WHEN cum >= $hiRank THEN qv END) AS hi, " +
+        s"max($rk % $den) AS rem FROM (" +
+        s"SELECT qv, SUM(cnt) OVER (ORDER BY qv) AS cum, SUM(cnt) OVER () AS n FROM (" +
+        s"SELECT CAST(FLOOR(${c.name} * $mul + 0.5) AS BIGINT) AS qv, COUNT(*) AS cnt " +
+        s"FROM ${wrap(st.sql)}WHERE ${c.name} IS NOT NULL GROUP BY 1)))) AS value",
+      cols = Vector(FCol("q", 'n'), FCol("value", 'n')),
+      uniq = Vector("q"), joined = st.joined)
+      .addOp(s"quantileSketch(${c.name},$num/$den,s$scale)")
+  }
+
+  /** Exact φ-heavy-hitters (Misra–Gries candidates + verify) against the
+    * straightforward HAVING twin — hash parity proves candidate recall
+    * under whatever distribution the random pipeline built. φ denominators
+    * divide 10⁶ so Frame.heavyHitters' rational equals the twin's. */
+  private def opHeavyHitters(st: St, r: Random): St = {
+    val cands = st.cols.filter(c => c.lowCard && c.kind == 's')
+    val c = pick(r, cands)
+    val phiDen = pick(r, Seq(2L, 4L, 8L, 10L, 20L, 25L))
+    val num6 = 1000000L / phiDen // exact: all divisors of 10^6
+    st.copy(
+      fr = st.fr.heavyHitters(c.name, 1.0 / phiDen),
+      sql = s"SELECT ${c.name}, cnt FROM (" +
+        s"SELECT ${c.name}, COUNT(*) AS cnt, SUM(COUNT(*)) OVER () AS tot " +
+        s"FROM ${wrap(st.sql)}WHERE ${c.name} IS NOT NULL GROUP BY ${c.name}) " +
+        s"WHERE CAST(cnt AS DECIMAL(38,0)) * 1000000 >= CAST(tot AS DECIMAL(38,0)) * $num6",
+      cols = Vector(st.cols.find(_.name == c.name).get, FCol("cnt", 'i')),
+      uniq = Vector(c.name), joined = st.joined)
+      .addOp(s"heavyHitters(${c.name},1/$phiDen)")
+  }
+
   // guards: an op is drawable only when its inputs exist
   private def available(st: St): Seq[(Int, (St, Random) => St)] = {
     val hasNum = numeric(st).nonEmpty
@@ -731,6 +783,9 @@ class FuzzSpec extends SparkSuite {
       (if (st.cols.exists(_.kind == 'd')) 2 else 0) -> (opDatePart _),
       (if (st.cols.exists(_.kind == 'd')) 2 else 0) -> (opDateFilter _),
       (if (hasUniq && hasNum) 1 else 0) -> (opAsofGlobal _),
+      (if (hasNum) 1 else 0) -> (opQuantileSketch _),
+      (if (st.cols.exists(c => c.lowCard && c.kind == 's')) 1 else 0)
+        -> (opHeavyHitters _),
       1 -> (opRename _),
       (if (hasNum) 1 else 0) -> (opConcat _),
       (if (st.cols.exists(_.name == "o_custkey") && !st.joined) 3 else 0)
