@@ -474,6 +474,91 @@ object CorpusQueries {
         HAVING CAST(count(*) AS HUGEINT) * 1000000 >= CAST(n.n AS HUGEINT) * 10000
         ORDER BY tok.lang, cnt DESC, token""")),
 
+    // the sketch-family capstone (the q249 idea applied to corpus
+    // ACCOUNTING): one per-language budget report composing exact token
+    // totals, KMV vocabulary NDV, token-WEIGHTED doc-length percentiles
+    // (inverted cdf), and the ≥1%-frequency token count — every piece a
+    // bounded-state aggregate, the whole report one row per language and
+    // hash-exact end to end. This is the planning table a 100 TB corpus
+    // run starts from (how many tokens per domain, how big a vocab, how
+    // long the token-mass-weighted documents, how template-heavy).
+    Q("q273_corpus_budget_report",
+      (s, dir) => {
+        import graft.ops.Sketch
+        val docs = t(s, dir, "documents")
+        val toks = docs.select(col("lang"),
+          explode(Corpus.wsTokensLower(col("text"))).as("token"))
+        val totals = toks.groupBy(col("lang")).agg(count(lit(1)).as("n_tokens"))
+        val vocab = Sketch.ndvByGroup(toks, Seq("lang"), "token", 64)
+          .select(col("lang"), col("sketch_size"), col("ndv_est").as("vocab_est"))
+        val docTok = docs.select(col("lang"), col("n_chars"),
+          size(Corpus.wsTokensLower(col("text"))).as("n_tok"))
+        val wq = Sketch.weightedQuantileQuantizedBy(docTok, Seq("lang"),
+            "n_chars", "n_tok", Seq((500000L, 1000000L), (900000L, 1000000L)), 0)
+          .groupBy(col("lang"))
+          .agg(min(when(col("q") === 0.5, col("value"))).as("chars_p50_tokwt"),
+            min(when(col("q") === 0.9, col("value"))).as("chars_p90_tokwt"))
+        val hh = Sketch.heavyHittersByGroup(toks, Seq("lang"), "token", 1, 100)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_common"))
+        totals.join(vocab, Seq("lang")).join(wq, Seq("lang"))
+          .join(hh, Seq("lang"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT lang, unnest(regexp_extract_all(trim(lower(text)), '\S+')) AS token
+          FROM documents),
+        tot AS (SELECT lang, count(*) AS n_tokens FROM toks GROUP BY 1),
+        h AS (SELECT lang,
+                     CAST(('0x' || substr(md5(token), 1, 15)) AS UBIGINT) AS hv
+              FROM toks),
+        dd AS (SELECT DISTINCT lang, hv FROM h),
+        rr AS (SELECT lang, hv,
+                      row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+               FROM dd),
+        vocab AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS sketch_size,
+                 CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                      ELSE floor((63.0 * 1152921504606846976.0
+                                  / max(CASE WHEN rn = 64 THEN hv END)) * 10) / 10
+                 END AS vocab_est
+          FROM rr WHERE rn <= 64 GROUP BY 1),
+        dt AS (
+          SELECT lang, n_chars,
+                 len(regexp_extract_all(trim(lower(text)), '\S+')) AS w
+          FROM documents),
+        hist AS (
+          SELECT lang, CAST(floor(n_chars * 1 + 0.5) AS BIGINT) AS qv,
+                 sum(CAST(w AS BIGINT)) AS w
+          FROM dt
+          WHERE n_chars IS NOT NULL AND w IS NOT NULL AND CAST(w AS BIGINT) > 0
+          GROUP BY 1, 2),
+        cumw AS (
+          SELECT lang, qv, sum(w) OVER (PARTITION BY lang ORDER BY qv) AS cum,
+                 sum(w) OVER (PARTITION BY lang) AS tw
+          FROM hist),
+        wq AS (
+          SELECT lang,
+                 CAST(min(CASE WHEN CAST(cum AS HUGEINT) * 1000000
+                                    >= CAST(tw AS HUGEINT) * 500000
+                          THEN qv END) AS DOUBLE) AS chars_p50_tokwt,
+                 CAST(min(CASE WHEN CAST(cum AS HUGEINT) * 1000000
+                                    >= CAST(tw AS HUGEINT) * 900000
+                          THEN qv END) AS DOUBLE) AS chars_p90_tokwt
+          FROM cumw GROUP BY 1),
+        hh AS (
+          SELECT lang, count(*) AS n_common FROM (
+            SELECT t.lang, t.token
+            FROM toks t JOIN tot n ON t.lang = n.lang
+            GROUP BY t.lang, t.token, n.n_tokens
+            HAVING CAST(count(*) AS HUGEINT) * 100 >= CAST(n.n_tokens AS HUGEINT))
+          GROUP BY 1)
+        SELECT tot.lang, tot.n_tokens, vocab.sketch_size, vocab.vocab_est,
+               wq.chars_p50_tokwt, wq.chars_p90_tokwt, hh.n_common
+        FROM tot
+        JOIN vocab USING (lang) JOIN wq USING (lang) JOIN hh USING (lang)
+        ORDER BY tot.lang""")),
+
     // Bloom-filter decontamination (the q181 semantics on the scale path
     // for benchmark sets too large to broadcast as a hash relation):
     // distributed bloom build over the gram set → map-side prune of the
