@@ -416,5 +416,50 @@ object AggExtraQueries {
                CAST(min(CASE WHEN CAST(cum AS HUGEINT) * 1000000
                                   >= CAST(tw AS HUGEINT) * num
                         THEN qv END) * 10 AS DOUBLE) AS value
-        FROM cum, qs GROUP BY g, num ORDER BY 1, 2""")))
+        FROM cum, qs GROUP BY g, num ORDER BY 1, 2""")),
+
+    // the incremental-catalog contract as an ORACLE row, not just a
+    // spec: per-shard KMV sketches (orders split by orderkey parity)
+    // are PERSISTED to parquet, read back in a separate job, and merged
+    // by re-aggregating the stored hash arrays — bottom-k(bottom-k(A) ∪
+    // bottom-k(B)) = bottom-k(A ∪ B), so the merged estimate must equal
+    // the one-shot sketch bit-for-bit, and the oracle is LITERALLY
+    // q262's one-shot construction. This is how a 100 TB catalog keeps
+    // per-day NDV: store k longs per (shard, group), merge on read.
+    Q("q274_sketch_merge_persisted",
+      (s, dir) => {
+        import graft.ops.Sketch
+        val ord = t(s, dir, "orders")
+        val path = QueryKit.scratch("/tmp/graft_io", dir, "kmv_shards_q274")
+        ord.filter(col("o_custkey").isNotNull)
+          .select(col("o_orderpriority"), (col("o_orderkey") % 2).as("__shard"),
+            Sketch.hash60(col("o_custkey")).as("__h60"))
+          .groupBy(col("o_orderpriority"), col("__shard"))
+          .agg(Sketch.bottomKAgg(col("__h60"), 64).as("sk"))
+          .write.mode("overwrite").parquet(path)
+        val merged = s.read.parquet(path)
+          .select(col("o_orderpriority"), explode(col("sk")).as("__h60"))
+          .groupBy(col("o_orderpriority"))
+          .agg(Sketch.bottomKAgg(col("__h60"), 64).as("__sk"))
+          .select(col("o_orderpriority"),
+            size(col("__sk")).cast("long").as("sketch_size"),
+            Sketch.estimate(col("__sk"), 64).as("ndv_est"))
+        merged.orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT o_orderpriority AS g,
+                 CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS UBIGINT) AS hv
+          FROM orders WHERE o_custkey IS NOT NULL),
+        d AS (SELECT DISTINCT g, hv FROM h),
+        r AS (SELECT g, hv,
+                     row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+              FROM d)
+        SELECT g AS o_orderpriority, CAST(count(*) AS BIGINT) AS sketch_size,
+               CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                    ELSE floor((63.0 * 1152921504606846976.0
+                                / max(CASE WHEN rn = 64 THEN hv END)) * 10) / 10
+               END AS ndv_est
+        FROM r WHERE rn <= 64 GROUP BY g
+        ORDER BY g""")))
 }
