@@ -461,5 +461,53 @@ object AggExtraQueries {
                                 / max(CASE WHEN rn = 64 THEN hv END)) * 10) / 10
                END AS ndv_est
         FROM r WHERE rn <= 64 GROUP BY g
-        ORDER BY g""")))
+        ORDER BY g""")),
+
+    // the per-group face of q269 (groupby.describe at scale, the approx
+    // sibling of q207): per-group exact integer moments + histogram
+    // quartiles, one (group, stat, value) row each — the q248 idiom
+    // keeps every group's mean/std bit-identical in any partition order.
+    Q("q275_groupby_describe_sketch",
+      (s, dir) => f(s, dir, "orders")
+        .groupby("o_orderpriority")
+        .describeApprox("o_totalprice", -1)
+        .sortValues(Seq(SortKey.asc("o_orderpriority"), SortKey.asc("stat"))).df,
+      Some("""
+        WITH base AS (
+          SELECT o_orderpriority AS g, o_totalprice AS v
+          FROM orders WHERE o_totalprice IS NOT NULL),
+        qz AS (SELECT g, CAST(floor(v / 10 + 0.5) AS BIGINT) AS qv FROM base),
+        m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(qv AS HUGEINT)) AS s1,
+                     sum(CAST(qv AS HUGEINT) * qv) AS s2 FROM qz GROUP BY 1),
+        ext AS (SELECT g, min(v) AS mn, max(v) AS mx FROM base GROUP BY 1),
+        hist AS (SELECT g, qv, count(*) AS cnt FROM qz GROUP BY 1, 2),
+        cum AS (SELECT g, qv, sum(cnt) OVER (PARTITION BY g ORDER BY qv) AS cum,
+                       sum(cnt) OVER (PARTITION BY g) AS n FROM hist),
+        qs AS (SELECT * FROM (VALUES (1, 4), (1, 2), (3, 4)) AS r(num, den)),
+        picks AS (
+          SELECT g, num, den,
+                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % den)) / den + 1
+                     THEN qv END) AS lo,
+                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % den)) / den + 1
+                               + (CASE WHEN ((n-1)*num) % den > 0 THEN 1 ELSE 0 END)
+                     THEN qv END) AS hi,
+                 max(((n-1)*num) % den) AS rem
+          FROM cum, qs GROUP BY 1, 2, 3),
+        quart AS (
+          SELECT g, CAST(num AS DOUBLE) / den AS qq,
+                 CAST(((den - rem) * lo + rem * hi) * 10 AS DOUBLE) / den AS value
+          FROM picks)
+        SELECT g AS o_orderpriority, stat, value FROM (
+          SELECT g, 'count' AS stat, CAST(n AS DOUBLE) AS value FROM m
+          UNION ALL SELECT g, 'mean', CAST(s1 * 10 AS DOUBLE) / CAST(n AS DOUBLE) FROM m
+          UNION ALL SELECT g, 'std',
+            sqrt(CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)) * 10.0 FROM m
+          UNION ALL SELECT g, 'min', mn FROM ext
+          UNION ALL SELECT g, 'max', mx FROM ext
+          UNION ALL SELECT g, '25%', value FROM quart WHERE qq = 0.25
+          UNION ALL SELECT g, '50%', value FROM quart WHERE qq = 0.5
+          UNION ALL SELECT g, '75%', value FROM quart WHERE qq = 0.75)
+        ORDER BY 1, 2""")))
 }
