@@ -78,13 +78,17 @@ object Dedup {
    * Exchange discipline: the band self-join and the candidate-pair
    * `distinct` carry ONLY (band, bucketHash, id) / (id_a, id_b) — never
    * the shingle arrays (easily KBs/doc, and the naive formulation shuffles
-   * them 2×bands× plus once per matched pair). The arrays re-attach via
-   * two id-equi-joins just before the exact-Jaccard verify, so each doc's
-   * array crosses an exchange at most twice regardless of band count or
-   * bucket skew. Shingles are recomputed on the re-attach branch (a
-   * codegen'd map over the scan) — deliberate: CPU is cheap relative to
-   * exchange bytes at corpus scale, and each pair is verified exactly once
-   * (post-dedup) instead of once per matching band.
+   * them 2×bands× plus once per matched pair). The verify payload
+   * re-attaches via two id-equi-joins just before the exact-Jaccard
+   * verify — as xxhash64-FOLDED shingle sets (8 B/shingle, not the raw
+   * n-gram strings; hashed-set Jaccard ≡ string-set Jaccard up to 64-bit
+   * in-pair collisions, see [[foldedShingleSet]]) — so each doc's set
+   * crosses an exchange at most twice regardless of band count or
+   * bucket skew, at ~5× fewer bytes than the raw arrays. Shingles are
+   * recomputed on the re-attach branch (a codegen'd map over the scan) —
+   * deliberate: CPU is cheap relative to exchange bytes at corpus scale,
+   * and each pair is verified exactly once (post-dedup) instead of once
+   * per matching band.
    */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -113,12 +117,20 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
 
+    // Folded verify payload (xxhash64 per shingle on the fast path —
+    // same exactness/spill-bytes argument as [[foldedShingleSet]]:
+    // hashed-set Jaccard ≡ shingle-set Jaccard up to 64-bit collisions
+    // within one pair, and the arrays crossing the verify exchange are
+    // 8 B/shingle instead of the raw n-gram strings).
+    val hashed = df.select(col(idCol),
+      transform(array_distinct(Text.shingles(col(textCol), shingleN)),
+        s => xxhash64(s)).as("__hs__"))
     candidates
-      .join(sh.select(col(idCol).as("id_a"), col("__sh__").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("__sh__").as("sh_b")), Seq("id_b"))
+      .join(hashed.select(col(idCol).as("id_a"), col("__hs__").as("hs_a")), Seq("id_a"))
+      .join(hashed.select(col(idCol).as("id_b"), col("__hs__").as("hs_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+        (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -174,7 +186,8 @@ object Dedup {
     * value.
     *
     * Exchanges carry id/hash columns only (band join + pair distinct); the
-    * shingle arrays re-attach by id just before the exact verify — see
+    * 60-bit-folded shingle sets ([[foldedShingleSet]], 8 B/shingle)
+    * re-attach by id just before the exact verify — see
     * [[minhashLshPairs]] for the rationale. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double, nBands: Int = 4): DataFrame =
@@ -242,6 +255,21 @@ object Dedup {
   def md5BandKeys(shingleArr: Column, nBands: Int, rowsPerBand: Int): Column =
     md5BandKeysFromDigests(shingleDigests(shingleArr), nBands, rowsPerBand)
 
+  /** The exact-verify payload: each shingle folded to its 60-bit md5
+    * prefix (`conv(substr(md5(s),1,15),16,10)` — DuckDB mirrors it as
+    * `CAST(('0x' || substr(md5(s),1,15)) AS UBIGINT)`). Jaccard over the
+    * folded sets equals the raw shingle-set Jaccard unless two DISTINCT
+    * shingles of the same PAIR collide at 60 bits — P ≈ m²/2^61 per pair
+    * (m = shingles/doc), < 10⁻¹² even at m = 10³ — and both engines fold
+    * identically, so the oracle gate is exact by construction. The point
+    * is exchange/spill bytes: the verify join attaches 8 bytes/shingle
+    * instead of the raw n-gram string (~20–40 B + offsets), which is the
+    * stage that hit the single-node disk-spill wall at the 64× probe
+    * (130M candidate pairs × ~4 KB attached arrays per side). */
+  private[graft] def foldedShingleSet(text: Column, shingleN: Int): Column =
+    transform(array_distinct(Text.shingles(text, shingleN)),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+
   private def md5BandedPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double, nBands: Int, rowsPerBand: Int): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession)
@@ -267,12 +295,17 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+    // Re-attach branch carries the FOLDED shingle sets (8 B/shingle),
+    // not the raw arrays — see [[foldedShingleSet]] for the exactness
+    // and spill-bytes argument.
+    val hashed = df.select(col(idCol),
+      foldedShingleSet(col(textCol), shingleN).as("__hs__"))
     candidates
-      .join(prepped.select(col(idCol).as("id_a"), col("__sh__").as("sh_a")), Seq("id_a"))
-      .join(prepped.select(col(idCol).as("id_b"), col("__sh__").as("sh_b")), Seq("id_b"))
+      .join(hashed.select(col(idCol).as("id_a"), col("__hs__").as("hs_a")), Seq("id_a"))
+      .join(hashed.select(col(idCol).as("id_b"), col("__hs__").as("hs_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+        (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -290,9 +323,10 @@ object Dedup {
    * 10B-doc corpus" / "link these two entity tables on fuzzy names" shape:
    * candidate volume is band-governed (linear in bucket sizes, never
    * |L|×|R|), exchanges carry only (band, 8-byte key, id) until the
-   * verify, and the shingle arrays re-attach by id once per side — the
-   * same exchange-bytes argument as [[minhashLshPairs]]. When one side is
-   * dimension-sized its banded form broadcasts under AQE automatically.
+   * verify, and the 60-bit-folded shingle sets ([[foldedShingleSet]])
+   * re-attach by id once per side — the same exchange-bytes argument as
+   * [[minhashLshPairs]]. When one side is dimension-sized its banded
+   * form broadcasts under AQE automatically.
    */
   def crossCorpusPairsMd5(
       left: DataFrame, leftId: String, leftText: String,
@@ -318,12 +352,17 @@ object Dedup {
       .join(banded(rp, "id_r", "__shr__"), Seq("__band__", "__key__"))
       .select("id_l", "id_r")
       .distinct()
+    // Folded verify payload — [[foldedShingleSet]] for the argument.
+    val lh = left.select(col(leftId).as("id_l"),
+      foldedShingleSet(col(leftText), shingleN).as("__hl__"))
+    val rh = right.select(col(rightId).as("id_r"),
+      foldedShingleSet(col(rightText), shingleN).as("__hr__"))
     candidates
-      .join(lp, Seq("id_l"))
-      .join(rp, Seq("id_r"))
+      .join(lh, Seq("id_l"))
+      .join(rh, Seq("id_r"))
       .select(col("id_l"), col("id_r"),
-        (size(array_intersect(col("__shl__"), col("__shr__"))).cast("double") /
-          size(array_union(col("__shl__"), col("__shr__"))).cast("double")).as("jaccard"))
+        (size(array_intersect(col("__hl__"), col("__hr__"))).cast("double") /
+          size(array_union(col("__hl__"), col("__hr__"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -405,16 +444,20 @@ object Dedup {
     // the scan is IO-bound and filter-pushed either way, never
     // shingle-CPU-bound.
     val candIds = candidates.select(col("id_r")).distinct()
+    // Folded verify payloads on both sides ([[foldedShingleSet]]) — the
+    // corpus side additionally shingles only the candidate-matched docs.
     val rp = corpus
       .join(candIds, corpus(corpusId) === candIds("id_r"), "left_semi")
       .select(col(corpusId).as("id_r"),
-        array_distinct(Text.shingles(col(corpusText), shingleN)).as("__shr__"))
+        foldedShingleSet(col(corpusText), shingleN).as("__hr__"))
+    val lh = batch.select(col(batchId).as("id_l"),
+      foldedShingleSet(col(batchText), shingleN).as("__hl__"))
     candidates
-      .join(lp, Seq("id_l"))
+      .join(lh, Seq("id_l"))
       .join(rp, Seq("id_r"))
       .select(col("id_l"), col("id_r"),
-        (size(array_intersect(col("__shl__"), col("__shr__"))).cast("double") /
-          size(array_union(col("__shl__"), col("__shr__"))).cast("double")).as("jaccard"))
+        (size(array_intersect(col("__hl__"), col("__hr__"))).cast("double") /
+          size(array_union(col("__hl__"), col("__hr__"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

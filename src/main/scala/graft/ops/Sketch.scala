@@ -145,7 +145,11 @@ object Sketch {
       phiDen: Long): DataFrame = {
     require(phiNum > 0 && phiDen > 0 && phiNum < phiDen,
       s"heavyHitters needs 0 < phi < 1, got $phiNum/$phiDen")
-    val cap = ((phiDen + phiNum - 1) / phiNum).toInt // ⌈1/φ⌉ counters
+    val capL = (phiDen + phiNum - 1) / phiNum // ⌈1/φ⌉ counters
+    require(capL <= 10000000L,
+      s"heavyHitters counter cap ⌈1/φ⌉ = $capL exceeds the per-task memory "
+        + "bound (10M counters) — raise phi or pre-aggregate")
+    val cap = capL.toInt
     val spark = df.sparkSession
     import spark.implicits._
     val nonNull = df.filter(col(valueCol).isNotNull)
@@ -190,7 +194,7 @@ object Sketch {
     * at least one partition, and each partition runs an independent
     * Misra–Gries per group (⌈1/φ⌉ counters each — per-task memory is
     * groups-seen-by-task × ⌈1/φ⌉, the documented bound; group counts are
-    * usually dimension-sized). Group keys fold to a \u0001-joined string
+    * usually dimension-sized). Group keys fold to a length-prefixed (collision-free) string
     * for the candidate pass; the verify aggregate keeps the original
     * typed columns. The per-group totals are one |groups|-row aggregate
     * broadcast back, and the threshold compare is exact decimal —
@@ -200,12 +204,23 @@ object Sketch {
     require(groupCols.nonEmpty, "use heavyHitters for the ungrouped form")
     require(phiNum > 0 && phiDen > 0 && phiNum < phiDen,
       s"heavyHittersByGroup needs 0 < phi < 1, got $phiNum/$phiDen")
-    val cap = ((phiDen + phiNum - 1) / phiNum).toInt
+    val capL = (phiDen + phiNum - 1) / phiNum
+    require(capL <= 10000000L,
+      s"heavyHittersByGroup counter cap ⌈1/φ⌉ = $capL exceeds the per-task "
+        + "memory bound (10M counters per group) — raise phi or pre-aggregate")
+    val cap = capL.toInt
     val spark = df.sparkSession
     import spark.implicits._
     val nonNull = df.filter(col(valueCol).isNotNull &&
       groupCols.map(col(_).isNotNull).reduce(_ && _))
-    val gkey = concat_ws("\u0001", groupCols.map(col(_).cast("string")): _*)
+    // Length-prefixed field encoding: "len:value" segments concatenate
+    // prefix-free, so NO byte sequence inside a key value (incl. any
+    // would-be delimiter) can make two distinct group tuples encode
+    // equal — the pigeonhole completeness argument needs that.
+    val gkey = concat(groupCols.flatMap { c =>
+      val s = col(c).cast("string")
+      Seq(length(s).cast("string"), lit(":"), s)
+    }: _*)
     val candidates = nonNull
       .select(gkey.as("g"), col(valueCol).cast("string").as("v"))
       .as[(String, String)]
@@ -285,7 +300,8 @@ object Sketch {
     import org.apache.spark.sql.expressions.Window
     val w = col(weightCol).cast("long")
     val hist = df
-      .filter(col(valueCol).isNotNull && w.isNotNull && w > 0)
+      .filter(col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast("double")) && w.isNotNull && w > 0)
       .groupBy((groupCols.map(col) :+ quantize(col(valueCol), scale).as("__qv")): _*)
       .agg(sum(w).as("__w"))
     def part = if (groupCols.isEmpty) Window.partitionBy()
@@ -341,7 +357,8 @@ object Sketch {
       sum(qcol * qcol).as("__s2"),
       min(col(valueCol).cast("double")).as("__mn"),
       max(col(valueCol).cast("double")).as("__mx"))
-    val nonNull = df.filter(col(valueCol).isNotNull)
+    val nonNull = df.filter(col(valueCol).isNotNull &&
+      !isnan(col(valueCol).cast("double")))
     val moments =
       if (groupCols.isEmpty) nonNull.agg(momentAggs.head, momentAggs.tail: _*)
       else nonNull.groupBy(groupCols.map(col): _*)
@@ -424,7 +441,8 @@ object Sketch {
     require(qs.nonEmpty && qs.forall { case (n, d) => n >= 0 && d > 0 && n <= d },
       s"quantiles must be rationals in [0,1], got $qs")
     import org.apache.spark.sql.expressions.Window
-    val hist = df.filter(col(valueCol).isNotNull)
+    val hist = df.filter(col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast("double")))
       .groupBy((groupCols.map(col) :+ quantize(col(valueCol), scale).as("__qv")): _*)
       .agg(count(lit(1)).as("__cnt"))
     val w = (if (groupCols.isEmpty) Window.partitionBy()
@@ -437,9 +455,13 @@ object Sketch {
     val aggs = qs.zipWithIndex.flatMap { case ((num, den), i) =>
       val rnum = (col("__n") - 1L) * num // rank·den, exact long
       val rem = pmod(rnum, lit(den))
-      // rnum−rem is divisible by den; Spark's `/` is double division, so
-      // cast back (exact — magnitudes < 2^53)
-      val loRank = ((rnum - rem) / den).cast("long") + 1L
+      // rnum−rem is divisible by den, but Spark's `/` on longs is DOUBLE
+      // division — inexact once rnum = (n−1)·num passes 2^53 (n ~ 10^12,
+      // num ~ 10^6 is exactly the scale this sketch is sold for). Exact
+      // decimal division instead: the quotient is an integer, so the
+      // decimal result is exact and the long cast is lossless.
+      val loRank = ((rnum - rem).cast("decimal(38,0)") / lit(den))
+        .cast("long") + 1L
       val hiRank = loRank + when(rem > 0L, 1L).otherwise(0L)
       Seq(
         min(when(col("__cum") >= loRank, col("__qv"))).as(s"__lo$i"),

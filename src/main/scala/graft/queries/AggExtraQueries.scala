@@ -51,9 +51,9 @@ object AggExtraQueries {
         transform(
           percentile(col("l_extendedprice"), array(lit(0.1), lit(0.5), lit(0.9))),
           v => round(v, 4)).as("pq"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corrwith_price"),
-        round(corr(col("l_quantity"), col("l_discount")), 6).as("corrwith_disc"),
-        round(corr(col("l_quantity"), col("l_tax")), 6).as("corrwith_tax"))
+        roundz(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corrwith_price"),
+        roundz(corr(col("l_quantity"), col("l_discount")), 6).as("corrwith_disc"),
+        roundz(corr(col("l_quantity"), col("l_tax")), 6).as("corrwith_tax"))
         .select(
           element_at(col("pq"), 1).as("price_q10"),
           element_at(col("pq"), 2).as("price_q50"),
@@ -66,9 +66,9 @@ object AggExtraQueries {
                corrwith_price, corrwith_disc, corrwith_tax
         FROM (
           SELECT quantile_cont(l_extendedprice, [0.1, 0.5, 0.9]) AS qs,
-                 round(corr(l_quantity, l_extendedprice), 6) AS corrwith_price,
-                 round(corr(l_quantity, l_discount), 6) AS corrwith_disc,
-                 round(corr(l_quantity, l_tax), 6) AS corrwith_tax
+                 round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corrwith_price,
+                 round(corr(l_quantity, l_discount), 6) + 0.0 AS corrwith_disc,
+                 round(corr(l_quantity, l_tax), 6) + 0.0 AS corrwith_tax
           FROM lineitem)""")),
 
     // searchsorted (reference QC:2272): insertion index of each probe
@@ -122,23 +122,23 @@ object AggExtraQueries {
         val li = t(s, dir, "lineitem")
         val sp = graft.ops.Rank.spearman(
           li, "l_quantity", Seq("l_extendedprice", "l_discount"))
-          .select(round(col("spearman_l_extendedprice"), 8).as("sp_price"),
-            round(col("spearman_l_discount"), 8).as("sp_disc"))
+          .select(roundz(col("spearman_l_extendedprice"), 8).as("sp_price"),
+            roundz(col("spearman_l_discount"), 8).as("sp_disc"))
         val ac = graft.ops.Rank.autocorr(
           t(s, dir, "orders"), Seq(SortKey.asc("o_orderkey")),
           "o_totalprice", Seq(1, 5))
-          .select(round(col("autocorr_1"), 8).as("ac1"),
-            round(col("autocorr_5"), 8).as("ac5"))
+          .select(roundz(col("autocorr_1"), 8).as("ac1"),
+            roundz(col("autocorr_5"), 8).as("ac5"))
         sp.crossJoin(ac)
       },
       Some("""
-        SELECT round(corr(rq, rp), 8) AS sp_price,
-               round(corr(rq, rd), 8) AS sp_disc,
-               (SELECT round(corr(x, x1), 8) FROM (
+        SELECT round(corr(rq, rp), 8) + 0.0 AS sp_price,
+               round(corr(rq, rd), 8) + 0.0 AS sp_disc,
+               (SELECT round(corr(x, x1), 8) + 0.0 FROM (
                   SELECT o_totalprice AS x,
                          lead(o_totalprice, 1) OVER (ORDER BY o_orderkey) AS x1
                   FROM orders)) AS ac1,
-               (SELECT round(corr(x, x5), 8) FROM (
+               (SELECT round(corr(x, x5), 8) + 0.0 FROM (
                   SELECT o_totalprice AS x,
                          lead(o_totalprice, 5) OVER (ORDER BY o_orderkey) AS x5
                   FROM orders)) AS ac5
@@ -263,9 +263,9 @@ object AggExtraQueries {
         qs AS (SELECT * FROM (VALUES (250000), (500000), (750000), (990000)) AS q(num)),
         picks AS (
           SELECT num,
-                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % 1000000)) / 1000000 + 1
+                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % 1000000)) // 1000000 + 1
                      THEN qv END) AS lo,
-                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % 1000000)) / 1000000 + 1
+                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % 1000000)) // 1000000 + 1
                                + (CASE WHEN ((n-1)*num) % 1000000 > 0 THEN 1 ELSE 0 END)
                      THEN qv END) AS hi,
                  max(((n-1)*num) % 1000000) AS rem
@@ -296,9 +296,9 @@ object AggExtraQueries {
         qs AS (SELECT * FROM (VALUES (500000), (900000)) AS q(num)),
         picks AS (
           SELECT g, num,
-                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % 1000000)) / 1000000 + 1
+                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % 1000000)) // 1000000 + 1
                      THEN qv END) AS lo,
-                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % 1000000)) / 1000000 + 1
+                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % 1000000)) // 1000000 + 1
                                + (CASE WHEN ((n-1)*num) % 1000000 > 0 THEN 1 ELSE 0 END)
                      THEN qv END) AS hi,
                  max(((n-1)*num) % 1000000) AS rem
@@ -333,9 +333,9 @@ object AggExtraQueries {
         qs AS (SELECT * FROM (VALUES (1, 4), (1, 2), (3, 4)) AS r(num, den)),
         picks AS (
           SELECT num, den,
-                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % den)) / den + 1
+                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % den)) // den + 1
                      THEN qv END) AS lo,
-                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % den)) / den + 1
+                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % den)) // den + 1
                                + (CASE WHEN ((n-1)*num) % den > 0 THEN 1 ELSE 0 END)
                      THEN qv END) AS hi,
                  max(((n-1)*num) % den) AS rem
@@ -487,9 +487,9 @@ object AggExtraQueries {
         qs AS (SELECT * FROM (VALUES (1, 4), (1, 2), (3, 4)) AS r(num, den)),
         picks AS (
           SELECT g, num, den,
-                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % den)) / den + 1
+                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % den)) // den + 1
                      THEN qv END) AS lo,
-                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % den)) / den + 1
+                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % den)) // den + 1
                                + (CASE WHEN ((n-1)*num) % den > 0 THEN 1 ELSE 0 END)
                      THEN qv END) AS hi,
                  max(((n-1)*num) % den) AS rem

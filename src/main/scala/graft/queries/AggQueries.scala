@@ -166,14 +166,14 @@ object AggQueries {
       (s, dir) => f(s, dir, "lineitem")
         .groupby("l_returnflag")
         .agg(
-          "skew_price" -> round(Stats.sampleSkew(col("l_extendedprice")), 6),
-          "kurt_price" -> round(Stats.sampleKurt(col("l_extendedprice")), 6),
+          "skew_price" -> roundz(Stats.sampleSkew(col("l_extendedprice")), 6),
+          "kurt_price" -> roundz(Stats.sampleKurt(col("l_extendedprice")), 6),
           "sem_price" -> round(Stats.sem(col("l_extendedprice")), 6))
         .sortValues(Seq(SortKey.asc("l_returnflag"))).df,
       Some("""
         SELECT l_returnflag,
-               round(skewness(l_extendedprice), 6) AS skew_price,
-               round(kurtosis(l_extendedprice), 6) AS kurt_price,
+               round(skewness(l_extendedprice), 6) + 0.0 AS skew_price,
+               round(kurtosis(l_extendedprice), 6) + 0.0 AS kurt_price,
                round(stddev_samp(l_extendedprice) / sqrt(count(l_extendedprice)), 6) AS sem_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
@@ -231,13 +231,13 @@ object AggQueries {
     // same partial-aggregate physics per pair).
     Q("q21_corr_cov",
       (s, dir) => t(s, dir, "lineitem").agg(
-        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
-        round(corr(col("l_discount"), col("l_extendedprice")), 6).as("corr_disc_price"),
-        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qty_price")),
+        roundz(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        roundz(corr(col("l_discount"), col("l_extendedprice")), 6).as("corr_disc_price"),
+        roundz(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qty_price")),
       Some("""
-        SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-               round(corr(l_discount, l_extendedprice), 6) AS corr_disc_price,
-               round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
+        SELECT round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qty_price,
+               round(corr(l_discount, l_extendedprice), 6) + 0.0 AS corr_disc_price,
+               round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS cov_qty_price
         FROM lineitem""")),
 
     // describe (reference QC:2388) — count/mean/std/min/q25/median/q75/max.

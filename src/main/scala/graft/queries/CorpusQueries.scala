@@ -423,9 +423,9 @@ object CorpusQueries {
         qs AS (SELECT * FROM (VALUES (1), (2)) AS q(num)),
         picks AS (
           SELECT lang, num,
-                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % 3)) / 3 + 1
+                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % 3)) // 3 + 1
                      THEN qv END) AS lo,
-                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % 3)) / 3 + 1
+                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % 3)) // 3 + 1
                                + (CASE WHEN ((n-1)*num) % 3 > 0 THEN 1 ELSE 0 END)
                      THEN qv END) AS hi,
                  max(((n-1)*num) % 3) AS rem

@@ -194,7 +194,10 @@ object PipelineQueries {
           FROM (SELECT doc_id, regexp_extract_all(trim(lower(text)), '\S+') AS w
                 FROM documents)),
         e AS (
-          SELECT doc_id, sh, b,
+          SELECT doc_id,
+                 list_transform(sh, s ->
+                   CAST(('0x' || substr(md5(s), 1, 15)) AS UBIGINT)) AS hs,
+                 b,
                  unhex(substr(md5(array_to_string(
                    [list_min([substr(md5(s), b*4 + r + 1, 16)
                               for s in sh])
@@ -202,8 +205,8 @@ object PipelineQueries {
           FROM t CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(b))
         SELECT DISTINCT id_a, id_b, round(j, 6) AS jaccard FROM (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 len(list_intersect(a.sh, b.sh))::DOUBLE
-                   / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+                 len(list_intersect(a.hs, b.hs))::DOUBLE
+                   / len(list_distinct(list_concat(a.hs, b.hs))) AS j
           FROM e a JOIN e b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
         WHERE j >= 0.2 ORDER BY id_a, id_b""")),
 
@@ -319,7 +322,10 @@ object PipelineQueries {
           FROM (SELECT doc_id, regexp_extract_all(trim(lower(text)), '\S+') AS w
                 FROM documents)),
         e AS (
-          SELECT doc_id, sh, b,
+          SELECT doc_id,
+                 list_transform(sh, s ->
+                   CAST(('0x' || substr(md5(s), 1, 15)) AS UBIGINT)) AS hs,
+                 b,
                  unhex(substr(md5(array_to_string(
                    [list_min([substr(md5(s), b*4 + r + 1, 16)
                               for s in sh])
@@ -327,8 +333,8 @@ object PipelineQueries {
           FROM t CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(b))
         SELECT DISTINCT id_l, id_r, round(j, 6) AS jaccard FROM (
           SELECT a.doc_id AS id_l, b.doc_id AS id_r,
-                 len(list_intersect(a.sh, b.sh))::DOUBLE
-                   / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+                 len(list_intersect(a.hs, b.hs))::DOUBLE
+                   / len(list_distinct(list_concat(a.hs, b.hs))) AS j
           FROM e a JOIN e b ON a.b = b.b AND a.key = b.key
           WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
         WHERE j >= 0.2 ORDER BY id_l, id_r""")),
@@ -362,7 +368,10 @@ object PipelineQueries {
           FROM (SELECT doc_id, regexp_extract_all(trim(lower(text)), '\S+') AS w
                 FROM documents)),
         e AS (
-          SELECT doc_id, sh, b,
+          SELECT doc_id,
+                 list_transform(sh, s ->
+                   CAST(('0x' || substr(md5(s), 1, 15)) AS UBIGINT)) AS hs,
+                 b,
                  unhex(substr(md5(array_to_string(
                    [list_min([substr(md5(s), b*4 + r + 1, 16)
                               for s in sh])
@@ -370,8 +379,8 @@ object PipelineQueries {
           FROM t CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(b))
         SELECT DISTINCT id_l, id_r, round(j, 6) AS jaccard FROM (
           SELECT a.doc_id AS id_l, b.doc_id AS id_r,
-                 len(list_intersect(a.sh, b.sh))::DOUBLE
-                   / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+                 len(list_intersect(a.hs, b.hs))::DOUBLE
+                   / len(list_distinct(list_concat(a.hs, b.hs))) AS j
           FROM e a JOIN e b ON a.b = b.b AND a.key = b.key
           WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
         WHERE j >= 0.2 ORDER BY id_l, id_r""")),
@@ -394,14 +403,17 @@ object PipelineQueries {
           FROM (SELECT doc_id, regexp_extract_all(trim(lower(text)), '\S+') AS w
                 FROM documents)),
         e AS (
-          SELECT doc_id, sh, b,
+          SELECT doc_id,
+                 list_transform(sh, s ->
+                   CAST(('0x' || substr(md5(s), 1, 15)) AS UBIGINT)) AS hs,
+                 b,
                  unhex(substr(md5(list_min([substr(md5(s), b + 1, 16)
                                             for s in sh])), 1, 16)) AS key
           FROM t CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(b))
         SELECT DISTINCT id_a, id_b, round(j, 6) AS jaccard FROM (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 len(list_intersect(a.sh, b.sh))::DOUBLE
-                   / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+                 len(list_intersect(a.hs, b.hs))::DOUBLE
+                   / len(list_distinct(list_concat(a.hs, b.hs))) AS j
           FROM e a JOIN e b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
         WHERE j >= 0.3 ORDER BY id_a, id_b""")),
 
@@ -829,7 +841,7 @@ object PipelineQueries {
           t(s, dir, "embeddings"), "embedding")
         .filter(col("i") < 12 && col("j") < 12)
         .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-          round(col("cov"), 6).as("cov")))
+          QueryKit.roundz(col("cov"), 6).as("cov")))
         .sortValues(Seq(SortKey.asc("i"), SortKey.asc("j"))).df,
       Some("""
         WITH e AS (
@@ -844,7 +856,7 @@ object PipelineQueries {
                FROM f a JOIN f b USING (vec_id) GROUP BY 1, 2)
         SELECT xy.i::BIGINT AS i, xy.j::BIGINT AS j,
                round((sxy / n.nn - (sa.si / n.nn) * (sb.si / n.nn))
-                     / 1099511627776.0, 6) AS cov
+                     / 1099511627776.0, 6) + 0.0 AS cov
         FROM xy CROSS JOIN n
         JOIN s sa ON sa.i = xy.i
         JOIN s sb ON sb.i = xy.j

@@ -110,6 +110,17 @@ object QueryKit {
 
   def f(s: SparkSession, dir: String, name: String): Frame = Frame(t(s, dir, name))
 
+  /** Signed-zero-canonical round for float-final columns. A tiny negative
+    * value (centered covariance, corr, ewm var, …) rounds to zero with the
+    * SIGN of the input preserved — and the two engines don't agree on it
+    * (q248: DuckDB kept -0.0 where Spark emitted +0.0; equal under ==,
+    * different under the driver's bitwise hash). `+ 0.0` is the IEEE-754
+    * canonicalization: -0.0 + 0.0 = +0.0 in every engine, and it is the
+    * identity on every other value (incl. NaN/±inf). Oracle SQL must
+    * mirror it literally: `round(x, n) + 0.0`. */
+  def roundz(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    round(c, scale) + lit(0.0)
+
   /** Table scan rebalanced across the cluster before CPU-bound map work:
     * range-partition + in-partition sort on `key`. Test-fixture parquet
     * is a single small file (one row group — unsplittable, so the scan is

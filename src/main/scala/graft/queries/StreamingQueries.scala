@@ -240,7 +240,10 @@ object StreamingQueries {
           FROM (SELECT doc_id, regexp_extract_all(trim(lower(text)), '\S+') AS w
                 FROM documents)),
         e AS (
-          SELECT doc_id, sh, b,
+          SELECT doc_id,
+                 list_transform(sh, s ->
+                   CAST(('0x' || substr(md5(s), 1, 15)) AS UBIGINT)) AS hs,
+                 b,
                  unhex(substr(md5(array_to_string(
                    [list_min([substr(md5(s), b*4 + r + 1, 16)
                               for s in sh])
@@ -248,8 +251,8 @@ object StreamingQueries {
           FROM t CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(b))
         SELECT DISTINCT id_l, id_r, round(j, 6) AS jaccard FROM (
           SELECT a.doc_id AS id_l, b.doc_id AS id_r,
-                 len(list_intersect(a.sh, b.sh))::DOUBLE
-                   / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+                 len(list_intersect(a.hs, b.hs))::DOUBLE
+                   / len(list_distinct(list_concat(a.hs, b.hs))) AS j
           FROM e a JOIN e b ON a.b = b.b AND a.key = b.key
           WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
         WHERE j >= 0.2 ORDER BY id_l, id_r""")),

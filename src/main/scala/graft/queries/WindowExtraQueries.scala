@@ -295,8 +295,8 @@ object WindowExtraQueries {
         val vid = col("event_id").cast("double")
         Frame(t(s, dir, "events").select(
           col("event_id"),
-          when(cnt >= 10, round(corr(col("value"), vid).over(w), 4)).as("roll_corr"),
-          when(cnt >= 10, round(covar_samp(col("value"), vid).over(w), 4)).as("roll_cov")))
+          when(cnt >= 10, roundz(corr(col("value"), vid).over(w), 4)).as("roll_corr"),
+          when(cnt >= 10, roundz(covar_samp(col("value"), vid).over(w), 4)).as("roll_cov")))
           .sortValues(Seq(SortKey.asc("event_id"))).df
       },
       Some("""
@@ -306,8 +306,8 @@ object WindowExtraQueries {
                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
           FROM events)
         SELECT a.event_id,
-               CASE WHEN count(*) >= 10 THEN round(corr(b.value, b.vid), 4) END AS roll_corr,
-               CASE WHEN count(*) >= 10 THEN round(covar_samp(b.value, b.vid), 4) END AS roll_cov
+               CASE WHEN count(*) >= 10 THEN round(corr(b.value, b.vid), 4) + 0.0 END AS roll_corr,
+               CASE WHEN count(*) >= 10 THEN round(covar_samp(b.value, b.vid), 4) + 0.0 END AS roll_cov
         FROM e a JOIN e b
           ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 9 AND a.rn
         GROUP BY a.event_id
@@ -413,14 +413,14 @@ object WindowExtraQueries {
           ("o_totalprice", "skew", "r_skew"),
           ("o_totalprice", "kurt", "r_kurt"),
           ("o_totalprice", "sem", "r_sem")).df
-          .select(col("o_orderkey"), round(col("r_skew"), 4).as("r_skew"),
-            round(col("r_kurt"), 4).as("r_kurt"), round(col("r_sem"), 4).as("r_sem")))
+          .select(col("o_orderkey"), roundz(col("r_skew"), 4).as("r_skew"),
+            roundz(col("r_kurt"), 4).as("r_kurt"), round(col("r_sem"), 4).as("r_sem")))
           .sortValues(Seq(SortKey.asc("o_orderkey"))).df
       },
       Some("""
         SELECT o_orderkey,
-               CASE WHEN cnt >= 20 THEN round(sk, 4) END AS r_skew,
-               CASE WHEN cnt >= 20 THEN round(kt, 4) END AS r_kurt,
+               CASE WHEN cnt >= 20 THEN round(sk, 4) + 0.0 END AS r_skew,
+               CASE WHEN cnt >= 20 THEN round(kt, 4) + 0.0 END AS r_kurt,
                CASE WHEN cnt >= 20 THEN round(se, 4) END AS r_sem
         FROM (
           SELECT o_orderkey,
@@ -707,8 +707,8 @@ object WindowExtraQueries {
           .withColumn("y", pmod(col("event_id"), lit(997)).cast("double"))
         Frame(Ewm.covByKey(src, "user_id", "__ord__", "event_id", "value", "y",
           alpha = 0.5, out = "ec")
-          .select(col("event_id"), round(col("ec"), 4).as("ewm_cov"),
-            round(col("ec_corr"), 4).as("ewm_corr")))
+          .select(col("event_id"), roundz(col("ec"), 4).as("ewm_cov"),
+            roundz(col("ec_corr"), 4).as("ewm_corr")))
           .sortValues(Seq(SortKey.asc("event_id"))).df
       },
       Some("""
@@ -732,14 +732,14 @@ object WindowExtraQueries {
         SELECT event_id,
                CASE WHEN n >= 2 AND sw * sw - sw2 > 0
                     THEN round((sw * sw / (sw * sw - sw2))
-                         * (swxy / sw - (swx / sw) * (swy / sw)), 4) END AS ewm_cov,
+                         * (swxy / sw - (swx / sw) * (swy / sw)), 4) + 0.0 END AS ewm_cov,
                CASE WHEN n >= 2 AND sw * sw - sw2 > 0
                          AND swx2 / sw - (swx / sw) * (swx / sw) > 0
                          AND swy2 / sw - (swy / sw) * (swy / sw) > 0
                     THEN round(greatest(-1.0, least(1.0,
                          (swxy / sw - (swx / sw) * (swy / sw))
                          / sqrt(greatest(swx2 / sw - (swx / sw) * (swx / sw), 0)
-                              * greatest(swy2 / sw - (swy / sw) * (swy / sw), 0)))), 4)
+                              * greatest(swy2 / sw - (swy / sw) * (swy / sw), 0)))), 4) + 0.0
                     END AS ewm_corr
         FROM sums ORDER BY event_id""")),
 
@@ -759,14 +759,14 @@ object WindowExtraQueries {
           .expanding(minPeriods = 10)
           .cov("o_totalprice", "ckm", "exp_cov", centerX = 150000.0, centerY = 500.0)
         Frame(out.df.select(col("o_orderkey"),
-          round(col("exp_corr"), 6).as("exp_corr"),
-          round(col("exp_cov"), 2).as("exp_cov")))
+          roundz(col("exp_corr"), 6).as("exp_corr"),
+          roundz(col("exp_cov"), 2).as("exp_cov")))
           .sortValues(Seq(SortKey.asc("o_orderkey"))).df
       },
       Some("""
         SELECT o_orderkey,
-               CASE WHEN n >= 10 THEN round(c, 6) END AS exp_corr,
-               CASE WHEN n >= 10 THEN round(cv, 2) END AS exp_cov
+               CASE WHEN n >= 10 THEN round(c, 6) + 0.0 END AS exp_corr,
+               CASE WHEN n >= 10 THEN round(cv, 2) + 0.0 END AS exp_cov
         FROM (
           SELECT o_orderkey,
                  count(*) OVER w AS n,

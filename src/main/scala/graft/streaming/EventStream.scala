@@ -423,22 +423,24 @@ object EventStream {
 
   /** Stage-2 finisher over accumulated [[linkClaimsAgainstIndex]] hits (a
     * batch job over the sink): dedupe candidate pairs, re-attach both
-    * sides' shingle sets by id, keep pairs at or above the exact-Jaccard
-    * threshold — byte-identical semantics to the batch
+    * sides' FOLDED shingle sets by id (60-bit md5 folds — 8 B/shingle
+    * across the verify exchange; exactness argument at
+    * [[graft.ops.Dedup.foldedShingleSet]]), keep pairs at or above the
+    * exact-Jaccard threshold — byte-identical semantics to the batch
     * [[graft.ops.Dedup.linkAgainstIndex]]. */
   def linksFromClaims(claims: DataFrame,
       batch: DataFrame, batchId: String, batchText: String,
       corpus: DataFrame, corpusId: String, corpusText: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    def sh(df: DataFrame, id: String, text: String, outId: String, outSh: String) =
+    def hs(df: DataFrame, id: String, text: String, outId: String, outHs: String) =
       df.select(col(id).as(outId),
-        array_distinct(graft.functions.Text.shingles(col(text), shingleN)).as(outSh))
+        graft.ops.Dedup.foldedShingleSet(col(text), shingleN).as(outHs))
     claims.distinct()
-      .join(sh(batch, batchId, batchText, "id_l", "__shl__"), Seq("id_l"))
-      .join(sh(corpus, corpusId, corpusText, "id_r", "__shr__"), Seq("id_r"))
+      .join(hs(batch, batchId, batchText, "id_l", "__hl__"), Seq("id_l"))
+      .join(hs(corpus, corpusId, corpusText, "id_r", "__hr__"), Seq("id_r"))
       .select(col("id_l"), col("id_r"),
-        (size(array_intersect(col("__shl__"), col("__shr__"))).cast("double") /
-          size(array_union(col("__shl__"), col("__shr__"))).cast("double")).as("jaccard"))
+        (size(array_intersect(col("__hl__"), col("__hr__"))).cast("double") /
+          size(array_union(col("__hl__"), col("__hr__"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

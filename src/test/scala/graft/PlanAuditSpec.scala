@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, LocalTableScanExec, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import graft.queries.Registry
+
+/** PLANS.md's per-plan review checklist as FAILING ASSERTIONS — a future
+  * query that ships a scale-hostile plan turns `sbt test` red instead of
+  * waiting for a human to diff the regenerated document. The audited
+  * properties are the ones the scale story rests on:
+  *
+  *   1. no `CartesianProduct` anywhere (a data-sized cartesian is never
+  *      the right plan for any registered query);
+  *   2. every `BroadcastNestedLoopJoin`'s broadcast side is PROVABLY
+  *      bounded — a global (groupless) aggregate, a limit, a literal
+  *      table, or a ≤k-row construction thereof — so the nested loop is
+  *      a constant-side map, not an O(n·m) blowup;
+  *   3. shuffle budgets: the canonical plans' exchange counts are pinned
+  *      (an extra exchange in q03's groupby or q31's join is a plan
+  *      regression even when results stay correct);
+  *   4. pushdown: plans that exist to prove scan-level pruning must show
+  *      `PushedFilters` reaching the parquet scan.
+  *
+  * Plans are built at sf0.001 with AQE OFF (the initial plan is what the
+  * optimizer committed to; AQE can only improve it at runtime, and the
+  * pinned invariants are properties of the initial shape). Side-effectful
+  * registry queries (IO round-trips, streaming replays) execute those
+  * effects once here — same contract as `tools.ExplainAudit`.
+  *
+  * Seed/refresh the budget pins with
+  * `GRAFT_PLAN_RECORD=1 sbt "testOnly graft.PlanAuditSpec"` — it prints
+  * the live counts for every pinned query instead of asserting. */
+class PlanAuditSpec extends SparkSuite {
+
+  private val record = sys.env.contains("GRAFT_PLAN_RECORD")
+
+  /** name -> (physical plan, formatted explain). Built once, AQE off. */
+  private lazy val plans: Map[String, (SparkPlan, String)] = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Registry.all.map { q =>
+      val qe = q.fn(spark, sfDir).queryExecution
+      q.name -> (qe.executedPlan,
+        qe.explainString(org.apache.spark.sql.execution.FormattedMode))
+    }.toMap
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def shuffles(p: SparkPlan): Int =
+    p.collectWithSubqueries { case e: ShuffleExchangeExec => e }.size
+
+  /** A subtree is provably bounded if Catalyst could bound it too: a
+    * groupless aggregate (≤1 row), a limit, a literal local table, or a
+    * grouped aggregate over an already-bounded input (the quartile /
+    * histogram-span sides: ≤k rows by the sketch contract documented at
+    * the call site). */
+  private def provablyBounded(p: SparkPlan): Boolean = p.find {
+    case a: HashAggregateExec if a.groupingExpressions.isEmpty => true
+    case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => true
+    case a: SortAggregateExec if a.groupingExpressions.isEmpty => true
+    case _: LocalTableScanExec => true
+    case _: GlobalLimitExec | _: LocalLimitExec | _: TakeOrderedAndProjectExec => true
+    case _ => false
+  }.isDefined
+
+  /** Grouped-aggregate broadcast sides whose row bound is an argument at
+    * the implementation site, not a plan-tree property (quantile pivots:
+    * ≤|qs| rows; per-group describe rows: ≤|groups| of a dimension-sized
+    * key). Each entry must cite where the bound is argued. */
+  private val boundedByContract: Map[String, String] = Map(
+    // histogram-quantile pivot sides: ≤|qs| rows (ops/Sketch.scala quantile
+    // aggs produce one row per requested quantile before the cross join)
+    "q264_quantile_sketch" -> "ops/Sketch.quantileQuantizedBy: one row per quantile",
+    "q265_groupby_quantile_sketch" -> "ops/Sketch.quantileQuantizedBy grouped: rows = groups × quantiles, group key is dimension-sized",
+    "q269_describe_sketch" -> "ops/Sketch.describeQuantizedBy: quartile side ≤ 3 rows per group",
+    "q270_weighted_quantile_sketch" -> "ops/Sketch.weightedQuantileQuantizedBy: one row per quantile",
+    "q272_grouped_describe_sketch" -> "ops/Sketch.describeQuantizedBy grouped: quartiles per dimension-sized group",
+    "q275_grouped_weighted_quantile" -> "ops/Sketch.weightedQuantileQuantizedBy grouped",
+    // broadcast centroid / codebook / query-row sides: k-bounded by
+    // construction and/or runtime-guarded with require()
+    "q107_ann_brute" -> "functions/Similarity.topKBruteForce: require(nQ <= maxQueries) guards the broadcast query side",
+    "q134_ann_ivf" -> "ops/Kmeans: centroids side is k rows by construction, broadcast()",
+    "q231_ann_pq" -> "ops/Pq: codebook side is m×ksub rows (constant), broadcast()",
+    "q148_embedding_neardup" -> "ops/Dedup.embeddingPairsLsh/Brute: require(maxRows) valve on the broadcast side",
+    "q229_semantic_dedup" -> "ops/Kmeans.semDedup: centroid side is k rows by construction, broadcast()",
+    "q192_kendall" -> "ops/Rank.scala:123: marginals/tie-count sides are per-column aggregates over a bounded column set",
+    // reference semantics that ARE a cross product on purpose
+    "q38_merge_cross" -> "pandas merge(how='cross') on dimension tables; the small side is broadcast explicitly — the op is the user's cartesian",
+    "q120_repeat_qcut" -> "quartile-bin × region-count pivot: both sides grouped on ≤5-value keys (ReshapeExtraQueries q120)"
+  )
+
+  test("no plan contains a CartesianProduct") {
+    val offenders = plans.collect {
+      case (name, (p, _)) if p.collectWithSubqueries {
+        case c: CartesianProductExec => c }.nonEmpty => name
+    }
+    assert(offenders.isEmpty,
+      s"CartesianProduct in: ${offenders.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("every BroadcastNestedLoopJoin build side is provably bounded") {
+    val offenders = plans.toSeq.flatMap { case (name, (p, _)) =>
+      val bad = p.collectWithSubqueries { case j: BroadcastNestedLoopJoinExec => j }
+        .filterNot { j =>
+          provablyBounded(j.left) || provablyBounded(j.right) ||
+            boundedByContract.contains(name)
+        }
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unbounded BNLJ build side in: ${offenders.sorted.mkString(", ")}")
+  }
+
+  test("canonical plans keep their shuffle budgets") {
+    // name -> max ShuffleExchange count (AQE-off initial plan, sf0.001).
+    // An increase means a new exchange crept into a plan whose shuffle
+    // structure is the documented scale argument — investigate before
+    // re-pinning. (Broadcast exchanges are deliberately NOT counted:
+    // moving a dimension join to broadcast is an improvement.)
+    // live counts recorded 2026-08-15 (round 11) via GRAFT_PLAN_RECORD
+    val budget = Map(
+      "q03_groupby_agg_high" -> 2,   // partial/final agg exchange + output sort
+      "q31_join_smj" -> 4,           // two scan shuffles + join + output sort
+      "q50_window_cumsum" -> 2,      // group exchange reused by window + sort
+      "q57_global_cumsum" -> 4,      // range-part + block prefix + sort
+      "q106_jaccard_pairs" -> 2,     // band self-join + pair distinct (verify attaches ride AQE-broadcast)
+      "q168_neardup_dedup" -> 2,     // pairs + components/anti share partitioning
+      "q175_range_join" -> 1,        // one bucket equi-join exchange, residual filter map-side
+      "q206_matmul" -> 4,            // contraction exchange + (i,j) agg pair + sort
+      "q248_embedding_covariance" -> 4, // d² partial/final moments + output sort
+      "q262_ndv_sketch" -> 4         // KMV group exchange + estimate + sort
+    )
+    val live = budget.keys.toSeq.sorted.map { n =>
+      assert(plans.contains(n), s"budget names a query that no longer exists: $n")
+      n -> shuffles(plans(n)._1)
+    }
+    if (record) live.foreach { case (n, c) => info(s"$n shuffles=$c") }
+    else live.foreach { case (n, c) =>
+      assert(c <= budget(n), s"$n: $c shuffles > pinned ${budget(n)}")
+    }
+  }
+
+  test("pushdown witnesses show PushedFilters at the scan") {
+    // queries whose purpose includes proving scan-level pruning
+    val witnesses = Seq("q184_zorder_roundtrip", "q60_scan_filter_project")
+    witnesses.foreach { n =>
+      assert(plans.contains(n), s"pushdown witness missing: $n")
+      val f = plans(n)._2
+      assert(f.contains("PushedFilters: ["),
+        s"$n: no PushedFilters section in the formatted plan")
+      assert(!f.contains("PushedFilters: []"),
+        s"$n: PushedFilters is empty — the filter no longer reaches the scan")
+    }
+  }
+}

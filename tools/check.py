@@ -25,6 +25,7 @@ property that guards against accidentally blessing a regression.
 import argparse
 import json
 import math
+import struct
 import subprocess
 import sys
 from pathlib import Path
@@ -60,7 +61,10 @@ def values_equal(a, b) -> bool:
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return a == b
+        # Bitwise-strict: the driver hashes the raw bytes, so -0.0 != +0.0
+        # there. `==` hid exactly that (q248 r9/r10). The mirror must be at
+        # least as strict as the thing it mirrors.
+        return struct.pack("<d", a) == struct.pack("<d", b)
     try:
         if pd.isna(a) and pd.isna(b):
             return True
