@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.api.{Frame, SortKey}
-import graft.ops.{Corpus, Dsir, QualityModel}
+import graft.ops.{Corpus, Dsir, QualityModel, Sketch}
 import QueryKit._
 
 /**
@@ -960,6 +960,97 @@ object CorpusQueries {
                round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 6) AS dup_rate
         FROM b JOIN k USING (doc_id)
         GROUP BY 1, 2 ORDER BY source, lang""")),
+
+    // The 100 TB face of q251: the same per-(source, lang) data card
+    // composed ENTIRELY from bounded-state sketches — exact counts
+    // (catalog-sized key), KMV-64 NDV of content fingerprints (≤ 64
+    // longs per group cross any exchange, vs q251's count(DISTINCT fp)
+    // which shuffles every distinct fingerprint), and median/p90 doc
+    // length from the quantized-histogram quantile sketch (span-bounded
+    // state). Three sketch aggregates joined on the catalog key: corpus
+    // profiling whose exchange bytes are INDEPENDENT of corpus size —
+    // the worked example of the sketch family snapping together.
+    // dup_rate_est is derived from the NDV estimate (clamped at 0; the
+    // KMV estimator can overshoot n_docs on small groups) — both engines
+    // replay the identical closed-form arithmetic, so the card is
+    // hash-exact despite being an "approximate" summary.
+    Q("q276_sketch_data_card",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val keys = Seq("source", "lang")
+        val counts = docs.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("n_docs"))
+        val ndv = Sketch.ndvByGroup(
+          docs.withColumn("__fp", graft.functions.Text.fingerprint(col("text"))),
+          keys, "__fp", 64)
+          .select(col("source"), col("lang"), col("ndv_est"))
+        val qWide = Sketch.quantileQuantizedBy(docs, keys, "n_chars",
+          Seq((1L, 2L), (9L, 10L)), 0)
+          .groupBy(keys.map(col): _*)
+          .agg(
+            max(when(col("q") === 0.5, col("value"))).as("chars_p50"),
+            max(when(col("q") === 0.9, col("value"))).as("chars_p90"))
+        Frame(counts
+          .join(ndv, keys)
+          .join(qWide, keys)
+          .select(col("source"), col("lang"), col("n_docs"),
+            col("ndv_est").as("ndv_fp"),
+            roundz(greatest(lit(0.0),
+              lit(1.0) - col("ndv_est") / col("n_docs")), 4).as("dup_rate_est"),
+            col("chars_p50"), col("chars_p90")))
+          .sortValues(Seq(SortKey.asc("source"), SortKey.asc("lang"))).df
+      },
+      Some("""
+        WITH fp AS (
+          SELECT source, lang,
+                 md5(trim(regexp_replace(lower(text), '[^\p{L}\p{N}_]+', ' ', 'g'))) AS fp
+          FROM documents),
+        cnt AS (SELECT source, lang, count(*) AS n_docs FROM documents GROUP BY 1, 2),
+        h AS (SELECT source, lang,
+                     CAST(('0x' || substr(md5(fp), 1, 15)) AS UBIGINT) AS hv
+              FROM fp),
+        d AS (SELECT DISTINCT source, lang, hv FROM h),
+        r AS (SELECT source, lang, hv,
+                     row_number() OVER (PARTITION BY source, lang ORDER BY hv) AS rn
+              FROM d),
+        sk AS (
+          SELECT source, lang,
+                 CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                      ELSE floor((63.0 * 1152921504606846976.0
+                                  / max(CASE WHEN rn = 64 THEN hv END)) * 10) / 10
+                 END AS ndv_fp
+          FROM r WHERE rn <= 64 GROUP BY 1, 2),
+        hist AS (
+          SELECT source, lang, CAST(floor(n_chars + 0.5) AS BIGINT) AS qv,
+                 count(*) AS cnt
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2, 3),
+        cum AS (
+          SELECT source, lang, qv,
+                 sum(cnt) OVER (PARTITION BY source, lang ORDER BY qv) AS cum,
+                 sum(cnt) OVER (PARTITION BY source, lang) AS n
+          FROM hist),
+        qs AS (SELECT * FROM (VALUES (1, 2), (9, 10)) AS q(num, den)),
+        picks AS (
+          SELECT source, lang, num, den,
+                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % den)) // den + 1
+                     THEN qv END) AS lo,
+                 min(CASE WHEN cum >= ((n-1)*num - (((n-1)*num) % den)) // den + 1
+                               + (CASE WHEN ((n-1)*num) % den > 0 THEN 1 ELSE 0 END)
+                     THEN qv END) AS hi,
+                 max(((n-1)*num) % den) AS rem
+          FROM cum, qs GROUP BY 1, 2, 3, 4),
+        qw AS (
+          SELECT source, lang,
+                 max(CASE WHEN den = 2
+                     THEN CAST((den - rem) * lo + rem * hi AS DOUBLE) / den END) AS chars_p50,
+                 max(CASE WHEN den = 10
+                     THEN CAST((den - rem) * lo + rem * hi AS DOUBLE) / den END) AS chars_p90
+          FROM picks GROUP BY 1, 2)
+        SELECT c.source, c.lang, c.n_docs, sk.ndv_fp,
+               round(greatest(0.0, 1.0 - sk.ndv_fp / c.n_docs), 4) + 0.0 AS dup_rate_est,
+               qw.chars_p50, qw.chars_p90
+        FROM cnt c JOIN sk USING (source, lang) JOIN qw USING (source, lang)
+        ORDER BY source, lang""")),
 
     // Trainable quality classifier (the DCLM/FineWeb-Edu model-filter
     // stage): logistic regression over hashed-token features, fit by

@@ -217,6 +217,25 @@ object PipelineQueries {
         .sortValues(Seq(SortKey.asc("id_a"), SortKey.asc("id_b"))).df,
       None),
 
+    // q105's compact derived gate: the 41k-row (sf0.01) / ~4M-row (sf0.1)
+    // pair set folds to ONE row — pair count, an order-independent
+    // 60-bit-hash checksum over (id_a, id_b, hamming), and the hamming
+    // sum (decimal(38,0) sums: exact and permutation-invariant in any
+    // partition order). The full per-pair fixture stays committed at
+    // sf0.01; at sf0.1, where a 4M-row fixture cannot be committed, this
+    // row pins the IDENTICAL content (any changed/added/dropped pair or
+    // hamming value moves the checksum) for a few bytes of golden data.
+    Q("q105c_simhash_checksum",
+      (s, dir) => Dedup.simhashPairs(
+        t(s, dir, "documents"), "doc_id", "text", maxBits = 16)
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(graft.ops.Sketch.hash60(concat_ws("|",
+            col("id_a"), col("id_b"), col("hamming")))
+            .cast("decimal(38,0)")).as("pair_checksum"),
+          sum(col("hamming").cast("decimal(38,0)")).as("hamming_sum")),
+      None),
+
     // SimHash under the engine-portable md5 token hash: the 64-bit
     // signature is a per-bit ±1 vote over md5(token) bits, chunked into 4
     // 16-bit pigeonhole keys; candidate join and exact-Hamming verify are
