@@ -127,7 +127,7 @@ object Dsir {
       lit(4294967297.0) // (fold+1)/(2^32+1) ∈ (0,1): both log calls finite
     val gumbel = -log(-log(u))
     importanceWeights(raw, target, idCol, textCol, buckets)
-      .withColumn("score", round(col("logw") + gumbel, 6))
+      .withColumn("score", round(col("logw") + gumbel, 6) + lit(0.0)) // +0.0: canonicalize IEEE signed zero (QueryKit.roundz contract)
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }

@@ -636,7 +636,7 @@ object CorpusQueries {
         val docs = t(s, dir, "documents")
         Dsir.importanceWeights(docs, docs.filter(col("lang") === "en"),
             "doc_id", "text", 1024)
-          .select(col("doc_id"), col("n_feats"), round(col("logw"), 6).as("logw"))
+          .select(col("doc_id"), col("n_feats"), roundz(col("logw"), 6).as("logw"))
           .orderBy(col("doc_id"))
       },
       Some("""
@@ -672,7 +672,7 @@ object CorpusQueries {
                  sum(n * lr) AS logw
           FROM per JOIN ratio USING (bucket) GROUP BY 1)
         SELECT d.doc_id, coalesce(w.n_feats, 0) AS n_feats,
-               round(coalesce(w.logw, 0.0), 6) AS logw
+               round(coalesce(w.logw, 0.0), 6) + 0.0 AS logw
         FROM documents d LEFT JOIN w USING (doc_id)
         ORDER BY doc_id""")),
 
@@ -686,7 +686,7 @@ object CorpusQueries {
         Dsir.resampleTopK(docs, docs.filter(col("lang") === "en"),
             "doc_id", "text", 1024, 100, "dsir9")
           .select(col("doc_id"), col("n_feats"),
-            round(col("logw"), 6).as("logw"), col("score"))
+            roundz(col("logw"), 6).as("logw"), col("score"))
           .orderBy(col("score").desc, col("doc_id"))
       },
       Some("""
@@ -727,9 +727,9 @@ object CorpusQueries {
                  round(coalesce(w.logw, 0.0)
                    + -ln(-ln((CAST(('0x' || substr(md5('dsir9' ||
                        CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 1.0)
-                     / 4294967297.0)), 6) AS score
+                     / 4294967297.0)), 6) + 0.0 AS score
           FROM documents d LEFT JOIN w USING (doc_id))
-        SELECT doc_id, n_feats, round(logw_raw, 6) AS logw, score
+        SELECT doc_id, n_feats, round(logw_raw, 6) + 0.0 AS logw, score
         FROM scored ORDER BY score DESC, doc_id LIMIT 100""")),
 
     // Exact duplicated-span removal (Lee et al. 2022 ExactSubstr,

@@ -502,21 +502,21 @@ object WindowExtraQueries {
         val nExp = count(col("value")).over(wExp)
         Frame(t(s, dir, "events").select(
           col("event_id"),
-          when(n10 === 10, round(graft.functions.Stats.skewOver(col("value"), w10), 4))
+          when(n10 === 10, roundz(graft.functions.Stats.skewOver(col("value"), w10), 4))
             .as("roll_skew"),
-          when(n10 === 10, round(graft.functions.Stats.kurtOver(col("value"), w10), 4))
+          when(n10 === 10, roundz(graft.functions.Stats.kurtOver(col("value"), w10), 4))
             .as("roll_kurt"),
           when(nExp >= 2, round(graft.functions.Stats.semOver(col("value"), wExp), 4))
             .as("exp_sem"),
-          round(graft.functions.Stats.skewOver(col("value"), wExp), 4).as("exp_skew")))
+          roundz(graft.functions.Stats.skewOver(col("value"), wExp), 4).as("exp_skew")))
           .sortValues(Seq(SortKey.asc("event_id"))).df
       },
       Some("""
         SELECT event_id,
-               CASE WHEN n10 = 10 THEN round(sk10, 4) END AS roll_skew,
-               CASE WHEN n10 = 10 THEN round(kt10, 4) END AS roll_kurt,
+               CASE WHEN n10 = 10 THEN round(sk10, 4) + 0.0 END AS roll_skew,
+               CASE WHEN n10 = 10 THEN round(kt10, 4) + 0.0 END AS roll_kurt,
                CASE WHEN ne >= 2 THEN round(seme, 4) END AS exp_sem,
-               CASE WHEN ne >= 3 THEN round(ske, 4) END AS exp_skew
+               CASE WHEN ne >= 3 THEN round(ske, 4) + 0.0 END AS exp_skew
         FROM (
           SELECT event_id,
                  count(value) OVER w10 AS n10,

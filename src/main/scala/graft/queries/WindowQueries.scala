@@ -172,13 +172,13 @@ object WindowQueries {
         val g = f(s, dir, "lineitem").groupby("l_returnflag")
           .corrCov("l_quantity", "l_extendedprice")
         Frame(g.df.select(col("l_returnflag"),
-          round(col("corr"), 8).as("corr"), round(col("cov"), 4).as("cov")))
+          roundz(col("corr"), 8).as("corr"), roundz(col("cov"), 4).as("cov")))
           .sortValues(Seq(SortKey.asc("l_returnflag"))).df
       },
       Some("""
         SELECT l_returnflag,
-               round(corr(l_quantity, l_extendedprice), 8) AS corr,
-               round(covar_samp(l_quantity, l_extendedprice), 4) AS cov
+               round(corr(l_quantity, l_extendedprice), 8) + 0.0 AS corr,
+               round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS cov
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // first/last_valid_index (fixtures are null-free, so nulls are
