@@ -281,5 +281,28 @@ object SelectQueries {
                        / 4503599627370496.0) * 1000000.0 / o_totalprice, 6) AS es
           FROM orders WHERE o_totalprice > 0
           ORDER BY es DESC, o_orderkey LIMIT 100)
-        ORDER BY o_orderkey""")))
+        ORDER BY o_orderkey""")),
+
+    // The index-surgery surface as one oracle row (upgrades the §2.2
+    // rows that were spec-only): MultiIndex set_index → reorder_levels
+    // (pure metadata permutation) → xs cross-section (pushdown-able
+    // level filter + level drop) → truncate (closed label-range filter,
+    // reaches the scan) → select_dtypes(number) (schema projection;
+    // index survives) → rename_axis. Every step is metadata or a
+    // scan-level predicate/projection — zero exchanges before the
+    // output sort.
+    Q("q277_index_surgery",
+      (s, dir) => f(s, dir, "orders")
+        .setIndex("o_orderpriority", "o_orderkey")
+        .reorderLevels(Seq(1, 0))
+        .xs("1-URGENT", level = 1)
+        .truncate(100L, 30000L)
+        .selectDtypes(include = Seq("number"))
+        .renameAxis("okey")
+        .sortValues(Seq(SortKey.asc("okey"))).df,
+      Some("""
+        SELECT o_orderkey AS okey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_orderkey BETWEEN 100 AND 30000
+        ORDER BY okey""")))
 }

@@ -145,7 +145,8 @@ class PlanAuditSpec extends SparkSuite {
 
   test("pushdown witnesses show PushedFilters at the scan") {
     // queries whose purpose includes proving scan-level pruning
-    val witnesses = Seq("q184_zorder_roundtrip", "q60_scan_filter_project")
+    val witnesses = Seq("q184_zorder_roundtrip", "q60_scan_filter_project",
+      "q277_index_surgery") // xs + truncate predicates must reach the scan
     witnesses.foreach { n =>
       assert(plans.contains(n), s"pushdown witness missing: $n")
       val f = plans(n)._2
