@@ -706,7 +706,10 @@ final case class Frame(
     * (q, value) row per requested quantile. */
   def quantileApprox(c: String, qs: Seq[Double], scale: Int): Frame = {
     val rs = qs.map(q => (math.round(q * 1000000L), 1000000L))
-    Frame(graft.ops.Sketch.quantileQuantized(df, c, rs, scale))
+    // keep the pandas-facing (q, value) shape; the exact q_num/q_den
+    // rational is an ops-layer contract for integer-safe pivots
+    Frame(graft.ops.Sketch.quantileQuantized(df, c, rs, scale)
+      .drop("q_num", "q_den"))
   }
 
   /** numpy 2.0 `quantile(weights=…, method='inverted_cdf')` on the
@@ -716,7 +719,8 @@ final case class Frame(
   def weightedQuantileApprox(c: String, weightCol: String, qs: Seq[Double],
       scale: Int): Frame = {
     val rs = qs.map(q => (math.round(q * 1000000L), 1000000L))
-    Frame(graft.ops.Sketch.weightedQuantileQuantized(df, c, weightCol, rs, scale))
+    Frame(graft.ops.Sketch.weightedQuantileQuantized(df, c, weightCol, rs, scale)
+      .drop("q_num", "q_den"))
   }
 
   /** `df[col].describe()` on the bounded-state path

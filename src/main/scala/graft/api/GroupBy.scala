@@ -97,7 +97,7 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
       qs: Seq[Double], scale: Int): Frame = {
     val rs = qs.map(q => (math.round(q * 1000000L), 1000000L))
     Frame(graft.ops.Sketch.weightedQuantileQuantizedBy(df, keys, column,
-      weightCol, rs, scale), indexCols = keys)
+      weightCol, rs, scale).drop("q_num", "q_den"), indexCols = keys)
   }
 
   /** `groupby.describe()` on the bounded-state path
@@ -118,8 +118,8 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
     * one (keys…, q, value) row per group × quantile. */
   def quantileApprox(column: String, qs: Seq[Double], scale: Int): Frame = {
     val rs = qs.map(q => (math.round(q * 1000000L), 1000000L))
-    Frame(graft.ops.Sketch.quantileQuantizedBy(df, keys, column, rs, scale),
-      indexCols = keys)
+    Frame(graft.ops.Sketch.quantileQuantizedBy(df, keys, column, rs, scale)
+      .drop("q_num", "q_den"), indexCols = keys)
   }
 
   // -------------------------------------------------------------------

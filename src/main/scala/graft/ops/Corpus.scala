@@ -609,8 +609,8 @@ object Corpus {
     val cuts = Sketch.quantileQuantizedBy(scored, Seq(langCol), "r_ppl",
         Seq((1L, 3L), (2L, 3L)), 4)
       .groupBy(col(langCol))
-      .agg(min(when(col("q") < 0.5, col("value"))).as("__b1__"),
-        max(when(col("q") > 0.5, col("value"))).as("__b2__"))
+      .agg(min(when(col("q_num") === 1L, col("value"))).as("__b1__"),
+        max(when(col("q_num") === 2L, col("value"))).as("__b2__"))
     scored.join(broadcast(cuts), Seq(langCol))
       .withColumn("bucket",
         when(col("r_ppl") <= col("__b1__"), "head")

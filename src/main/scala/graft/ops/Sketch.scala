@@ -140,7 +140,14 @@ object Sketch {
     * count's partial rows (≤ tasks·⌈1/φ⌉) + one scalar. Per-task memory:
     * ⌈1/φ⌉ counters. Decrement-all events release c+1 count mass each,
     * so the MG pass is O(nₚ) amortized. Nulls excluded (pandas
-    * value_counts dropna=True). */
+    * value_counts dropna=True).
+    *
+    * Domain note: the 10M-counter guard (added round 11) is TIGHTER than
+    * the old silent `.toInt` behavior, which was numerically correct for
+    * any ⌈1/φ⌉ < 2³¹ and only overflowed above that. φ with ⌈1/φ⌉ in the
+    * 10M–2³¹ band previously ran (memory-heavy: ~10⁸ map entries/task)
+    * and now throws by design — that per-task state is the thing this
+    * sketch exists to avoid; pre-aggregate or raise φ instead. */
   def heavyHitters(df: DataFrame, valueCol: String, phiNum: Long,
       phiDen: Long): DataFrame = {
     require(phiNum > 0 && phiDen > 0 && phiNum < phiDen,
@@ -320,11 +327,13 @@ object Sketch {
       val value =
         if (scale >= 0) col(s"__v$i").cast("double") / lit(pow10L(scale))
         else (col(s"__v$i") * lit(pow10L(-scale))).cast("double")
-      struct(lit(num.toDouble / den).as("q"), value.as("value"))
+      struct(lit(num).as("q_num"), lit(den).as("q_den"),
+        lit(num.toDouble / den).as("q"), value.as("value"))
     }
     picked
       .select((groupCols.map(col) :+ explode(array(rows: _*)).as("__p")): _*)
-      .select((groupCols.map(col) :+ col("__p.q").as("q") :+
+      .select((groupCols.map(col) :+ col("__p.q_num").as("q_num") :+
+        col("__p.q_den").as("q_den") :+ col("__p.q").as("q") :+
         col("__p.value").as("value")): _*)
   }
 
@@ -363,10 +372,13 @@ object Sketch {
       if (groupCols.isEmpty) nonNull.agg(momentAggs.head, momentAggs.tail: _*)
       else nonNull.groupBy(groupCols.map(col): _*)
         .agg(momentAggs.head, momentAggs.tail: _*)
+    // pivot on the exact integer rational, never the double q — a float
+    // equality match only works when num.toDouble/den reproduces the
+    // literal bit-for-bit (true for dyadics, silently false for e.g. 1/3)
     val quartAggs = Seq(
-      min(when(col("q") === 0.25, col("value"))).as("__q1"),
-      min(when(col("q") === 0.5, col("value"))).as("__q2"),
-      min(when(col("q") === 0.75, col("value"))).as("__q3"))
+      min(when(col("q_num") === 1L && col("q_den") === 4L, col("value"))).as("__q1"),
+      min(when(col("q_num") === 1L && col("q_den") === 2L, col("value"))).as("__q2"),
+      min(when(col("q_num") === 3L && col("q_den") === 4L, col("value"))).as("__q3"))
     val quartSrc = quantileQuantizedBy(df, groupCols, valueCol,
       Seq((1L, 4L), (1L, 2L), (3L, 4L)), scale)
     val quartiles =
@@ -428,7 +440,12 @@ object Sketch {
     * ((den−rem)·lo + rem·hi) / (den·10^scale) stays in exact integer
     * arithmetic until ONE double division of two exact integers —
     * correctly rounded, hence bit-identical in any engine and
-    * association order. Nulls excluded (pandas default). */
+    * association order. Nulls excluded (pandas default).
+    *
+    * Output carries the EXACT rational (`q_num`, `q_den`) alongside the
+    * display double `q` — downstream pivots must match on the integers
+    * (a `q === 0.5` float equality is exact only for dyadic rationals;
+    * q = 1/3 would silently match nothing). */
   def quantileQuantized(df: DataFrame, valueCol: String,
       qs: Seq[(Long, Long)], scale: Int): DataFrame =
     quantileQuantizedBy(df, Nil, valueCol, qs, scale)
@@ -477,11 +494,13 @@ object Sketch {
       val value =
         if (scale >= 0) unscaled.cast("double") / lit(den * pow10L(scale))
         else (unscaled * lit(pow10L(-scale))).cast("double") / lit(den)
-      struct(lit(num.toDouble / den).as("q"), value.as("value"))
+      struct(lit(num).as("q_num"), lit(den).as("q_den"),
+        lit(num.toDouble / den).as("q"), value.as("value"))
     }
     picked
       .select((groupCols.map(col) :+ explode(array(rows: _*)).as("__p")): _*)
-      .select((groupCols.map(col) :+ col("__p.q").as("q") :+
+      .select((groupCols.map(col) :+ col("__p.q_num").as("q_num") :+
+        col("__p.q_den").as("q_den") :+ col("__p.q").as("q") :+
         col("__p.value").as("value")): _*)
   }
 }

@@ -496,8 +496,8 @@ object CorpusQueries {
         val wq = Sketch.weightedQuantileQuantizedBy(docTok, Seq("lang"),
             "n_chars", "n_tok", Seq((500000L, 1000000L), (900000L, 1000000L)), 0)
           .groupBy(col("lang"))
-          .agg(min(when(col("q") === 0.5, col("value"))).as("chars_p50_tokwt"),
-            min(when(col("q") === 0.9, col("value"))).as("chars_p90_tokwt"))
+          .agg(min(when(col("q_num") === 500000L, col("value"))).as("chars_p50_tokwt"),
+            min(when(col("q_num") === 900000L, col("value"))).as("chars_p90_tokwt"))
         val hh = Sketch.heavyHittersByGroup(toks, Seq("lang"), "token", 1, 100)
           .groupBy(col("lang")).agg(count(lit(1)).as("n_common"))
         totals.join(vocab, Seq("lang")).join(wq, Seq("lang"))
@@ -988,8 +988,12 @@ object CorpusQueries {
           Seq((1L, 2L), (9L, 10L)), 0)
           .groupBy(keys.map(col): _*)
           .agg(
-            max(when(col("q") === 0.5, col("value"))).as("chars_p50"),
-            max(when(col("q") === 0.9, col("value"))).as("chars_p90"))
+            // integer-rational pivot: exact for ANY q, where a double
+            // q === 0.5 equality is exact only for dyadics
+            max(when(col("q_num") === 1L && col("q_den") === 2L,
+              col("value"))).as("chars_p50"),
+            max(when(col("q_num") === 9L && col("q_den") === 10L,
+              col("value"))).as("chars_p90"))
         Frame(counts
           .join(ndv, keys)
           .join(qWide, keys)
@@ -1008,7 +1012,7 @@ object CorpusQueries {
         cnt AS (SELECT source, lang, count(*) AS n_docs FROM documents GROUP BY 1, 2),
         h AS (SELECT source, lang,
                      CAST(('0x' || substr(md5(fp), 1, 15)) AS UBIGINT) AS hv
-              FROM fp),
+              FROM fp WHERE fp IS NOT NULL),
         d AS (SELECT DISTINCT source, lang, hv FROM h),
         r AS (SELECT source, lang, hv,
                      row_number() OVER (PARTITION BY source, lang ORDER BY hv) AS rn

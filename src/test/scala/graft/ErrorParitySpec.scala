@@ -153,4 +153,12 @@ class ErrorParitySpec extends SparkSuite {
     assert(queries.Registry.all.map(_.name).distinct.size ==
       queries.Registry.all.size)
   }
+
+  test("registry count is pinned (bump intentionally when adding queries)") {
+    // doc-drift guard: README/COVERAGE quote this number — a silent
+    // registry change must turn the suite red, not the docs stale
+    assert(queries.Registry.all.size == 257,
+      s"registry has ${queries.Registry.all.size} queries; update this pin " +
+        "and the README/COVERAGE counts together")
+  }
 }

@@ -69,28 +69,45 @@ class PlanAuditSpec extends SparkSuite {
   /** Grouped-aggregate broadcast sides whose row bound is an argument at
     * the implementation site, not a plan-tree property (quantile pivots:
     * ≤|qs| rows; per-group describe rows: ≤|groups| of a dimension-sized
-    * key). Each entry must cite where the bound is argued. */
-  private val boundedByContract: Map[String, String] = Map(
+    * key). Each entry cites where the bound is argued AND pins the
+    * expected count of such contract-bounded BNLJ nodes — the exemption
+    * is per-NODE, not per-query: a second unbounded BNLJ creeping into
+    * an exempted plan fails the audit instead of riding the name. */
+  private val boundedByContract: Map[String, (Int, String)] = Map(
     // histogram-quantile pivot sides: ≤|qs| rows (ops/Sketch.scala quantile
     // aggs produce one row per requested quantile before the cross join)
-    "q264_quantile_sketch" -> "ops/Sketch.quantileQuantizedBy: one row per quantile",
-    "q265_groupby_quantile_sketch" -> "ops/Sketch.quantileQuantizedBy grouped: rows = groups × quantiles, group key is dimension-sized",
-    "q269_describe_sketch" -> "ops/Sketch.describeQuantizedBy: quartile side ≤ 3 rows per group",
-    "q270_weighted_quantile_sketch" -> "ops/Sketch.weightedQuantileQuantizedBy: one row per quantile",
-    "q272_grouped_describe_sketch" -> "ops/Sketch.describeQuantizedBy grouped: quartiles per dimension-sized group",
-    "q275_grouped_weighted_quantile" -> "ops/Sketch.weightedQuantileQuantizedBy grouped",
+    "q264_quantile_sketch" -> (1, "ops/Sketch.quantileQuantizedBy: one row per quantile"),
+    "q265_groupby_quantile_sketch" -> (1, "ops/Sketch.quantileQuantizedBy grouped: rows = groups × quantiles, group key is dimension-sized"),
+    "q269_describe_sketch" -> (1, "ops/Sketch.describeQuantizedBy: quartile side ≤ 3 rows per group"),
+    "q270_weighted_quantile_sketch" -> (1, "ops/Sketch.weightedQuantileQuantizedBy: one row per quantile"),
+    "q275_groupby_describe_sketch" -> (1, "ops/Sketch.describeQuantizedBy grouped: quartiles per dimension-sized group"),
+    "q272_groupby_weighted_quantile" -> (1, "ops/Sketch.weightedQuantileQuantizedBy grouped"),
     // broadcast centroid / codebook / query-row sides: k-bounded by
     // construction and/or runtime-guarded with require()
-    "q107_ann_brute" -> "functions/Similarity.topKBruteForce: require(nQ <= maxQueries) guards the broadcast query side",
-    "q134_ann_ivf" -> "ops/Kmeans: centroids side is k rows by construction, broadcast()",
-    "q231_ann_pq" -> "ops/Pq: codebook side is m×ksub rows (constant), broadcast()",
-    "q148_embedding_neardup" -> "ops/Dedup.embeddingPairsLsh/Brute: require(maxRows) valve on the broadcast side",
-    "q229_semantic_dedup" -> "ops/Kmeans.semDedup: centroid side is k rows by construction, broadcast()",
-    "q192_kendall" -> "ops/Rank.scala:123: marginals/tie-count sides are per-column aggregates over a bounded column set",
+    "q107_ann_brute" -> (1, "functions/Similarity.topKBruteForce: require(nQ <= maxQueries) guards the broadcast query side"),
+    "q134_ann_ivf" -> (1, "ops/Kmeans: centroids side is k rows by construction, broadcast()"),
+    "q231_ann_pq" -> (1, "ops/Pq: codebook side is m×ksub rows (constant), broadcast()"),
+    "q148_embedding_neardup" -> (1, "ops/Dedup.embeddingPairsLsh/Brute: require(maxRows) valve on the broadcast side"),
+    "q229_semantic_dedup" -> (1, "ops/Kmeans.semDedup: centroid side is k rows by construction, broadcast()"),
+    "q192_kendall" -> (1, "ops/Rank.scala:123: marginals/tie-count sides are per-column aggregates over a bounded column set"),
     // reference semantics that ARE a cross product on purpose
-    "q38_merge_cross" -> "pandas merge(how='cross') on dimension tables; the small side is broadcast explicitly — the op is the user's cartesian",
-    "q120_repeat_qcut" -> "quartile-bin × region-count pivot: both sides grouped on ≤5-value keys (ReshapeExtraQueries q120)"
+    "q38_merge_cross" -> (1, "pandas merge(how='cross') on dimension tables; the small side is broadcast explicitly — the op is the user's cartesian"),
+    "q120_repeat_qcut" -> (1, "quartile-bin × region-count pivot: both sides grouped on ≤5-value keys (ReshapeExtraQueries q120)")
   )
+
+  /** The per-node BNLJ audit, factored so a spec-level test can feed it
+    * a synthetic offender: counts BNLJs whose NEITHER side is provably
+    * bounded and returns a violation message when that count exceeds the
+    * query's contract allowance (0 without an entry). */
+  private def bnljViolation(name: String, p: SparkPlan,
+      contract: Map[String, (Int, String)]): Option[String] = {
+    val unbounded = p.collectWithSubqueries { case j: BroadcastNestedLoopJoinExec => j }
+      .count(j => !provablyBounded(j.left) && !provablyBounded(j.right))
+    val allowed = contract.get(name).map(_._1).getOrElse(0)
+    if (unbounded > allowed)
+      Some(s"$name: $unbounded contract-unbounded BNLJ nodes > $allowed allowed")
+    else None
+  }
 
   test("no plan contains a CartesianProduct") {
     val offenders = plans.collect {
@@ -101,17 +118,43 @@ class PlanAuditSpec extends SparkSuite {
       s"CartesianProduct in: ${offenders.toSeq.sorted.mkString(", ")}")
   }
 
+  test("every boundedByContract key names a live registry plan") {
+    // same existence rule the shuffle-budget map enforces — a renamed
+    // query must take its exemption contract with it, not orphan it
+    boundedByContract.keys.foreach { n =>
+      assert(plans.contains(n), s"boundedByContract names a query that no longer exists: $n")
+    }
+  }
+
   test("every BroadcastNestedLoopJoin build side is provably bounded") {
     val offenders = plans.toSeq.flatMap { case (name, (p, _)) =>
-      val bad = p.collectWithSubqueries { case j: BroadcastNestedLoopJoinExec => j }
-        .filterNot { j =>
-          provablyBounded(j.left) || provablyBounded(j.right) ||
-            boundedByContract.contains(name)
-        }
-      if (bad.nonEmpty) Some(name) else None
+      bnljViolation(name, p, boundedByContract)
     }
     assert(offenders.isEmpty,
-      s"unbounded BNLJ build side in: ${offenders.sorted.mkString(", ")}")
+      s"unbounded BNLJ build side in: ${offenders.sorted.mkString("; ")}")
+  }
+
+  test("a second unbounded BNLJ fails the audit even under a contract") {
+    // synthetic offender: two no-condition broadcast joins between
+    // unbounded (Range) sides → two BNLJ nodes, neither provably bounded
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val twoBnlj = try {
+      val a = spark.range(100).toDF("a")
+      val b = spark.range(100).toDF("b")
+      val c = spark.range(100).toDF("c")
+      a.join(org.apache.spark.sql.functions.broadcast(b))
+        .join(org.apache.spark.sql.functions.broadcast(c))
+        .queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val n = twoBnlj.collectWithSubqueries {
+      case j: BroadcastNestedLoopJoinExec => j }.size
+    assert(n == 2, s"synthetic plan should contain 2 BNLJs, got $n")
+    val contract = Map("synthetic" -> (1, "allows exactly one"))
+    assert(bnljViolation("synthetic", twoBnlj, contract).isDefined,
+      "a 1-node contract must not excuse a second unbounded BNLJ")
+    assert(bnljViolation("unlisted", twoBnlj, contract).isDefined,
+      "an uncontracted plan with unbounded BNLJs must fail")
   }
 
   test("canonical plans keep their shuffle budgets") {

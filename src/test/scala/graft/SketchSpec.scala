@@ -160,19 +160,25 @@ class SketchSpec extends SparkSuite {
 
   test("quantileQuantized matches pandas linear interpolation at a lossless scale") {
     val df = Seq(10, 20, 30, 40).toDF("v")
-    val r = Sketch.quantileQuantized(df, "v",
+    val out = Sketch.quantileQuantized(df, "v",
         Seq((0L, 1L), (1L, 4L), (1L, 2L), (3L, 4L), (1L, 1L)), 0)
+    // the exact rational rides along for integer-safe downstream pivots
+    assert(out.columns.toSeq == Seq("q_num", "q_den", "q", "value"))
+    val r = out.select("q", "value")
       .orderBy("q").collect().map(x => (x.getDouble(0), x.getDouble(1)))
     // pandas: r = (n-1)q over [10,20,30,40]
     assert(r.toSeq == Seq(0.0 -> 10.0, 0.25 -> 17.5, 0.5 -> 25.0,
       0.75 -> 32.5, 1.0 -> 40.0))
+    val rats = out.select("q_num", "q_den").orderBy("q")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(rats.toSeq == Seq((0L, 1L), (1L, 4L), (1L, 2L), (3L, 4L), (1L, 1L)))
   }
 
   test("quantization error is bounded by half a unit of 10^-scale") {
     val vals = (1 to 999).map(_ * 0.777)
     val exactMedian = vals.sorted.apply(499) // (n-1)*0.5 = 499 exactly
     val r = Sketch.quantileQuantized(vals.toDF("v"), "v", Seq((1L, 2L)), 1)
-      .collect().head.getDouble(1)
+      .collect().head.getAs[Double]("value")
     assert(math.abs(r - exactMedian) <= 0.05 + 1e-9,
       s"median $r vs exact $exactMedian")
   }
@@ -180,7 +186,7 @@ class SketchSpec extends SparkSuite {
   test("negative scale buckets coarsely and rescales back") {
     val df = Seq(100.0, 200.0, 300.0).toDF("v")
     val r = Sketch.quantileQuantized(df, "v", Seq((1L, 2L)), -2)
-      .collect().head.getDouble(1)
+      .collect().head.getAs[Double]("value")
     assert(r == 200.0)
   }
 
@@ -188,15 +194,16 @@ class SketchSpec extends SparkSuite {
     val df = (1 to 200).map(i => (s"g${i % 2}", i.toDouble)).toDF("g", "v")
     val qs = Seq((1L, 2L), (9L, 10L))
     val grouped = Sketch.quantileQuantizedBy(df.repartition(7), Seq("g"), "v", qs, 0)
-      .orderBy("g", "q").collect()
+      .select("g", "q", "value").orderBy("g", "q").collect()
       .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2))).toSeq
     val solo = Seq("g0", "g1").flatMap { g =>
       Sketch.quantileQuantized(df.filter(col("g") === g), "v", qs, 0)
+        .select("q", "value")
         .orderBy("q").collect().map(x => (g, x.getDouble(0), x.getDouble(1)))
     }
     assert(grouped == solo)
     val again = Sketch.quantileQuantizedBy(df.repartition(3), Seq("g"), "v", qs, 0)
-      .orderBy("g", "q").collect()
+      .select("g", "q", "value").orderBy("g", "q").collect()
       .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2))).toSeq
     assert(grouped == again)
   }
@@ -233,6 +240,7 @@ class SketchSpec extends SparkSuite {
     }
     val qs = Seq((1L, 4L), (1L, 2L), (3L, 4L), (1L, 1L))
     val r = Sketch.weightedQuantileQuantized(df.repartition(3), "v", "w", qs, 0)
+      .select("q", "value")
       .orderBy("q").collect().map(x => (x.getDouble(0), x.getDouble(1))).toSeq
     assert(r == qs.map { case (n, d) =>
       (n.toDouble / d, invertedCdf(n.toDouble / d)) })
@@ -240,7 +248,7 @@ class SketchSpec extends SparkSuite {
     val dirty = Seq((1.0, Some(0)), (2.0, Some(-3)), (3.0, Option.empty[Int]),
       (4.0, Some(2))).toDF("v", "w")
     val only4 = Sketch.weightedQuantileQuantized(dirty, "v", "w", Seq((1L, 2L)), 0)
-      .collect().head.getDouble(1)
+      .collect().head.getAs[Double]("value")
     assert(only4 == 4.0)
   }
 
@@ -250,10 +258,11 @@ class SketchSpec extends SparkSuite {
     val qs = Seq((1L, 2L), (9L, 10L))
     val grouped = Sketch.weightedQuantileQuantizedBy(
         df.repartition(7), Seq("g"), "v", "w", qs, 0)
-      .orderBy("g", "q").collect()
+      .select("g", "q", "value").orderBy("g", "q").collect()
       .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2))).toSeq
     val solo = Seq("g0", "g1", "g2").flatMap { g =>
       Sketch.weightedQuantileQuantized(df.filter(col("g") === g), "v", "w", qs, 0)
+        .select("q", "value")
         .orderBy("q").collect().map(x => (g, x.getDouble(0), x.getDouble(1)))
     }
     assert(grouped == solo)
