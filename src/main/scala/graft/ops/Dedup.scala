@@ -104,16 +104,20 @@ object Dedup {
 
     val banded = sig.select(
       col(idCol),
+      size(col("__sh__")).as("__sz__"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(concat_ws(",",
           slice(col("__sig__"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")), b))))
       .withColumnRenamed("pos", "__band__")
       .withColumnRenamed("col", "__bucket__")
 
-    val a = banded.select(col(idCol).as("id_a"), col("__band__"), col("__bucket__"))
-    val b = banded.select(col(idCol).as("id_b"), col("__band__"), col("__bucket__"))
-    val candidates = a.join(b, Seq("__band__", "__bucket__"))
+    val a = banded.select(col(idCol).as("id_a"), col("__sz__").as("sz_a"),
+      col("__band__"), col("__bucket__"))
+    val b = banded.select(col(idCol).as("id_b"), col("__sz__").as("sz_b"),
+      col("__band__"), col("__bucket__"))
+    val survivors = a.join(b, Seq("__band__", "__bucket__"))
       .filter(col("id_a") < col("id_b"))
+      .filter(sizeRatioBound(col("sz_a"), col("sz_b")) >= threshold)
       .select("id_a", "id_b")
       .distinct()
 
@@ -125,7 +129,7 @@ object Dedup {
     val hashed = df.select(col(idCol),
       transform(array_distinct(Text.shingles(col(textCol), shingleN)),
         s => xxhash64(s)).as("__hs__"))
-    candidates
+    survivors
       .join(hashed.select(col(idCol).as("id_a"), col("__hs__").as("hs_a")), Seq("id_a"))
       .join(hashed.select(col(idCol).as("id_b"), col("__hs__").as("hs_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -270,6 +274,24 @@ object Dedup {
     transform(array_distinct(Text.shingles(text, shingleN)),
       s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
 
+  /** EXACT candidate prefilter from distinct-shingle counts alone:
+    * J = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|) (the intersection can't
+    * exceed the smaller set; the union can't undercut the larger), so a
+    * pair whose size ratio is already below the threshold can NEVER
+    * verify — dropping it loses nothing, unlike a lane-minima estimate
+    * (which has false negatives). The comparison is the same double
+    * division the exact verify performs (correctly-rounded division is
+    * monotone, so bound < threshold in doubles ⇒ jaccard < threshold in
+    * doubles) — the survivor set provably contains every output pair.
+    * The sizes ride the band join at 8 B/side, filtering BEFORE the
+    * pair-distinct exchange and the folded-set attach — this is the
+    * first stage of the two-stage verify that pulled the 64× probe's
+    * per-task sort memory back toward the default-heap operating point
+    * (see SCALE_r12.json). Empty-set docs (size 0) yield NaN here and
+    * NaN in the verify — dropped by both, consistently. */
+  private def sizeRatioBound(szA: Column, szB: Column): Column =
+    least(szA, szB).cast("double") / greatest(szA, szB).cast("double")
+
   private def md5BandedPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double, nBands: Int, rowsPerBand: Int): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession)
@@ -285,14 +307,20 @@ object Dedup {
     // trades zero correctness for ~8× narrower band-join exchanges.
     val banded = prepped
       .withColumn("__dg__", shingleDigests(col("__sh__")))
-      .select(col(idCol),
+      .select(col(idCol), size(col("__sh__")).as("__sz__"),
         posexplode(md5BandKeysFromDigests(col("__dg__"), nBands, rowsPerBand)))
       .withColumnRenamed("pos", "__band__")
       .withColumnRenamed("col", "__key__")
-    val a = banded.select(col(idCol).as("id_a"), col("__band__"), col("__key__"))
-    val b = banded.select(col(idCol).as("id_b"), col("__band__"), col("__key__"))
+    val a = banded.select(col(idCol).as("id_a"), col("__sz__").as("sz_a"),
+      col("__band__"), col("__key__"))
+    val b = banded.select(col(idCol).as("id_b"), col("__sz__").as("sz_b"),
+      col("__band__"), col("__key__"))
     val candidates = a.join(b, Seq("__band__", "__key__"))
       .filter(col("id_a") < col("id_b"))
+      // stage-1 verify: the exact size-ratio bound ([[sizeRatioBound]])
+      // culls provably-below-threshold pairs before they cost a distinct
+      // exchange and a folded-set attach
+      .filter(sizeRatioBound(col("sz_a"), col("sz_b")) >= threshold)
       .select("id_a", "id_b")
       .distinct()
     // Re-attach branch carries the FOLDED shingle sets (8 B/shingle),
@@ -339,17 +367,20 @@ object Dedup {
     def prep(df: DataFrame, id: String, text: String, outId: String, outSh: String) =
       df.select(col(id).as(outId),
         array_distinct(Text.shingles(col(text), shingleN)).as(outSh))
-    def banded(prepped: DataFrame, id: String, sh: String) =
+    def banded(prepped: DataFrame, id: String, sh: String, sz: String) =
       prepped.withColumn("__dg__", shingleDigests(col(sh)))
-        .select(col(id),
+        .select(col(id), size(col(sh)).as(sz),
           posexplode(md5BandKeysFromDigests(col("__dg__"), bands, rowsPerBand)))
         .withColumnRenamed("pos", "__band__")
         .withColumnRenamed("col", "__key__")
-        .select(col(id), col("__band__"), col("__key__"))
+        .select(col(id), col(sz), col("__band__"), col("__key__"))
     val lp = prep(left, leftId, leftText, "id_l", "__shl__")
     val rp = prep(right, rightId, rightText, "id_r", "__shr__")
-    val candidates = banded(lp, "id_l", "__shl__")
-      .join(banded(rp, "id_r", "__shr__"), Seq("__band__", "__key__"))
+    val candidates = banded(lp, "id_l", "__shl__", "sz_l")
+      .join(banded(rp, "id_r", "__shr__", "sz_r"), Seq("__band__", "__key__"))
+      // stage-1 verify ([[sizeRatioBound]]): exact, recall-free cull
+      // before the distinct exchange and the folded-set attach
+      .filter(sizeRatioBound(col("sz_l"), col("sz_r")) >= threshold)
       .select("id_l", "id_r")
       .distinct()
     // Folded verify payload — [[foldedShingleSet]] for the argument.
@@ -406,7 +437,14 @@ object Dedup {
     * be the table the index was built from (its text re-attaches by id
     * for the exact-Jaccard verify of matched candidates only). Same
     * (shingleN, numHashes, bands) as the index build — the caller owns
-    * that contract, exactly as with any persisted index. */
+    * that contract, exactly as with any persisted index.
+    *
+    * Note: the stage-1 size-ratio cull ([[sizeRatioBound]]) does NOT run
+    * here — the persisted index carries only (band, key, id), and adding
+    * a size column is an index-format version bump we don't take for a
+    * path whose verify is already candidate-driven (O(matched), not
+    * O(corpus)); the exact verify below filters the same pairs one join
+    * later. */
   def linkAgainstIndex(batch: DataFrame, batchId: String, batchText: String,
       indexPath: String, corpus: DataFrame, corpusId: String,
       corpusText: String, shingleN: Int = 3, numHashes: Int = 16,
