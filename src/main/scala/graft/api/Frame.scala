@@ -903,22 +903,13 @@ final case class Frame(
       case "add" => af + bf
       case "sub" => af - bf
       case "mul" => af * bf
-      // ANSI mode raises DIVIDE_BY_ZERO even for doubles; pandas
-      // a.div(b, fill_value=0) follows IEEE (±Inf, 0/0 → NaN) — the
-      // sign-preserving multiply-by-∞ reproduces exactly that. A -0.0
-      // divisor compares == 0.0 but must flip the sign (IEEE: 1/-0.0 =
-      // -Inf); its string form ("-0.0") is the one codegen'd sign probe
-      // ANSI leaves us
-      case "div" =>
-        val negZero = bf.cast("string").startsWith("-")
-        when(bf =!= 0.0, af / bf)
-          .otherwise(when(negZero, -af).otherwise(af) * lit(Double.PositiveInfinity))
+      // pandas a.div(b, fill_value=0) follows IEEE on zero divisors —
+      // Frame.ieeeDiv (its scaladoc has the ANSI story); operands are
+      // coalesced non-null here so its null branch is inert
+      case "div" => Frame.ieeeDiv(af, bf)
       // numpy/pandas floor division: floor(a/b); b=0 follows the IEEE
       // div above (floor(±Inf) = ±Inf, floor(NaN) = NaN)
-      case "floordiv" =>
-        val negZero = bf.cast("string").startsWith("-")
-        Frame.floorDouble(when(bf =!= 0.0, af / bf)
-          .otherwise(when(negZero, -af).otherwise(af) * lit(Double.PositiveInfinity)))
+      case "floordiv" => Frame.floorDouble(Frame.ieeeDiv(af, bf))
       // numpy mod: a - floor(a/b)·b — the result carries the DIVISOR's
       // sign (unlike SQL/Java %); mod by zero is NaN like numpy
       case "mod" =>
@@ -1151,6 +1142,22 @@ object Frame {
   private[api] def floorDouble(d: Column): Column =
     when(isnan(d) || abs(d) >= lit(9.007199254740992E15), d)
       .otherwise(floor(d).cast("double"))
+
+  /** pandas/IEEE-754 true division under ANSI mode. Spark 4's ANSI
+    * divide throws DIVIDE_BY_ZERO even for DOUBLE operands, but pandas
+    * follows IEEE: x/0 = ±Inf signed by the dividend AND the zero
+    * (1/-0.0 = -Inf), 0/0 = NaN, nulls propagate. Non-zero divisors take
+    * the plain (exact) ANSI divide — CaseWhen evaluates branches lazily,
+    * so the throwing path is never reached; the zero branch reproduces
+    * the IEEE signs with a multiply by +∞ (the divisor's signed zero is
+    * only observable through its string form, the one codegen'd sign
+    * probe ANSI leaves us). Callers pass double-typed columns. */
+  private[graft] def ieeeDiv(a: Column, b: Column): Column = {
+    val negZero = b.cast("string").startsWith("-")
+    when(a.isNull || b.isNull, lit(null).cast("double"))
+      .when(b =!= 0.0, a / b)
+      .otherwise(when(negZero, -a).otherwise(a) * lit(Double.PositiveInfinity))
+  }
   private[api] val RowNum = "__rn__"
 
   /** md5(salt + key) — lowercase hex, the engine-portable uniform order

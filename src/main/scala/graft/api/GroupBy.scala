@@ -174,12 +174,16 @@ final class GroupBy(frame: Frame, val keys: Seq[String]) {
     frame.withColumn(as, col(c) - lag(col(c), 1).over(w(order)))
 
   /** reference groupby_pct_change (base QC:4260); `periods` may be
-    * negative (compare against a FUTURE row, pandas semantics). */
+    * negative (compare against a FUTURE row, pandas semantics). A zero
+    * base follows pandas/IEEE (±Inf, 0/0 → NaN) via [[Frame.ieeeDiv]] —
+    * Spark 4's ANSI divide would otherwise throw DIVIDE_BY_ZERO even on
+    * doubles (found by the round-12 differential fuzzer, seed 78). */
   def pctChange(c: String, as: String, order: Seq[SortKey], periods: Int = 1): Frame = {
     val base =
       if (periods >= 0) lag(col(c), periods).over(w(order))
       else lead(col(c), -periods).over(w(order))
-    frame.withColumn(as, (col(c) - base) / base)
+    frame.withColumn(as,
+      Frame.ieeeDiv((col(c) - base).cast("double"), base.cast("double")))
   }
 
 

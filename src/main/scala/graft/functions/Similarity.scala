@@ -22,7 +22,16 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity. A zero vector yields NaN (its 0/0), exactly like
+    * the native CosineSim expression's Java division — a bare Column `/`
+    * would instead abort the job with ANSI DIVIDE_BY_ZERO on the first
+    * degenerate embedding. Nulls propagate; nonzero inputs take the
+    * plain (bit-identical) divide. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val den = norm(a) * norm(b)
+    when(den =!= 0.0, d / den).otherwise(when(d.isNotNull, lit(Double.NaN)))
+  }
 
   /** Native codegen'd cosine (graft.plans.CosineSim) — bit-identical to
     * [[cosine]] on array<float> inputs, one fused loop instead of three

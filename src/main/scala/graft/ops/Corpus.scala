@@ -733,7 +733,10 @@ object Corpus {
           (col("__m__") - col("__i__") + 1)).over(all))
       .select(col(domainCol), col("n_tokens"), col("cap"),
         least(col("cap"), col("__u__")).as("alloc"))
-      .withColumn("epochs", col("alloc") / col("n_tokens"))
+      // a domain whose docs are all zero-token has alloc = cap = 0; its
+      // 0/0 must read as 0 epochs, not an ANSI DIVIDE_BY_ZERO abort
+      .withColumn("epochs",
+        when(col("n_tokens") > 0, col("alloc") / col("n_tokens")).otherwise(lit(0.0)))
   }
 
   /**
@@ -758,7 +761,10 @@ object Corpus {
       tokensCol: String, budget: Long, maxEpochs: Double,
       salt: String): DataFrame = {
     val alloc = unimaxAllocation(df, domainCol, tokensCol, budget, maxEpochs)
-      .withColumn("__full__", floor(col("alloc") / col("n_tokens")).cast("int"))
+      // same zero-token-domain guard as the epochs column above
+      .withColumn("__full__",
+        when(col("n_tokens") > 0, floor(col("alloc") / col("n_tokens")))
+          .otherwise(lit(0L)).cast("int"))
       .withColumn("__rem__", col("alloc") - col("__full__") * col("n_tokens"))
       .select(col(domainCol).as("__dom__"), col("__full__"), col("__rem__"))
     val tagged = df.filter(col(domainCol).isNotNull)

@@ -50,11 +50,15 @@ object Kmeans {
           transform(col("pairs"), p => p.getField("m").cast("float")).as("mvec"))
       // L2-normalize so cosine against unit centroids is a plain dot;
       // a centroid whose cluster emptied keeps its previous position
-      // (standard Lloyd's fix — k never silently shrinks)
+      // (standard Lloyd's fix — k never silently shrinks). A zero mean
+      // vector (mutually-cancelling members) is treated the same way:
+      // guarded, because ANSI divide would abort the whole iteration on
+      // its 0/0 instead of degenerating gracefully
       val norm = sqrt(aggregate(col("mvec"),
         lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
       val updated = means.select(col("centroid_id"),
-        transform(col("mvec"), x => (x.cast("double") / norm).cast("float")).as("__new__"))
+        when(norm > 0.0, transform(col("mvec"),
+          x => (x.cast("double") / norm).cast("float"))).as("__new__"))
       centroids = centroids.join(updated, Seq("centroid_id"), "left")
         .select(col("centroid_id"), coalesce(col("__new__"), col("cvec")).as("cvec"))
         .localCheckpoint(true) // truncate the per-iteration lineage

@@ -322,6 +322,20 @@ class CorpusSpec extends SparkSuite {
       ("c", 1000L, 200.0, 0.2)), out.toSeq.toString)
   }
 
+  test("unimaxAllocation: a zero-token domain reads 0 epochs, not an ANSI divide abort") {
+    import spark.implicits._
+    val d = Seq(("a", 100L), ("z", 0L)).toDF("dom", "n")
+    val out = Corpus.unimaxAllocation(d, "dom", "n", budget = 100L, maxEpochs = 2.0)
+      .orderBy("dom").collect().map(r => (r.getString(0), r.getDouble(4)))
+    assert(out.toSeq == Seq(("a", 1.0), ("z", 0.0)), out.toSeq.toString)
+    // unimaxSample's full-epoch floor carries the same guard: the empty
+    // domain simply contributes no rows
+    val docs = Seq(("a", 1L, 100L), ("z", 2L, 0L)).toDF("dom", "id", "n")
+    val sampled = Corpus.unimaxSample(docs, "dom", "id", "n",
+      budget = 100L, maxEpochs = 2.0, salt = "s")
+    assert(sampled.filter(col("dom") === "z").count() >= 0) // materializes without abort
+  }
+
   test("unimaxAllocation: budget above total capacity caps every domain") {
     import spark.implicits._
     val d = Seq(("a", 100L), ("b", 300L)).toDF("dom", "n")

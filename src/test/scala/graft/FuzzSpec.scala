@@ -36,7 +36,13 @@ import graft.api.{Frame, SortKey}
  * and keyed merge_asof through Joins.asofByKeys (backward/forward,
  * optional tolerance, per-group shifted ladders so a cross-group match
  * is a visible wrong value), plus 120 fixed join-forced seeds
- * (2000–2119) that guarantee the family composes with everything else.
+ * (2000–2119) that guarantee the family composes with everything else;
+ * and then the offset/rank windows — grouped shift/diff/pct_change
+ * (exact single-op replays; ±Inf from zero bases compares by ==),
+ * grouped rank across min/dense/max/average with asc/desc and pct
+ * (dense+pct exercising the count_distinct join-back; method='first'
+ * excluded as tie-underdetermined), and cummax/cummin/cumcount, with 90
+ * window-forced seeds (3000–3089).
  *
  * The Frame chain exercises the API wrapper layer (ordering propagation
  * into head(), window specs, keep=first/last/none reversal, na masks);
@@ -387,6 +393,152 @@ class FuzzSpec extends SparkSuite {
         s"THEN $sqlAgg OVER ($win) END AS $name FROM ${wrap(st.sql)}",
       cols = st.cols :+ FCol(name, kind))
       .addOp(s"gbRolling(${k.name};$fn(${c.name}),w=$w,mp=$mp)")
+  }
+
+  /** groupby(k).{shift|diff|pct_change} — offset windows over the uniq
+    * order. All three are EXACT replays: shift moves a value verbatim,
+    * diff/pct_change compute one subtraction/division from identical
+    * operands on both sides (no association-order hazard). pct_change
+    * with a zero base emits ±Infinity on both sides — assertParity
+    * short-circuits on == before the tolerance test for that. */
+  private def opGbOffset(st: St, r: Random): St = {
+    val k = pick(r, st.cols.filter(_.lowCard))
+    val c = pick(r, numeric(st).filterNot(_.name == k.name))
+    val ord = uniqOrderText(st.uniq)
+    val win = s"PARTITION BY ${k.name} ORDER BY $ord"
+    def lagSql(p: Int) =
+      if (p >= 0) s"LAG(${c.name}, $p) OVER ($win)"
+      else s"LEAD(${c.name}, ${-p}) OVER ($win)"
+    val order = st.uniq.map(SortKey.asc)
+    r.nextInt(3) match {
+      case 0 =>
+        val p = pick(r, Seq(1, 2, -1))
+        val name = fresh(st, "sh")
+        st.copy(
+          fr = st.fr.groupby(k.name).shift(c.name, name, p, order),
+          sql = s"SELECT *, ${lagSql(p)} AS $name FROM ${wrap(st.sql)}",
+          cols = st.cols :+ FCol(name, c.kind))
+          .addOp(s"gbShift(${k.name};${c.name},p=$p)")
+      case 1 =>
+        val name = fresh(st, "df")
+        st.copy(
+          fr = st.fr.groupby(k.name).diff(c.name, name, order),
+          sql = s"SELECT *, ${c.name} - ${lagSql(1)} AS $name FROM ${wrap(st.sql)}",
+          cols = st.cols :+ FCol(name, c.kind))
+          .addOp(s"gbDiff(${k.name};${c.name})")
+      case _ =>
+        val p = pick(r, Seq(1, -1))
+        val name = fresh(st, "pc")
+        // the twin spells the engine's pandas/IEEE zero-base contract by
+        // hand (Frame.ieeeDiv): ±Inf signed by the diff and the zero's
+        // string-probed sign, 0/0 → NaN, nulls propagate — a bare SQL
+        // division would THROW under ANSI on a zero base
+        val b = lagSql(p)
+        val aD = s"CAST(${c.name} - $b AS DOUBLE)"
+        val bD = s"CAST($b AS DOUBLE)"
+        st.copy(
+          fr = st.fr.groupby(k.name).pctChange(c.name, name, order, p),
+          sql = s"SELECT *, CASE WHEN ($aD) IS NULL THEN CAST(NULL AS DOUBLE) " +
+            s"WHEN $bD != 0.0D THEN $aD / $bD " +
+            s"ELSE (CASE WHEN startswith(CAST($bD AS STRING), '-') " +
+            s"THEN -($aD) ELSE $aD END) * CAST('Infinity' AS DOUBLE) END " +
+            s"AS $name FROM ${wrap(st.sql)}",
+          cols = st.cols :+ FCol(name, 'n'))
+          .addOp(s"gbPctChange(${k.name};${c.name},p=$p)")
+    }
+  }
+
+  /** groupby(k).rank(c, method, ascending, pct) — min/dense/max/average
+    * (method='first' is excluded: its row_number tie-break has no
+    * deterministic definition without a secondary order, so Frame and
+    * replay could legitimately disagree). The twin spells the engine's
+    * pandas na_option='keep' contract by hand: null AND NaN rows rank as
+    * null, sort past every valid row, and stay out of the pct
+    * denominator. dense+pct exercises the count_distinct join-back path
+    * (GroupBy.rank's nd aggregate); its twin uses SIZE(COLLECT_SET(..))
+    * OVER because Spark SQL windows reject DISTINCT aggregates — fine at
+    * fuzz scale, and collect_set drops nulls exactly like count_distinct. */
+  private def opGbRank(st: St, r: Random): St = {
+    val k = pick(r, st.cols.filter(_.lowCard))
+    val c = pick(r, numeric(st).filterNot(_.name == k.name))
+    val asc = r.nextBoolean()
+    val (method, pct) = pick(r, Seq(
+      ("min", false), ("dense", false), ("max", false), ("average", false),
+      ("min", true), ("dense", true)))
+    val name = fresh(st, "rk")
+    val validSql =
+      if (c.kind == 'n') s"(${c.name} IS NOT NULL AND NOT isnan(${c.name}))"
+      else s"${c.name} IS NOT NULL"
+    val cv = s"CASE WHEN $validSql THEN ${c.name} END"
+    val dir = if (asc) "ASC" else "DESC"
+    val spec = s"PARTITION BY ${k.name} ORDER BY $cv $dir NULLS LAST"
+    val tiesSql = s"COUNT(1) OVER (PARTITION BY ${k.name}, $cv)"
+    val coreSql = method match {
+      case "min"     => s"RANK() OVER ($spec)"
+      case "dense"   => s"DENSE_RANK() OVER ($spec)"
+      case "max"     => s"RANK() OVER ($spec) + $tiesSql - 1"
+      case _         => s"CAST(RANK() OVER ($spec) AS DOUBLE) + " +
+        s"CAST($tiesSql - 1 AS DOUBLE) / 2.0D"
+    }
+    val (rankedSql, kind) =
+      if (pct && method == "dense")
+        (s"CAST($coreSql AS DOUBLE) / SIZE(COLLECT_SET($cv) " +
+          s"OVER (PARTITION BY ${k.name}))", 'n')
+      else if (pct)
+        (s"CAST($coreSql AS DOUBLE) / COUNT($cv) OVER (PARTITION BY ${k.name})", 'n')
+      else if (method == "average") (coreSql, 'n')
+      else (s"CAST($coreSql AS BIGINT)", 'i')
+    val fr0 = st.fr.groupby(k.name).rank(c.name, name, method, asc, pct)
+    // min/dense return int, max long (rank + tie count): unify to long so
+    // downstream ops (melt type-pairing, concat) see one integer kind
+    val fr2 = if (kind == 'i') fr0.withColumn(name, col(name).cast("long")) else fr0
+    st.copy(
+      fr = fr2,
+      sql = s"SELECT *, CASE WHEN $validSql THEN $rankedSql END AS $name " +
+        s"FROM ${wrap(st.sql)}",
+      cols = st.cols :+ FCol(name, kind))
+      .addOp(s"gbRank(${k.name};${c.name},$method,asc=$asc,pct=$pct)")
+  }
+
+  /** groupby(k).{cummax|cummin|cumcount} over the uniq order — the
+    * running-extremum/counter complements of the long-fuzzed cumsum.
+    * Exact (no FP accumulation): extrema move values verbatim, cumcount
+    * is row_number-1. The twins spell ROWS explicitly (the uniq order is
+    * total so RANGE≡ROWS, but the contract should not rely on that). */
+  private def opGbCumExtra(st: St, r: Random): St = {
+    val k = pick(r, st.cols.filter(_.lowCard))
+    val ord = uniqOrderText(st.uniq)
+    val win = s"PARTITION BY ${k.name} ORDER BY $ord " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    val order = st.uniq.map(SortKey.asc)
+    r.nextInt(3) match {
+      case 0 =>
+        val c = pick(r, numeric(st).filterNot(_.name == k.name))
+        val name = fresh(st, "cx")
+        st.copy(
+          fr = st.fr.groupby(k.name).cummax(c.name, name, order),
+          sql = s"SELECT *, CASE WHEN ${c.name} IS NOT NULL THEN " +
+            s"MAX(${c.name}) OVER ($win) END AS $name FROM ${wrap(st.sql)}",
+          cols = st.cols :+ FCol(name, c.kind))
+          .addOp(s"gbCummax(${k.name};${c.name})")
+      case 1 =>
+        val c = pick(r, numeric(st).filterNot(_.name == k.name))
+        val name = fresh(st, "cn")
+        st.copy(
+          fr = st.fr.groupby(k.name).cummin(c.name, name, order),
+          sql = s"SELECT *, CASE WHEN ${c.name} IS NOT NULL THEN " +
+            s"MIN(${c.name}) OVER ($win) END AS $name FROM ${wrap(st.sql)}",
+          cols = st.cols :+ FCol(name, c.kind))
+          .addOp(s"gbCummin(${k.name};${c.name})")
+      case _ =>
+        val name = fresh(st, "cc")
+        st.copy(
+          fr = st.fr.groupby(k.name).cumcount(name, order),
+          sql = s"SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY ${k.name} " +
+            s"ORDER BY $ord) - 1 AS BIGINT) AS $name FROM ${wrap(st.sql)}",
+          cols = st.cols :+ FCol(name, 'i'))
+          .addOp(s"gbCumcount(${k.name})")
+    }
   }
 
   /** Global expanding over the declared order — the engine runs the
@@ -836,6 +988,9 @@ class FuzzSpec extends SparkSuite {
       (if (hasUniq) 2 else 0) -> (opDedup _),
       (if (hasUniq && hasLow && numeric(st).size >= 2) 2 else 0) -> (opGbCumsum _),
       (if (hasUniq && hasLow && numeric(st).size >= 2) 2 else 0) -> (opGbRolling _),
+      (if (hasUniq && hasLow && numeric(st).size >= 2) 2 else 0) -> (opGbOffset _),
+      (if (hasLow && numeric(st).size >= 2) 2 else 0) -> (opGbRank _),
+      (if (hasUniq && hasLow && numeric(st).size >= 2) 1 else 0) -> (opGbCumExtra _),
       (if (hasUniq && hasNum) 2 else 0) -> (opExpanding _),
       (if (hasUniq && numeric(st).filterNot(c => st.uniq.contains(c.name))
         .groupBy(_.kind).exists(_._2.size >= 2)) 1 else 0) -> (opMelt _),
@@ -876,6 +1031,17 @@ class FuzzSpec extends SparkSuite {
       st.cols.exists(c => c.lowCard && c.kind == 's' && c.dom.nonEmpty)) -> (opAsofBy _)
   ).collect { case (true, f) => f }
 
+  /** The offset/rank window sub-pool, for pipelines that must contain one
+    * (round-12 batch: shift/diff/pct_change, rank methods, cummax/min/count). */
+  private def winPool(st: St): Seq[(St, Random) => St] = {
+    val hasLow = st.cols.exists(_.lowCard)
+    Seq(
+      (st.uniq.nonEmpty && hasLow && numeric(st).size >= 2) -> (opGbOffset _),
+      (hasLow && numeric(st).size >= 2) -> (opGbRank _),
+      (st.uniq.nonEmpty && hasLow && numeric(st).size >= 2) -> (opGbCumExtra _)
+    ).collect { case (true, f) => f }
+  }
+
   private def drawOp(st: St, r: Random): St = {
     val pool = available(st)
     val total = pool.map(_._1).sum
@@ -884,16 +1050,18 @@ class FuzzSpec extends SparkSuite {
     f(st, r)
   }
 
-  private def runPipeline(seed: Int, forceJoin: Boolean = false): Unit = {
+  private def runPipeline(seed: Int, forceJoin: Boolean = false,
+      forceWin: Boolean = false): Unit = {
     val r = new Random(seed)
     var st = baseState(r)
     val len = 5 + r.nextInt(4)
-    // forceJoin plants one join/asof op at a random step (guards
-    // permitting) so the join-focused batches actually exercise the
-    // family instead of leaving it to the draw weights
-    val joinAt = if (forceJoin) r.nextInt(len) else -1
+    // forceJoin/forceWin plant one op from the named sub-pool at a random
+    // step (guards permitting) so the focused batches actually exercise
+    // the family instead of leaving it to the draw weights
+    val forcedAt = if (forceJoin || forceWin) r.nextInt(len) else -1
+    def forcedPool(s: St) = if (forceJoin) joinPool(s) else winPool(s)
     (0 until len).foreach { i =>
-      st = if (i == joinAt && joinPool(st).nonEmpty) pick(r, joinPool(st))(st, r)
+      st = if (i == forcedAt && forcedPool(st).nonEmpty) pick(r, forcedPool(st))(st, r)
       else drawOp(st, r)
     }
     try assertParity(st.fr.df, spark.sql(st.sql))
@@ -921,6 +1089,19 @@ class FuzzSpec extends SparkSuite {
     test(s"join/asof-focused pipelines $from..$to match their SQL replay") {
       strDoms
       (from to to).foreach(runPipeline(_, forceJoin = true))
+    }
+  }
+
+  // round-12 window closure: 90 fixed seeds where one offset/rank/cum-extra
+  // window op is guaranteed to appear mid-pipeline — grouped shift/diff/
+  // pct_change, rank (min/dense/max/average, asc/desc, pct incl. the
+  // dense count_distinct join-back), cummax/cummin/cumcount — composed
+  // with the whole existing grammar
+  for (batch <- 0 until 3) {
+    val from = 3000 + batch * 30; val to = from + 29
+    test(s"window-focused pipelines $from..$to match their SQL replay") {
+      strDoms
+      (from to to).foreach(runPipeline(_, forceWin = true))
     }
   }
 

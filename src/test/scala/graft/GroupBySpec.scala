@@ -37,6 +37,30 @@ class GroupBySpec extends SparkSuite {
     assert(out == Seq(None, Some(1.0), None))
   }
 
+  test("pct_change over a zero base follows pandas/IEEE (±Inf, 0/0→NaN), not ANSI abort") {
+    import spark.implicits._
+    // base=0.0 under ANSI mode used to throw DIVIDE_BY_ZERO (round-12
+    // fuzzer seed 78); pandas: (v - prev)/prev with prev=0 → ±inf, 0/0 → nan
+    val d = Seq(("a", 1L, 0.0), ("a", 2L, 5.0), ("a", 3L, 0.0), ("a", 4L, 0.0),
+      ("a", 5L, -3.0), ("b", 1L, 0.0), ("b", 2L, java.lang.Double.NaN))
+      .toDF("k", "i", "v")
+    val out = Frame(d).groupby("k").pctChange("v", "pc", Seq(SortKey.asc("i")))
+      .df.orderBy("k", "i").collect()
+      .map(r => Option(r.getAs[java.lang.Double]("pc")).map(_.doubleValue)).toSeq
+    assert(out(0).isEmpty)                                  // first row: no base
+    assert(out(1).contains(Double.PositiveInfinity))        // 5/0
+    assert(out(2).contains(-1.0))                           // (0-5)/5
+    assert(out(3).exists(_.isNaN))                          // 0/0
+    assert(out(4).contains(Double.NegativeInfinity))        // -3/0
+    assert(out(5).isEmpty)                                  // first row of b
+    assert(out(6).exists(_.isNaN))                          // NaN input propagates
+    // integer inputs divide as doubles (pandas pct_change is float64)
+    val li = Seq(("a", 1L, 0L), ("a", 2L, 7L)).toDF("k", "i", "v")
+    val got = Frame(li).groupby("k").pctChange("v", "pc", Seq(SortKey.asc("i")))
+      .df.orderBy("i").collect().map(r => Option(r.getAs[java.lang.Double]("pc")))
+    assert(got(0).isEmpty && got(1).exists(_.isInfinite))
+  }
+
   test("rank method=min vs dense vs first") {
     import spark.implicits._
     val d = Seq(("a", 1.0), ("a", 1.0), ("a", 2.0)).toDF("k", "v")

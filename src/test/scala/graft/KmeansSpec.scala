@@ -20,6 +20,17 @@ class KmeansSpec extends SparkSuite {
     norms.foreach(n => assert(math.abs(n - 1.0) < 1e-6, s"norm $n"))
   }
 
+  test("a cluster whose members cancel to the zero vector keeps its previous centroid") {
+    import spark.implicits._
+    // both vectors land on the single centroid; their mean is [0,0] whose
+    // 0/0 normalization would ANSI-abort the iteration — the guard keeps
+    // the previous (init) centroid instead, like an emptied cluster
+    val d = Seq((1L, Seq(1f, 0f)), (2L, Seq(-1f, 0f))).toDF("vec_id", "embedding")
+    val cents = Kmeans.train(d, "vec_id", "embedding", k = 1, iters = 2).collect()
+    assert(cents.length == 1)
+    assert(cents.head.getSeq[Float](1) == Seq(1f, 0f))
+  }
+
   test("training tightens assignments: mean similarity does not decrease") {
     def meanSim(iters: Int): Double = {
       val cents = Kmeans.train(emb, "vec_id", "embedding", k = 8, iters = iters)

@@ -22,6 +22,19 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(r.getDouble(1)) < 1e-9)
   }
 
+  test("cosine: a zero vector scores NaN (native parity), null propagates — no ANSI abort") {
+    import spark.implicits._
+    import graft.plans.GraftExtensions
+    GraftExtensions.register(spark)
+    val d = Seq((Seq(0f, 0f), Seq(1f, 2f))).toDF("z", "v")
+    val r = d.select(
+      Similarity.cosine(col("z"), col("v")).as("composed"),
+      call_function("graft_cosine", col("z"), col("v")).as("native"),
+      Similarity.cosine(lit(null).cast("array<float>"), col("v")).as("nul")).head()
+    assert(r.getDouble(0).isNaN && r.getDouble(1).isNaN)
+    assert(r.isNullAt(2))
+  }
+
   test("brute-force top-k ranks the query vector itself first") {
     val corpus = vecs(
       1L -> Seq(1f, 0f, 0f), 2L -> Seq(0.9f, 0.1f, 0f),

@@ -29,10 +29,12 @@ abstract class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     g.zip(e).zipWithIndex.foreach { case ((gr, er), i) =>
       gr.toSeq.zip(er.toSeq).zipWithIndex.foreach { case ((gv, ev), j) =>
         val ok = (gv, ev) match {
+          // `a == b` first: ±Infinity is equal to itself but Inf-Inf=NaN
+          // fails the tolerance test (pct_change with a zero base emits it)
           case (a: Double, b: Double) =>
-            (a.isNaN && b.isNaN) || math.abs(a - b) <= tol * math.max(1.0, math.abs(b))
+            a == b || (a.isNaN && b.isNaN) || math.abs(a - b) <= tol * math.max(1.0, math.abs(b))
           case (a: Float, b: Float) =>
-            (a.isNaN && b.isNaN) || math.abs(a - b) <= tol * math.max(1.0, math.abs(b.toDouble))
+            a == b || (a.isNaN && b.isNaN) || math.abs(a - b) <= tol * math.max(1.0, math.abs(b.toDouble))
           case (a, b) => a == b || String.valueOf(a) == String.valueOf(b)
         }
         assert(ok, s"row $i col ${gc(j)}: got $gv expected $ev")
