@@ -266,6 +266,13 @@ object ScaleDedupBench {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "8").toInt
     val dupPct = sys.env.getOrElse("SPARK_GRAFT_DUP_PCT", "25").toInt
+    // jaccard operating point for the jaccard/e2e rows: the committed
+    // slope baseline is the permissive 0.3 (keeps every planted 25%-dup
+    // pair); override to measure the production-threshold shape, where
+    // the stage-1 size-ratio cull removes most of the candidate mass
+    // before the pair-distinct exchange (t=0.8 culls ~67% — SCALE_r12
+    // prefilter_selectivity)
+    val jaccardT = sys.env.getOrElse("SPARK_GRAFT_JACCARD_T", "0.3").toDouble
     val spark = ScaleBench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     // 1× carries the same dup structure as f× — slope isolates growth,
     // not the presence of duplicates
@@ -308,7 +315,7 @@ object ScaleDedupBench {
         docs(dir), "doc_id", "text", shingleN = 3, numHashes = 16, bands = 4,
         maxDist = 5)),
       "jaccard" -> (dir => Dedup.jaccardPairs(
-        docs(dir), "doc_id", "text", shingleN = 2, threshold = 0.3)),
+        docs(dir), "doc_id", "text", shingleN = 2, threshold = jaccardT)),
       // cross-corpus linkage over an id-parity split: both halves grow
       // with the corpus, so the slope measures the two-table band join
       // under the same duplication pressure as the self-join rows
@@ -319,7 +326,7 @@ object ScaleDedupBench {
       "neardup_drop_e2e" -> { dir =>
         val d = docs(dir)
         Dedup.dropNearDuplicates(d, "doc_id",
-          Dedup.jaccardPairs(d, "doc_id", "text", shingleN = 2, threshold = 0.3),
+          Dedup.jaccardPairs(d, "doc_id", "text", shingleN = 2, threshold = jaccardT),
           "id_a", "id_b")
       },
       // same end-to-end removal through the SELECTIVE 4x4 banding (P =
@@ -424,7 +431,7 @@ object ScaleDedupBench {
       f""""$n":{"base":$tb%.3f,"scaled":$ts%.3f,"slope":$s%.3f}"""
     }.mkString("{", ",", "}")
     val fl = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"scale_slope_dedup","factor":$factor,"dup_pct":$dupPct,"row_ratio_docs":$docRatio,"row_ratio_emb":$embRatio,"queries":$qs,"flagged":$fl,"base":"$baseDir"}""")
+    println(s"""{"metric":"scale_slope_dedup","factor":$factor,"dup_pct":$dupPct,"jaccard_t":$jaccardT,"row_ratio_docs":$docRatio,"row_ratio_emb":$embRatio,"queries":$qs,"flagged":$fl,"base":"$baseDir"}""")
 
     // Persisted band index asymmetry — the feature's entire point: index
     // BUILD grows with the corpus (one banding pass, expected slope ≈ 1),
