@@ -557,8 +557,17 @@ class FuzzSpec extends SparkSuite {
     // is not sound: a true value within an ulp of a .5 boundary rounds
     // differently per association order — seed 29 hit exactly that.)
     val Q = "__exq"
+    // the modulus is DOUBLE on BOTH sides so the quantized column is
+    // DOUBLE on both: with an integer column and an integer literal the
+    // SQL twin's pmod/SUM/downstream derives stay BIGINT while the Frame
+    // side runs DOUBLE — same values, but the multiset compare's
+    // string-sorted row order diverges ("2" vs "2.0") and the positional
+    // cell compare then pairs unrelated rows (seed 10459). The twin needs
+    // the D suffix: a bare SQL `1000.0` literal is DECIMAL(5,1) (standard
+    // SQL exact-numeric), which would poison the whole downstream chain
+    // into decimal, while the DSL's lit(1000.0) is DoubleType.
     val qCol = pmod(round(col(c.name), 0), lit(1000.0))
-    val qSql = s"pmod(round(${c.name}, 0), 1000)"
+    val qSql = s"pmod(round(${c.name}, 0), 1000.0D)"
     val exp = st.fr.withColumn(Q, qCol).sortValues(st.uniq.map(SortKey.asc)).expanding(mp)
     val (fr2, valueSql, kind) = r.nextInt(3) match {
       case 0 => (exp.sum(Q, name), s"SUM($qSql)", 'n')
@@ -1105,13 +1114,35 @@ class FuzzSpec extends SparkSuite {
     }
   }
 
+  // Regression seeds promoted from deep hunts into the fixed CI set —
+  // each found a real defect; the pipeline string is in the fail message
+  // history (TESTDATA.md fuzz log).
+  test("regression seeds from extended sweeps") {
+    strDoms
+    // r12 sweep @10000: expanding twin's integer modulus made the SQL
+    // side BIGINT where the Frame side ran DOUBLE — same values, but the
+    // multiset compare's string-sorted order diverged and the positional
+    // compare paired unrelated rows. Fixed twice over: the twin now
+    // spells 1000.0 (type parity at the source) and SparkSuite.canon
+    // sorts on a numeric-canonical key (cross-type order stability).
+    runPipeline(10459)
+  }
+
   // One-off deep hunts: GRAFT_FUZZ_EXTRA=600 sbt "testOnly graft.FuzzSpec"
-  // runs that many additional seeds from 1000 up (not part of the fixed
-  // CI set, so CI time stays bounded while the generator stays explorable).
+  // runs that many additional seeds from GRAFT_FUZZ_BASE (default 1000) up
+  // (not part of the fixed CI set, so CI time stays bounded while the
+  // generator stays explorable). Bump the base per sweep so successive
+  // deep hunts draw FRESH pipelines instead of replaying the same ones —
+  // the generator is seed-deterministic, so without a moving base every
+  // sweep after the first adds zero new coverage. Keep the base clear of
+  // the forced-family ranges (2000-2119 joins, 3000-3089 windows) unless
+  // overlap is intended; runPipeline is deterministic per seed, so
+  // overlap is harmless but redundant.
   sys.env.get("GRAFT_FUZZ_EXTRA").map(_.toInt).filter(_ > 0).foreach { n =>
-    test(s"extended fuzz: seeds 1000..${1000 + n - 1}") {
+    val base = sys.env.get("GRAFT_FUZZ_BASE").map(_.toInt).getOrElse(1000)
+    test(s"extended fuzz: seeds $base..${base + n - 1}") {
       strDoms
-      (1000 until 1000 + n).foreach(runPipeline(_))
+      (base until base + n).foreach(runPipeline(_))
     }
   }
 }

@@ -49,8 +49,26 @@ abstract class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     assertParity(got, spark.sql(sql), tol)
   }
 
+  /** Sort-key form of a cell: integral doubles/floats render as plain
+    * integers so a DOUBLE column on one side and a BIGINT on the other
+    * (same values — the cell compare is cross-type) still sort the two
+    * row sets identically. Without this, "2.0" vs "2" diverges the
+    * canonical order and the positional compare pairs unrelated rows
+    * (fuzz seed 10459: a SQL twin summed BIGINT where the Frame side
+    * summed DOUBLE). Only the ORDER key changes — cell equality in
+    * assertParity is untouched, so this can only align orderings, never
+    * hide a value difference. */
+  private def keyStr(v: Any): String = v match {
+    case d: java.lang.Double
+      if !d.isNaN && !d.isInfinite && d.doubleValue.isWhole
+        && math.abs(d.doubleValue) < 9.007199254740992e15 =>
+      BigDecimal(d.doubleValue).toBigInt.toString
+    case f: java.lang.Float => keyStr(java.lang.Double.valueOf(f.doubleValue))
+    case x => String.valueOf(x)
+  }
+
   private def canon(df: DataFrame): Array[Row] =
-    df.collect().sortBy(_.toSeq.map(String.valueOf).mkString(""))
+    df.collect().sortBy(_.toSeq.map(keyStr).mkString(""))
 }
 
 object SparkSuite {
