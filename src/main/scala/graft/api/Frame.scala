@@ -73,14 +73,17 @@ final case class Frame(
 
   /** `query` in the pandas expression dialect (`and`/`or`/`==`/`in [...]`/
     * `True`…) — translated to Spark SQL by [[PandasExpr]], so ported
-    * pandas code runs unchanged. */
-  def queryPandas(predicate: String): Frame =
-    copy(df = df.filter(expr(PandasExpr.toSparkSql(predicate))))
+    * pandas code runs unchanged. `ieeeDivision = true` opts `/`/`//` into
+    * numpy semantics (x/0 → ±Inf, 0/0 → NaN) instead of the default ANSI
+    * DIVIDE_BY_ZERO error — see PandasExpr's deviation-16 note. */
+  def queryPandas(predicate: String, ieeeDivision: Boolean = false): Frame =
+    copy(df = df.filter(expr(PandasExpr.toSparkSql(predicate, ieeeDivision))))
 
   /** `eval` in the pandas expression dialect: adds `name` = the evaluated
-    * expression (reference rowwise_query/eval surface). */
-  def evalPandas(name: String, expression: String): Frame =
-    copy(df = df.withColumn(name, expr(PandasExpr.toSparkSql(expression))))
+    * expression (reference rowwise_query/eval surface); `ieeeDivision` as
+    * in [[queryPandas]]. */
+  def evalPandas(name: String, expression: String, ieeeDivision: Boolean = false): Frame =
+    copy(df = df.withColumn(name, expr(PandasExpr.toSparkSql(expression, ieeeDivision))))
 
   def withColumn(name: String, c: Column): Frame = copy(df = df.withColumn(name, c))
 
@@ -1158,6 +1161,36 @@ object Frame {
       .when(b =!= 0.0, a / b)
       .otherwise(when(negZero, -a).otherwise(a) * lit(Double.PositiveInfinity))
   }
+  /** pandas `.dt.components` over a timedelta carried as MICROSECONDS
+    * (the engine's timedelta representation — cf. q76's unix_micros
+    * gaps): one struct with the seven pandas fields. Negative timedeltas
+    * follow pandas' normalization — days floors toward −∞ and every
+    * sub-day component stays non-negative (Timedelta('-1h').components =
+    * days −1, hours 23), which is exactly `pmod`'s contract. Pure
+    * integer arithmetic in one codegen'd projection; `nanoseconds` is
+    * constant 0 at µs resolution (the documented precision boundary —
+    * timestamps in this engine are timestamp[us]). The day quotient
+    * routes through an exact-by-construction double divide: (us − rem)
+    * is an exact multiple of DAY, and any |td| < 2⁵³ µs (≈285 years)
+    * divides exactly. */
+  def dtComponents(micros: Column): Column = {
+    val us = micros.cast("long")
+    val DAY = 86400000000L
+    val rem = pmod(us, lit(DAY))
+    // (us − rem) is an exact DAY multiple, but `/` is a double divide and
+    // cast-to-long TRUNCATES — a quotient computed one ulp low would floor
+    // to q−1. round() first: the relative error (≤2⁻⁵² · q) is ≪ 0.5.
+    val days = round((us - rem) / lit(DAY)).cast("long")
+    struct(
+      days.as("days"),
+      (rem / lit(3600000000L)).cast("long").as("hours"),
+      (pmod(rem, lit(3600000000L)) / lit(60000000L)).cast("long").as("minutes"),
+      (pmod(rem, lit(60000000L)) / lit(1000000L)).cast("long").as("seconds"),
+      (pmod(rem, lit(1000000L)) / lit(1000L)).cast("long").as("milliseconds"),
+      pmod(rem, lit(1000L)).as("microseconds"),
+      lit(0L).as("nanoseconds"))
+  }
+
   private[api] val RowNum = "__rn__"
 
   /** md5(salt + key) — lowercase hex, the engine-portable uniform order

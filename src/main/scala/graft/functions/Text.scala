@@ -54,6 +54,32 @@ object Text {
       "\n$", "")
   }
 
+  /** pandas `str.index(sub)` — the RAISING variant of `str.find`
+    * (reference series_utils.py str.index → python str.index): same
+    * 0-based first-occurrence position, but a MISSING substring raises
+    * ValueError("substring not found") instead of returning −1. The
+    * raise rides Spark's `raise_error` inside a lazily-evaluated CASE,
+    * so the hit path stays a pure codegen'd instr and the error fires
+    * exactly on the first miss, matching python's per-element raise.
+    * Nulls propagate (pandas: NaN in, NaN out). */
+  def strIndex(text: Column, sub: String): Column = {
+    val pos = (instr(text, sub) - 1).cast("long")
+    when(text.isNull, lit(null).cast("long"))
+      .when(pos >= 0, pos)
+      .otherwise(raise_error(lit("substring not found")).cast("long"))
+  }
+
+  /** pandas `str.rindex(sub)` — raising variant of `str.rfind`: 0-based
+    * LAST-occurrence position via the reversed-locate identity (the same
+    * identity q238's rfind uses), raising on a miss like [[strIndex]]. */
+  def strRindex(text: Column, sub: String): Column = {
+    val rp = locate(sub.reverse, reverse(text))
+    val pos = (length(text) - rp - lit(sub.length) + 1).cast("long")
+    when(text.isNull, lit(null).cast("long"))
+      .when(rp > 0, pos)
+      .otherwise(raise_error(lit("substring not found")).cast("long"))
+  }
+
   /** Whitespace token count. `\S+` extraction, not split: splitting an
     * empty/whitespace-only string yields [""] (count 1) while the DuckDB
     * oracle's regexp_extract_all counts 0 — extraction agrees. */

@@ -304,5 +304,50 @@ object SelectQueries {
         SELECT o_orderkey AS okey, o_custkey, o_totalprice
         FROM orders
         WHERE o_orderpriority = '1-URGENT' AND o_orderkey BETWEEN 100 AND 30000
-        ORDER BY okey""")))
+        ORDER BY okey""")),
+
+    // IEEE-division opt-in for the pandas STRING dialect (closes the
+    // deviation-16 seam: reference query/eval hand the text to pandas'
+    // parser whose `/` is numpy division — QC rowwise_query:3585). divr
+    // cycles −2..2 so ~1/5 of rows divide by ZERO, and divd is zeroed on
+    // the 7-cycle so 0/0 (NaN) and ±x/0 (±Inf) both occur; `//` runs the
+    // floorDouble-wrapped variant over the same degenerate values. The
+    // oracle spells the identical CASE (DuckDB's native double division
+    // returns NULL on zero divisors, so IEEE must be explicit there too);
+    // fdiv floors through BIGINT exactly like Spark's FLOOR, which kills
+    // the −0.0 that DuckDB's double floor would preserve. The final
+    // queryPandas filter runs a zero-divisor division through the FILTER
+    // path as well (always-true predicate — NaN != x and ±Inf != x hold
+    // in both engines' total orderings).
+    Q("q278_pandas_ieee_div",
+      (s, dir) => f(s, dir, "orders")
+        .withColumn("divr", (col("o_orderkey") % 5 - 2).cast("double"))
+        .withColumn("divd",
+          when(col("o_orderkey") % 7 === 0, lit(0.0))
+            .otherwise(col("o_totalprice")))
+        .evalPandas("ratio", "divd / divr", ieeeDivision = true)
+        .evalPandas("fdiv", "divd // divr", ieeeDivision = true)
+        .queryPandas("divd / divr != 123456789.0", ieeeDivision = true)
+        .select("o_orderkey", "divr", "divd", "ratio", "fdiv")
+        .sortValues(Seq(SortKey.asc("o_orderkey"))).df,
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey,
+                 CAST(o_orderkey % 5 - 2 AS DOUBLE) AS divr,
+                 CASE WHEN o_orderkey % 7 = 0 THEN 0.0::DOUBLE
+                      ELSE o_totalprice END AS divd
+          FROM orders
+        ), d AS (
+          SELECT o_orderkey, divr, divd,
+                 CASE WHEN divd IS NULL OR divr IS NULL THEN NULL
+                      WHEN divr != 0.0 THEN divd / divr
+                      ELSE divd * 'Infinity'::DOUBLE END AS ratio
+          FROM base
+        )
+        SELECT o_orderkey, divr, divd, ratio,
+               CASE WHEN isnan(ratio) OR abs(ratio) >= 9007199254740992.0 THEN ratio
+                    ELSE CAST(CAST(floor(ratio) AS BIGINT) AS DOUBLE) END AS fdiv
+        FROM d
+        WHERE ratio != 123456789.0
+        ORDER BY o_orderkey""")))
 }

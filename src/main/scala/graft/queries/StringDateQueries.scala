@@ -692,5 +692,62 @@ object StringDateQueries {
         SELECT event_id,
                CAST(isodow(ts) - 1 AS BIGINT) AS weekday,
                CAST(date_part('day', last_day(ts)) AS BIGINT) AS days_in_month
-        FROM events ORDER BY event_id""")))
+        FROM events ORDER BY event_id""")),
+
+    // `.dt.components` (reference timedelta accessors QC:2320+): the
+    // seven-field decomposition of a timedelta, over BOTH signs — fwd =
+    // ts − lag(ts) ≥ 0, back = ts − lead(ts) ≤ 0 — because pandas'
+    // negative normalization (days floors toward −∞, sub-day components
+    // stay non-negative: −1h → days −1, hours 23) is the part a naive
+    // trunc-div port gets wrong. Engine side is Frame.dtComponents (one
+    // codegen'd integer projection); the oracle spells the same floor-mod
+    // arithmetic (DuckDB's % follows the dividend sign, so pmod is
+    // ((x % d) + d) % d; the day quotient divides the exact multiple with
+    // integer // — no float in the loop). nanoseconds omitted from the
+    // row (constant 0 at µs resolution, pinned in FrameSpec instead).
+    Q("q279_dt_components",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        val us = unix_micros(col("ts").cast("timestamp"))
+        val fwd = us - unix_micros(lag(col("ts"), 1).over(w).cast("timestamp"))
+        val back = us - unix_micros(lead(col("ts"), 1).over(w).cast("timestamp"))
+        Frame(t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            graft.api.Frame.dtComponents(fwd).as("f"),
+            graft.api.Frame.dtComponents(back).as("b"))
+          .select(col("event_id"),
+            col("f.days").as("f_days"), col("f.hours").as("f_hours"),
+            col("f.minutes").as("f_minutes"), col("f.seconds").as("f_seconds"),
+            col("f.milliseconds").as("f_ms"), col("f.microseconds").as("f_us"),
+            col("b.days").as("b_days"), col("b.hours").as("b_hours"),
+            col("b.minutes").as("b_minutes"), col("b.seconds").as("b_seconds")))
+          .sortValues(Seq(SortKey.asc("event_id"))).df
+      },
+      Some("""
+        WITH td AS (
+          SELECT event_id,
+                 epoch_us(ts) - epoch_us(lag(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)) AS fus,
+                 epoch_us(ts) - epoch_us(lead(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)) AS bus
+          FROM events
+        ), r AS (
+          SELECT event_id, fus, bus,
+                 ((fus % 86400000000) + 86400000000) % 86400000000 AS frem,
+                 ((bus % 86400000000) + 86400000000) % 86400000000 AS brem
+          FROM td
+        )
+        SELECT event_id,
+               (fus - frem) // 86400000000 AS f_days,
+               frem // 3600000000 AS f_hours,
+               (frem % 3600000000) // 60000000 AS f_minutes,
+               (frem % 60000000) // 1000000 AS f_seconds,
+               (frem % 1000000) // 1000 AS f_ms,
+               frem % 1000 AS f_us,
+               (bus - brem) // 86400000000 AS b_days,
+               brem // 3600000000 AS b_hours,
+               (brem % 3600000000) // 60000000 AS b_minutes,
+               (brem % 60000000) // 1000000 AS b_seconds
+        FROM r ORDER BY event_id""")))
 }

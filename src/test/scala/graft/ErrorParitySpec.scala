@@ -147,6 +147,45 @@ class ErrorParitySpec extends SparkSuite {
     assert(e.getMessage.contains("width"))
   }
 
+  test("str.index/rindex raise on a missing substring (python ValueError)") {
+    import spark.implicits._
+    val d = Seq("alphabetical", "zzz").toDF("text")
+    // raise_error surfaces from the executor wrapped in SparkException —
+    // the message is what carries the python contract
+    val e = intercept[Exception](
+      d.select(graft.functions.Text.strIndex(col("text"), "al")).collect())
+    assert(e.getMessage.contains("substring not found") ||
+      Option(e.getCause).exists(_.getMessage.contains("substring not found")))
+    val e2 = intercept[Exception](
+      d.select(graft.functions.Text.strRindex(col("text"), "al")).collect())
+    assert(e2.getMessage.contains("substring not found") ||
+      Option(e2.getCause).exists(_.getMessage.contains("substring not found")))
+  }
+
+  test("pandas-dialect zero divisor: ANSI error by default, ±Inf/NaN with ieeeDivision") {
+    import spark.implicits._
+    val d = Seq((4.0, 0.0), (-3.0, 0.0), (0.0, 0.0), (6.0, -2.0)).toDF("a", "b")
+    // default: deviation 16 — ANSI DIVIDE_BY_ZERO surfaces at collect
+    val e = intercept[Exception](
+      Frame(d).evalPandas("r", "a / b").df.collect())
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("DIVIDE_BY_ZERO"))
+    // opt-in: numpy semantics, matching Frame.ieeeDiv's method surface
+    val r = Frame(d).evalPandas("r", "a / b", ieeeDivision = true)
+      .df.select("r").collect().map(_.getDouble(0))
+    assert(r(0).isPosInfinity && r(1).isNegInfinity && r(2).isNaN && r(3) == -3.0)
+  }
+
+  test("dt.components: negative timedeltas normalize like pandas; ns is 0") {
+    import spark.implicits._
+    // −1h → days −1, hours 23 (pandas floors days, keeps sub-day parts
+    // non-negative); +90091s+1500µs → 1d 1h 1m 31s 1ms 500µs
+    val d = Seq(-3600000000L, 90091001500L).toDF("us")
+    val out = d.select(Frame.dtComponents(col("us")).as("c")).select("c.*").collect()
+    assert(out(0).toSeq == Seq(-1L, 23L, 0L, 0L, 0L, 0L, 0L))
+    assert(out(1).toSeq == Seq(1L, 1L, 1L, 31L, 1L, 500L, 0L))
+  }
+
   test("duplicate query registration is rejected eagerly (engine invariant)") {
     // not a pandas case, but the same fail-fast contract: Registry refuses
     // colliding names at class load rather than shadowing one silently
@@ -157,7 +196,7 @@ class ErrorParitySpec extends SparkSuite {
   test("registry count is pinned (bump intentionally when adding queries)") {
     // doc-drift guard: README/COVERAGE quote this number — a silent
     // registry change must turn the suite red, not the docs stale
-    assert(queries.Registry.all.size == 257,
+    assert(queries.Registry.all.size == 259,
       s"registry has ${queries.Registry.all.size} queries; update this pin " +
         "and the README/COVERAGE counts together")
   }

@@ -42,7 +42,15 @@ import graft.api.{Frame, SortKey}
  * grouped rank across min/dense/max/average with asc/desc and pct
  * (dense+pct exercising the count_distinct join-back; method='first'
  * excluded as tie-underdetermined), and cummax/cummin/cumcount, with 90
- * window-forced seeds (3000–3089).
+ * window-forced seeds (3000–3089). Round 13 closes the reshape/resample
+ * family — pivot_table (groupBy.pivot single-aggregate plan vs the
+ * conditional-aggregation twin), stack (the Generate node vs melt's
+ * native Unpivot), cut binning across all three pandas edge conventions
+ * (labels interpolated from the same Scala doubles on both sides, so
+ * text parity is by construction; the label column joins the draw-able
+ * group-key domains), and the closed/label resample grid (boundary
+ * points shifting bins via the ts−1µs truncation) — with 120
+ * reshape-forced seeds (4000–4119).
  *
  * The Frame chain exercises the API wrapper layer (ordering propagation
  * into head(), window specs, keep=first/last/none reversal, na masks);
@@ -615,10 +623,25 @@ class FuzzSpec extends SparkSuite {
   }
 
   /** resample-downsample: date_trunc bucket groupBy over o_orderdate —
-    * the one-exchange tumbling aggregate (engine Resample.downsample). */
+    * the one-exchange tumbling aggregate (engine Resample.downsample).
+    * Round 13 widens it across the pandas closed/label grid
+    * (Resample.downsampleWith): closed='right' truncates ts−1µs so a
+    * boundary point shifts into the EARLIER bin, label='right' stamps
+    * the upper edge (+1 unit; quarter steps 3 months because QUARTER is
+    * not a Spark interval unit) — the twin spells the identical
+    * expression arithmetic. */
   private def opResample(st: St, r: Random): St = {
     val d = pick(r, st.cols.filter(_.kind == 'd'))
     val unit = pick(r, Seq("week", "month", "quarter"))
+    val closed = pick(r, Seq("left", "right"))
+    val label = pick(r, Seq("left", "right"))
+    val edgeSql =
+      if (closed == "left") s"date_trunc('$unit', ${d.name})"
+      else s"date_trunc('$unit', ${d.name} - INTERVAL 1 MICROSECOND)"
+    val bucketSql =
+      if (label == "left") edgeSql
+      else if (unit == "quarter") s"$edgeSql + INTERVAL 3 MONTH"
+      else s"$edgeSql + INTERVAL 1 $unit"
     val nums = numeric(st)
     val aggCands: Seq[(String, Column, String, Char)] =
       ("cnt", count(lit(1)), "COUNT(*)", 'i') +: nums.flatMap { c =>
@@ -628,14 +651,122 @@ class FuzzSpec extends SparkSuite {
     val na = 1 + r.nextInt(math.min(3, aggCands.size))
     val aggs = r.shuffle(aggCands).take(na)
     st.copy(
-      fr = Frame(graft.ops.Resample.downsample(
-        st.fr.df, d.name, unit, aggs.map(a => a._1 -> a._2): _*)),
-      sql = s"SELECT date_trunc('$unit', ${d.name}) AS bucket, " +
+      fr = Frame(graft.ops.Resample.downsampleWith(
+        st.fr.df, d.name, unit, closed, label, aggs.map(a => a._1 -> a._2): _*)),
+      sql = s"SELECT $bucketSql AS bucket, " +
         aggs.map(a => s"${a._3} AS ${a._1}").mkString(", ") +
-        s" FROM ${wrap(st.sql)}GROUP BY date_trunc('$unit', ${d.name})",
+        s" FROM ${wrap(st.sql)}GROUP BY $bucketSql",
       cols = FCol("bucket", 'd') +: aggs.map(a => FCol(a._1, a._4)).toVector,
       uniq = Vector("bucket"))
-      .addOp(s"resample($unit(${d.name});${aggs.map(_._1).mkString(",")})")
+      .addOp(s"resample($unit(${d.name});closed=$closed,label=$label;" +
+        s"${aggs.map(_._1).mkString(",")})")
+  }
+
+  /** pivot_table (engine Reshape.pivotTable = groupBy().pivot(values)
+    * .agg — one partial/final aggregate when values are explicit) vs the
+    * conditional-aggregation twin (SUM/MAX(CASE WHEN pivot = 'v' THEN m
+    * END) per value). Pivot VALUES become output COLUMNS, so candidates
+    * are restricted to strict-identifier domain values that don't
+    * collide (case-insensitively — Spark resolution) with live columns.
+    * Missing cells are NULL on both sides (Spark pivot leaves absent
+    * combinations null; SUM/MAX over an empty CASE set is null — which
+    * is why COUNT is NOT in this op's agg pool: COUNT(CASE) would give
+    * 0). Rows whose pivot value is outside the chosen subset still form
+    * index groups on both sides. */
+  private def opPivot(st: St, r: Random): St = {
+    def usable(c: FCol) = c.dom.filter(v =>
+      v.matches("[A-Za-z][A-Za-z0-9_]*") &&
+        !st.cols.exists(_.name.equalsIgnoreCase(v)))
+    val piv = pick(r, st.cols.filter(c => c.kind == 's' && c.lowCard && usable(c).size >= 2))
+    val idx = pick(r, st.cols.filter(c => c.lowCard && c.name != piv.name))
+    val pool = usable(piv)
+    val vals = r.shuffle(pool).take(math.min(pool.size, 2 + r.nextInt(2))).sorted
+    val m = pick(r, numeric(st))
+    val useSum = r.nextBoolean()
+    val agg = if (useSum) sum(col(m.name)) else max(col(m.name))
+    val fn = if (useSum) "SUM" else "MAX"
+    val cells = vals.map(v => s"$fn(CASE WHEN ${piv.name} = '$v' THEN ${m.name} END) AS $v")
+    st.copy(
+      fr = Frame(graft.ops.Reshape.pivotTable(st.fr.df, Seq(idx.name), piv.name, vals, agg)),
+      sql = s"SELECT ${idx.name}, ${cells.mkString(", ")} FROM ${wrap(st.sql)}" +
+        s"GROUP BY ${idx.name}",
+      cols = idx +: vals.map(FCol(_, m.kind)).toVector,
+      uniq = Vector(idx.name))
+      .addOp(s"pivot(${idx.name}×${piv.name}[${vals.mkString(",")}];$fn(${m.name}))")
+  }
+
+  /** stack (wide→long through the `stack` GENERATOR — the Generate node,
+    * a different physical path than melt's native Unpivot) vs the same
+    * UNION ALL twin melt uses. Nulls are RETAINED (pandas stack
+    * dropna=False / melt parity). */
+  private def opStack(st: St, r: Random): St = {
+    val uniqSet = st.uniq.toSet
+    val byKind = numeric(st).filterNot(c => uniqSet(c.name))
+      .groupBy(_.kind).filter(_._2.size >= 2)
+    val pool = byKind(pick(r, byKind.keys.toSeq))
+    val vals = r.shuffle(pool).take(2).map(_.name)
+    val varName = fresh(st, "stk")
+    val valName = s"${varName}v"
+    val idCols = st.cols.filter(c => uniqSet(c.name))
+    val ids = idCols.map(_.name)
+    // stack does NOT type-coerce across its value args (unpivot does):
+    // a BIGINT/INT pair like l_orderkey/l_linenumber is a hard analysis
+    // error — cast every arm to the kind's widest type on BOTH sides
+    val sqlType = if (pool.head.kind == 'i') "BIGINT" else "DOUBLE"
+    val stackArgs = vals.map(v => s"'$v', CAST($v AS $sqlType)").mkString(", ")
+    val fr2 = Frame(st.fr.df.select(
+      ids.map(col) :+ expr(s"stack(2, $stackArgs) AS ($varName, $valName)"): _*))
+    val arms = vals.map(v =>
+      s"SELECT ${ids.mkString(", ")}, '$v' AS $varName, " +
+        s"CAST($v AS $sqlType) AS $valName FROM ${wrap(st.sql)}")
+    st.copy(
+      fr = fr2,
+      sql = arms.mkString("\nUNION ALL\n"),
+      cols = idCols :+ FCol(varName, 's', vals.sorted, lowCard = true)
+        :+ FCol(valName, pool.head.kind),
+      uniq = st.uniq :+ varName)
+      .addOp(s"stack(${vals.mkString("+")})")
+  }
+
+  /** cut-binning derive (engine Reshape.cut/cutLeftClosed — one codegen'd
+    * when-chain): seed-fixed geometric bin edges, all three pandas edge
+    * conventions (right-closed, include_lowest, left-closed). The twin
+    * spells the same CASE with label literals interpolated from the SAME
+    * Scala doubles, so label text parity is by construction. Out-of-range
+    * and null inputs label NULL on both sides. The label column joins the
+    * draw-able string domains (lowCard) — downstream IN-filters, groupbys
+    * and heavy-hitters compose on it. */
+  private def opCut(st: St, r: Random): St = {
+    val c = pick(r, numeric(st))
+    val name = fresh(st, "bin")
+    val t = if (c.kind == 'i') pick(r, Seq(2.0, 5.0, 1000.0))
+            else pick(r, Seq(0.03, 5.0, 20000.0))
+    val bins = Seq(0.0, t, 2 * t, 4 * t)
+    val variant = r.nextInt(3)
+    val (fcol, whens, labels, tag) = variant match {
+      case 0 => // pandas default: (lo, hi], lowest edge in no bin
+        val ws = bins.sliding(2).map { case Seq(lo, hi) =>
+          s"WHEN ${c.name} > $lo AND ${c.name} <= $hi THEN '($lo, $hi]'" }.toSeq
+        (graft.ops.Reshape.cut(col(c.name), bins),
+          ws, bins.sliding(2).map { case Seq(lo, hi) => s"($lo, $hi]" }.toSeq, "right")
+      case 1 => // include_lowest: first bin widens to [lo, hi]
+        val ws = bins.sliding(2).zipWithIndex.map { case (Seq(lo, hi), i) =>
+          if (i == 0) s"WHEN ${c.name} >= $lo AND ${c.name} <= $hi THEN '[$lo, $hi]'"
+          else s"WHEN ${c.name} > $lo AND ${c.name} <= $hi THEN '($lo, $hi]'" }.toSeq
+        (graft.ops.Reshape.cut(col(c.name), bins, includeLowest = true),
+          ws, bins.sliding(2).zipWithIndex.map { case (Seq(lo, hi), i) =>
+            if (i == 0) s"[$lo, $hi]" else s"($lo, $hi]" }.toSeq, "incLowest")
+      case _ => // right=False: [lo, hi)
+        val ws = bins.sliding(2).map { case Seq(lo, hi) =>
+          s"WHEN ${c.name} >= $lo AND ${c.name} < $hi THEN '[$lo, $hi)'" }.toSeq
+        (graft.ops.Reshape.cutLeftClosed(col(c.name), bins),
+          ws, bins.sliding(2).map { case Seq(lo, hi) => s"[$lo, $hi)" }.toSeq, "left")
+    }
+    st.copy(
+      fr = st.fr.withColumn(name, fcol),
+      sql = s"SELECT *, CASE ${whens.mkString(" ")} END AS $name FROM ${wrap(st.sql)}",
+      cols = st.cols :+ FCol(name, 's', labels.sorted, lowCard = true))
+      .addOp(s"cut($name=$tag(${c.name}),t=$t)")
   }
 
   /** Filter through the PANDAS expression dialect (Frame.queryPandas →
@@ -1003,6 +1134,10 @@ class FuzzSpec extends SparkSuite {
       (if (hasUniq && hasNum) 2 else 0) -> (opExpanding _),
       (if (hasUniq && numeric(st).filterNot(c => st.uniq.contains(c.name))
         .groupBy(_.kind).exists(_._2.size >= 2)) 1 else 0) -> (opMelt _),
+      (if (hasUniq && numeric(st).filterNot(c => st.uniq.contains(c.name))
+        .groupBy(_.kind).exists(_._2.size >= 2)) 1 else 0) -> (opStack _),
+      (if (canPivot(st)) 1 else 0) -> (opPivot _),
+      (if (hasNum) 1 else 0) -> (opCut _),
       (if (st.cols.exists(_.kind == 'd') && hasNum) 2 else 0) -> (opResample _),
       (if (hasNum) 2 else 0) -> (opQueryPandas _),
       (if (hasNum) 1 else 0) -> (opEvalPandas _),
@@ -1040,6 +1175,31 @@ class FuzzSpec extends SparkSuite {
       st.cols.exists(c => c.lowCard && c.kind == 's' && c.dom.nonEmpty)) -> (opAsofBy _)
   ).collect { case (true, f) => f }
 
+  /** opPivot's guard, shared with the pool weights: a pivotable string
+    * domain (≥2 strict-identifier values not colliding with live column
+    * names), a second lowCard column for the index, and a measure. */
+  private def canPivot(st: St): Boolean =
+    numeric(st).nonEmpty && st.cols.exists(c => c.kind == 's' && c.lowCard &&
+      c.dom.count(v => v.matches("[A-Za-z][A-Za-z0-9_]*") &&
+        !st.cols.exists(_.name.equalsIgnoreCase(v))) >= 2) &&
+      st.cols.count(_.lowCard) >= 2
+
+  /** The reshape/resample sub-pool, for pipelines that must contain one
+    * (round-13 batch: pivot_table, stack-generator, cut binning across
+    * all three edge conventions, closed/label resample variants). */
+  private def reshapePool(st: St): Seq[(St, Random) => St] = {
+    val canWide = st.uniq.nonEmpty &&
+      numeric(st).filterNot(c => st.uniq.contains(c.name))
+        .groupBy(_.kind).exists(_._2.size >= 2)
+    Seq(
+      canPivot(st) -> (opPivot _),
+      canWide -> (opStack _),
+      canWide -> (opMelt _),
+      numeric(st).nonEmpty -> (opCut _),
+      (st.cols.exists(_.kind == 'd') && numeric(st).nonEmpty) -> (opResample _)
+    ).collect { case (true, f) => f }
+  }
+
   /** The offset/rank window sub-pool, for pipelines that must contain one
     * (round-12 batch: shift/diff/pct_change, rank methods, cummax/min/count). */
   private def winPool(st: St): Seq[(St, Random) => St] = {
@@ -1060,15 +1220,18 @@ class FuzzSpec extends SparkSuite {
   }
 
   private def runPipeline(seed: Int, forceJoin: Boolean = false,
-      forceWin: Boolean = false): Unit = {
+      forceWin: Boolean = false, forceReshape: Boolean = false): Unit = {
     val r = new Random(seed)
     var st = baseState(r)
     val len = 5 + r.nextInt(4)
-    // forceJoin/forceWin plant one op from the named sub-pool at a random
-    // step (guards permitting) so the focused batches actually exercise
-    // the family instead of leaving it to the draw weights
-    val forcedAt = if (forceJoin || forceWin) r.nextInt(len) else -1
-    def forcedPool(s: St) = if (forceJoin) joinPool(s) else winPool(s)
+    // forceJoin/forceWin/forceReshape plant one op from the named sub-pool
+    // at a random step (guards permitting) so the focused batches actually
+    // exercise the family instead of leaving it to the draw weights
+    val forcedAt = if (forceJoin || forceWin || forceReshape) r.nextInt(len) else -1
+    def forcedPool(s: St) =
+      if (forceJoin) joinPool(s)
+      else if (forceReshape) reshapePool(s)
+      else winPool(s)
     (0 until len).foreach { i =>
       st = if (i == forcedAt && forcedPool(st).nonEmpty) pick(r, forcedPool(st))(st, r)
       else drawOp(st, r)
@@ -1114,6 +1277,20 @@ class FuzzSpec extends SparkSuite {
     }
   }
 
+  // round-13 family closure (VERDICT r12 item 2): 120 fixed seeds where
+  // one reshape/resample op is guaranteed to appear mid-pipeline —
+  // pivot_table (groupBy.pivot vs conditional-agg twin), stack (the
+  // Generate node vs melt's Unpivot), cut binning (all three pandas edge
+  // conventions), and the closed/label resample grid — composed with the
+  // whole existing grammar. The last §2 family without differential fuzz.
+  for (batch <- 0 until 4) {
+    val from = 4000 + batch * 30; val to = from + 29
+    test(s"reshape/resample-focused pipelines $from..$to match their SQL replay") {
+      strDoms
+      (from to to).foreach(runPipeline(_, forceReshape = true))
+    }
+  }
+
   // Regression seeds promoted from deep hunts into the fixed CI set —
   // each found a real defect; the pipeline string is in the fail message
   // history (TESTDATA.md fuzz log).
@@ -1135,11 +1312,16 @@ class FuzzSpec extends SparkSuite {
   // deep hunts draw FRESH pipelines instead of replaying the same ones —
   // the generator is seed-deterministic, so without a moving base every
   // sweep after the first adds zero new coverage. Keep the base clear of
-  // the forced-family ranges (2000-2119 joins, 3000-3089 windows) unless
+  // the forced-family ranges (2000-2119 joins, 3000-3089 windows,
+  // 4000-4119 reshape) unless
   // overlap is intended; runPipeline is deterministic per seed, so
   // overlap is harmless but redundant.
-  sys.env.get("GRAFT_FUZZ_EXTRA").map(_.toInt).filter(_ > 0).foreach { n =>
-    val base = sys.env.get("GRAFT_FUZZ_BASE").map(_.toInt).getOrElse(1000)
+  sys.env.get("GRAFT_FUZZ_EXTRA").flatMap(_.toIntOption).filter(_ > 0).foreach { n =>
+    // toIntOption + a floor of 200: a malformed value must fail soft (the
+    // bare .toInt would throw during suite CONSTRUCTION and abort every
+    // test), and a base below 200 would silently replay the fixed CI seed
+    // range 0..179 instead of drawing fresh pipelines.
+    val base = sys.env.get("GRAFT_FUZZ_BASE").flatMap(_.toIntOption).filter(_ >= 200).getOrElse(1000)
     test(s"extended fuzz: seeds $base..${base + n - 1}") {
       strDoms
       (base until base + n).foreach(runPipeline(_))

@@ -62,4 +62,23 @@ class PandasExprSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](t("a > @threshold"))
     assertThrows[IllegalArgumentException](t("(a + b) ** 2"))
   }
+
+  test("ieeeDivision opt-in wraps / and // in the Frame.ieeeDiv CASE") {
+    val e = PandasExpr.toSparkSql("a / b", ieeeDivision = true)
+    assert(e.contains("CASE WHEN CAST(a AS DOUBLE) IS NULL"))
+    assert(e.contains("!= 0.0D THEN CAST(a AS DOUBLE) / CAST(b AS DOUBLE)"))
+    assert(e.contains("CAST('Infinity' AS DOUBLE)"))
+    // signed-zero divisor probe mirrors Frame.ieeeDiv's string cast
+    assert(e.contains("STARTSWITH(CAST(CAST(b AS DOUBLE) AS STRING), '-')"))
+    // // = floorDouble(ieeeDiv): the NaN/2^53 passthrough guard wraps it
+    val f = PandasExpr.toSparkSql("x // 3", ieeeDivision = true)
+    assert(f.contains("ISNAN") && f.contains("9.007199254740992E15"))
+    assert(f.contains("CAST(FLOOR("))
+    // left-associative chains stay legal (synthesized left operand)
+    PandasExpr.toSparkSql("x / 2 / 3", ieeeDivision = true)
+    PandasExpr.toSparkSql("x // 2 // 3", ieeeDivision = true)
+    // default (flag off) stays ANSI: `/` passes through untouched,
+    // deviation 16's documented boundary
+    assert(t("a / b") == "a / b")
+  }
 }

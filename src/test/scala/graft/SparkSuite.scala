@@ -59,16 +59,29 @@ abstract class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     * assertParity is untouched, so this can only align orderings, never
     * hide a value difference. */
   private def keyStr(v: Any): String = v match {
-    case d: java.lang.Double
-      if !d.isNaN && !d.isInfinite && d.doubleValue.isWhole
-        && math.abs(d.doubleValue) < 9.007199254740992e15 =>
+    case d: java.lang.Double if !d.isNaN && !d.isInfinite && d.doubleValue.isWhole =>
+      // Exact for ANY finite whole double (BigDecimal(d) is the exact
+      // binary value), so no 2^53 cutoff -- large wholes key as plain
+      // integers instead of diverging into scientific notation when the
+      // other side is BIGINT/DECIMAL.
       BigDecimal(d.doubleValue).toBigInt.toString
     case f: java.lang.Float => keyStr(java.lang.Double.valueOf(f.doubleValue))
+    case bd: java.math.BigDecimal =>
+      // DECIMAL cells must key like their DOUBLE/BIGINT twins ("2", not
+      // "2.0"/"2E+1"): strip trailing zeros, render wholes as integers,
+      // plain (non-scientific) form otherwise.
+      val s = bd.stripTrailingZeros
+      if (s.scale <= 0) s.toBigInteger.toString else s.toPlainString
+    case bd: scala.math.BigDecimal => keyStr(bd.bigDecimal)
     case x => String.valueOf(x)
   }
 
+  // Cell keys joined with an explicit \u0000 separator so multi-column
+  // keys cannot collide across column boundaries: an empty separator
+  // would key both (2.0,"3x") and (23.0,"x") as "23x" and let such ties
+  // pair unrelated rows across the two sides.
   private def canon(df: DataFrame): Array[Row] =
-    df.collect().sortBy(_.toSeq.map(keyStr).mkString(""))
+    df.collect().sortBy(_.toSeq.map(keyStr).mkString("\u0000"))
 }
 
 object SparkSuite {

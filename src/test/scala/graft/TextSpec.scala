@@ -46,6 +46,17 @@ class TextSpec extends SparkSuite {
     assert(out(2) == "short")           // no trailing newline
   }
 
+  test("strIndex/strRindex: find/rfind positions on hits, null propagates") {
+    import spark.implicits._
+    val d = Seq((1L, "alphabetical"), (2L, null: String)).toDF("id", "text")
+    val out = d.select(col("id"),
+      Text.strIndex(col("text"), "al").as("i"),
+      Text.strRindex(col("text"), "al").as("ri")).orderBy("id").collect()
+    assert(out(0).getLong(1) == 0L)  // first "al"
+    assert(out(0).getLong(2) == 10L) // last "al" in alphabetic-AL
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+  }
+
   test("token counts: whitespace vs word-regex") {
     val r = one("hello, world  foo-bar").select(
       Text.tokenCountWs(col("text")),
