@@ -280,6 +280,66 @@ object WindowExtraQueries {
         GROUP BY a.event_id
         ORDER BY a.event_id""")),
 
+    // The PARAMETERIZED scipy win_types (the last win_type tail —
+    // VERDICT r12 "what's missing" 3): kaiser(beta=14) whose weights need
+    // a Bessel I0 term, and exponential(tau=1) — both resolved at
+    // BUILD time to 7 double literals embedded identically in the Spark
+    // plan and the oracle SQL (the q261 discipline: no runtime
+    // libm/Bessel divergence can leak in; only the Σw·v fold and one
+    // divide run per row — the documented q250 float-compare exposure).
+    // Kaiser weights computed from the public scipy formula
+    // w[n] = I0(β·√(1−((n−α)/α)²))/I0(β), α=(M−1)/2, via the power
+    // series Σ(x/2)^2k/(k!)²; exponential w[n] = exp(−|n−center|/τ).
+    // Same one-exchange keyed window as q137/q250/q261.
+    Q("q280_rolling_kaiser_exponential",
+      (s, dir) => {
+        val kaiW = Seq(7.726866835270366e-06, 0.032885525977867806, 0.4627164978007909,
+          1.0, 0.4627164978007909, 0.032885525977867806, 7.726866835270366e-06)
+        val expW = Seq(0.049787068367863944, 0.1353352832366127, 0.36787944117144233,
+          1.0, 0.36787944117144233, 0.1353352832366127, 0.049787068367863944)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(-6, 0)
+        val vals = collect_list(col("value").cast("double")).over(w)
+        val cnt = size(vals)
+        def winMean(weights: Seq[Double], wsum: Double) = {
+          val warr = array(weights.map(lit): _*)
+          round(aggregate(
+            zip_with(vals, sequence(lit(0), cnt - 1),
+              (v, i) => v * element_at(warr, i.cast("int") + 1)),
+            lit(0.0), (acc, x) => acc + x) / wsum, 4)
+        }
+        Frame(t(s, dir, "events").select(
+          col("event_id"),
+          when(cnt >= 7, winMean(kaiW, 1.991219501290988)).as("kaiser_mean"),
+          when(cnt >= 7, winMean(expW, 2.106003585551838)).as("exp_mean")))
+          .sortValues(Seq(SortKey.asc("event_id"))).df
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events)
+        SELECT a.event_id,
+               CASE WHEN count(*) >= 7
+                    THEN round(sum(b.value * list_extract(
+                           [7.726866835270366e-06, 0.032885525977867806,
+                            0.4627164978007909, 1.0, 0.4627164978007909,
+                            0.032885525977867806, 7.726866835270366e-06],
+                           (b.rn - a.rn + 6) + 1)) / 1.991219501290988, 4)
+               END AS kaiser_mean,
+               CASE WHEN count(*) >= 7
+                    THEN round(sum(b.value * list_extract(
+                           [0.049787068367863944, 0.1353352832366127,
+                            0.36787944117144233, 1.0, 0.36787944117144233,
+                            0.1353352832366127, 0.049787068367863944],
+                           (b.rn - a.rn + 6) + 1)) / 2.106003585551838, 4)
+               END AS exp_mean
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 6 AND a.rn
+        GROUP BY a.event_id
+        ORDER BY a.event_id""")),
+
     // rolling corr/cov over a 10-row window per user (reference
     // rolling_corr/cov base QC:6715,6740) — Spark's corr/covar_samp are
     // window-capable aggregates, so this stays one shuffle on user_id.

@@ -196,7 +196,7 @@ class ErrorParitySpec extends SparkSuite {
   test("registry count is pinned (bump intentionally when adding queries)") {
     // doc-drift guard: README/COVERAGE quote this number — a silent
     // registry change must turn the suite red, not the docs stale
-    assert(queries.Registry.all.size == 259,
+    assert(queries.Registry.all.size == 260,
       s"registry has ${queries.Registry.all.size} queries; update this pin " +
         "and the README/COVERAGE counts together")
   }
