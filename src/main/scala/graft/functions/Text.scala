@@ -71,10 +71,15 @@ object Text {
 
   /** pandas `str.rindex(sub)` — raising variant of `str.rfind`: 0-based
     * LAST-occurrence position via the reversed-locate identity (the same
-    * identity q238's rfind uses), raising on a miss like [[strIndex]]. */
+    * identity q238's rfind uses), raising on a miss like [[strIndex]].
+    * Spark's `reverse`/`length`/`locate` operate on CODE POINTS, so the
+    * needle is reversed with the surrogate-pair-aware StringBuilder
+    * reverse (Scala's StringOps.reverse flips UTF-16 units and corrupts
+    * non-BMP characters) and the offset uses codePointCount, keeping the
+    * position math in code points on both sides. */
   def strRindex(text: Column, sub: String): Column = {
-    val rp = locate(sub.reverse, reverse(text))
-    val pos = (length(text) - rp - lit(sub.length) + 1).cast("long")
+    val rp = locate(new java.lang.StringBuilder(sub).reverse.toString, reverse(text))
+    val pos = (length(text) - rp - lit(sub.codePointCount(0, sub.length)) + 1).cast("long")
     when(text.isNull, lit(null).cast("long"))
       .when(rp > 0, pos)
       .otherwise(raise_error(lit("substring not found")).cast("long"))

@@ -629,15 +629,18 @@ object Dedup {
    * component labelled by its minimum member id.
    *
    * Scale shape: one round = one hash-join (edges ⋈ labels, both sides
-   * partitioned by the join key) + one groupBy-min — both linear in
-   * |E|+|V| per round. Rounds needed = graph diameter, and near-dup
-   * graphs are dense clusters with tiny diameter (2-4), not long chains;
-   * the round cap bounds worst-case work, and `localCheckpoint`
-   * truncates the growing lineage each round (same discipline as
-   * [[Kmeans.train]]). For adversarial long-chain graphs the
-   * large-star/small-star scheme (Kiveris et al., "Connected Components
-   * in MapReduce and Beyond", SoCC'14) converges in O(log d) rounds with
-   * the same per-round join shape — the cap names that escape hatch.
+   * partitioned by the join key) + one groupBy-min + one POINTER JUMP
+   * (labels ⋈ labels on comp = id, i.e. comp := min(comp, comp[comp]))
+   * — all linear in |E|+|V| per round. The jump is the path-doubling
+   * step of hash-min CC (same effect as the large-star contraction in
+   * Kiveris et al., "Connected Components in MapReduce and Beyond",
+   * SoCC'14): the label pointer's reach doubles every round, so rounds
+   * needed = O(log diameter), not O(diameter) — a 10k-node adversarial
+   * PATH graph converges in ~15 rounds (pinned by a DedupSpec case).
+   * Near-dup graphs are dense tiny-diameter clusters (2-4) and finish in
+   * 3-4 rounds either way; the round cap still bounds worst-case work
+   * loudly, and `localCheckpoint` truncates the growing lineage each
+   * round (same discipline as [[Kmeans.train]]).
    *
    * Returns (id, component): one row per node that appears in an edge,
    * component = min node id in its cluster. Singletons (docs in no pair)
@@ -655,11 +658,29 @@ object Dedup {
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
+      // pointer jump (path doubling) FIRST: shortcut each label through
+      // the label table itself — comp := min(comp, comp[comp]). One extra
+      // self-join on the (small) label table per round turns worst-case
+      // convergence from O(diameter) rounds into O(log diameter): the
+      // pointer i→comp(i) doubles its reach every round (2^r − 1 after r
+      // rounds), so even an adversarial 10k-node PATH graph (depth ≫ the
+      // cap) converges in ~15 rounds. Dense near-dup clusters (diameter
+      // 2-4) pay one tiny join for rounds they usually save. The jump
+      // runs BEFORE propagation so the round still ENDS in the
+      // groupBy(__id__) aggregate — the checkpointed labels keep their
+      // hashpartitioning(__id__), which the caller's anti join reuses
+      // (shuffle budget pinned by PlanAuditSpec's q168 contract).
+      val parents = labels
+        .select(col("__id__").as("__pid__"), col("__comp__").as("__pcomp__"))
+      val jumped = labels
+        .join(parents, col("__comp__") === col("__pid__"), "left")
+        .select(col("__id__"),
+          least(col("__comp__"), coalesce(col("__pcomp__"), col("__comp__"))).as("__comp__"))
       // neighbour labels flow along edges; min with own label
       val incoming = und
-        .join(labels.withColumnRenamed("__id__", "__src__"), Seq("__src__"))
+        .join(jumped.withColumnRenamed("__id__", "__src__"), Seq("__src__"))
         .select(col("__dst__").as("__id__"), col("__comp__"))
-      val next = labels.union(incoming)
+      val next = jumped.union(incoming)
         .groupBy(col("__id__"))
         .agg(min(col("__comp__")).as("__comp__"))
         .localCheckpoint()

@@ -339,8 +339,15 @@ object SelectQueries {
           FROM orders
         ), d AS (
           SELECT o_orderkey, divr, divd,
+                 -- full mirror of the engine's ieeeDiv branch order,
+                 -- including the −0.0-divisor sign probe (divr's zero is
+                 -- always +0.0 in THIS data — the branch is dead here —
+                 -- but mirroring it keeps the twin synchronized if the
+                 -- divisor expression ever changes)
                  CASE WHEN divd IS NULL OR divr IS NULL THEN NULL
                       WHEN divr != 0.0 THEN divd / divr
+                      WHEN starts_with(CAST(divr AS VARCHAR), '-')
+                        THEN (-divd) * 'Infinity'::DOUBLE
                       ELSE divd * 'Infinity'::DOUBLE END AS ratio
           FROM base
         )

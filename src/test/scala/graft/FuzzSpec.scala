@@ -677,6 +677,11 @@ class FuzzSpec extends SparkSuite {
     def usable(c: FCol) = c.dom.filter(v =>
       v.matches("[A-Za-z][A-Za-z0-9_]*") &&
         !st.cols.exists(_.name.equalsIgnoreCase(v)))
+      // two domain values differing only by case ('Foo'/'foo') would mint
+      // pivot output columns that collide under Spark's case-insensitive
+      // resolution — keep the first of each fold class (deterministic, and
+      // a no-op for collision-free domains, so existing seeds are stable)
+      .distinctBy(_.toLowerCase)
     val piv = pick(r, st.cols.filter(c => c.kind == 's' && c.lowCard && usable(c).size >= 2))
     val idx = pick(r, st.cols.filter(c => c.lowCard && c.name != piv.name))
     val pool = usable(piv)

@@ -81,4 +81,61 @@ class PandasExprSpec extends AnyFunSuite {
     // deviation 16's documented boundary
     assert(t("a / b") == "a / b")
   }
+
+  test("same-precedence left context is rejected, never misassociated") {
+    // python is LEFT-associative across * / // %: `a * b / c` is (a*b)/c.
+    // A tokenizer-level rewrite of `b / c` would silently compute
+    // a * (b/c) — different rounding (1e-300 * 1e-300 / 1e-300 is 0.0 in
+    // numpy, 1e-300 if misassociated) — so the rewrite refuses loudly
+    // when the captured left operand is preceded by a same-precedence
+    // operator, for every rewritten form (// always; / under ieee).
+    assertThrows[IllegalArgumentException](
+      PandasExpr.toSparkSql("a * b / c", ieeeDivision = true))
+    assertThrows[IllegalArgumentException](
+      PandasExpr.toSparkSql("a * b // c", ieeeDivision = true))
+    assertThrows[IllegalArgumentException](t("a * b // c"))
+    assertThrows[IllegalArgumentException](t("a % b // c"))
+    // a RAW `/` before `//` (ieee off: `/` passes through untranslated)
+    assertThrows[IllegalArgumentException](t("a / b // c"))
+    // unary minus after a same-precedence operator is the same trap
+    assertThrows[IllegalArgumentException](
+      PandasExpr.toSparkSql("a * -b / c", ieeeDivision = true))
+    // LOWER-precedence context stays legal: `/` binds tighter than +/-
+    assert(PandasExpr.toSparkSql("a + b / c", ieeeDivision = true)
+      .startsWith("a + (CASE"))
+    assert(t("a - b // c") == "a - FLOOR(b / c)")
+    // `**` binds TIGHTER than *: a * POWER(b, c) is already right
+    assert(t("a * b ** 2") == "a * POWER(b, 2)")
+  }
+
+  test("unary sign before a division's left operand folds into the operand") {
+    // python unary minus binds tighter than // and /: `-b // c` is
+    // (-b) // c — leaving the sign OUTSIDE the synthesized FLOOR would
+    // compute -floor(b/c), off by one whenever b/c is non-integral
+    assert(t("-b // c") == "FLOOR((-b) / c)")
+    assert(t("a + -b // c") == "a + FLOOR((-b) / c)")
+    assert(t("(a, -b // c)") == "( a , FLOOR((-b) / c) )")
+    // unary plus is a numeric no-op and just drops
+    assert(t("+b // c") == "FLOOR(b / c)")
+    // BINARY minus before the operand is lower precedence: sign stays out
+    assert(t("a - b // c") == "a - FLOOR(b / c)")
+    // ** keeps the python rule -a**b == -(a**b): sign stays OUTSIDE
+    assert(t("-a ** 2") == "- POWER(a, 2)")
+  }
+
+  test("chained ieee divisions are depth-guarded, not exponentially expanded") {
+    // each ieee `//` level re-expands its operand text ~16x (ieeeDivSql
+    // references each operand 4x, floorDoubleSql its argument 4x); the
+    // rewrite refuses unreviewably deep chains loudly (64 KiB budget:
+    // two chained ieee // levels = 24 KiB, four ieee / levels = 28 KiB,
+    // the next level of each is 390 KiB / 114 KiB)
+    PandasExpr.toSparkSql("x // 2 // 3", ieeeDivision = true)
+    val e = intercept[IllegalArgumentException](
+      PandasExpr.toSparkSql("x // 2 // 3 // 4", ieeeDivision = true))
+    assert(e.getMessage.contains("chain too deep"))
+    PandasExpr.toSparkSql("x / 2 / 3 / 4 / 5", ieeeDivision = true)
+    val e2 = intercept[IllegalArgumentException](
+      PandasExpr.toSparkSql("x / 2 / 3 / 4 / 5 / 6", ieeeDivision = true))
+    assert(e2.getMessage.contains("chain too deep"))
+  }
 }

@@ -163,8 +163,20 @@ class PlanAuditSpec extends SparkSuite {
     // structure is the documented scale argument — investigate before
     // re-pinning. (Broadcast exchanges are deliberately NOT counted:
     // moving a dimension join to broadcast is an improvement.)
-    // live counts recorded 2026-08-15 (round 11) via GRAFT_PLAN_RECORD
+    // live counts recorded 2026-08-15 (round 11) via GRAFT_PLAN_RECORD;
+    // bench headliners (BENCH q01/q13/q30/q40/q60/q70/q90/q100) pinned
+    // 2026-08-16 (round 14) so a shape change anywhere in the bench
+    // surface turns `sbt test` red — the r10-r13 bench-noise saga's
+    // regression arbiter (BASELINE.md) is the PLAN, not the timing.
     val budget = Map(
+      "q01_groupby_agg_low" -> 2,    // partial/final agg exchange + output sort
+      "q13_parquet_roundtrip" -> 2,  // post-roundtrip agg exchange + output sort
+      "q30_join_broadcast" -> 2,     // dim side broadcasts (uncounted); agg + sort
+      "q40_sort_global" -> 1,        // single range-partition exchange
+      "q60_scan_filter_project" -> 1, // pushdown scan; output sort only
+      "q70_string_funcs" -> 1,       // narrow maps; output sort only
+      "q90_resample_hour" -> 3,      // bucket agg + regrid + output sort
+      "q100_dedup_exact_groups" -> 2, // fingerprint group exchange + sort
       "q03_groupby_agg_high" -> 2,   // partial/final agg exchange + output sort
       "q31_join_smj" -> 4,           // two scan shuffles + join + output sort
       "q50_window_cumsum" -> 2,      // group exchange reused by window + sort

@@ -58,7 +58,7 @@ abstract class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     * summed DOUBLE). Only the ORDER key changes — cell equality in
     * assertParity is untouched, so this can only align orderings, never
     * hide a value difference. */
-  private def keyStr(v: Any): String = v match {
+  private[graft] def keyStr(v: Any): String = v match {
     case d: java.lang.Double if !d.isNaN && !d.isInfinite && d.doubleValue.isWhole =>
       // Exact for ANY finite whole double (BigDecimal(d) is the exact
       // binary value), so no 2^53 cutoff -- large wholes key as plain
@@ -80,7 +80,7 @@ abstract class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
   // keys cannot collide across column boundaries: an empty separator
   // would key both (2.0,"3x") and (23.0,"x") as "23x" and let such ties
   // pair unrelated rows across the two sides.
-  private def canon(df: DataFrame): Array[Row] =
+  private[graft] def canon(df: DataFrame): Array[Row] =
     df.collect().sortBy(_.toSeq.map(keyStr).mkString("\u0000"))
 }
 

@@ -57,6 +57,27 @@ class TextSpec extends SparkSuite {
     assert(out(1).isNullAt(1) && out(1).isNullAt(2))
   }
 
+  test("strRindex: non-BMP needles survive the reversed-locate identity") {
+    import spark.implicits._
+    // 😀 is a surrogate PAIR in UTF-16: a code-unit reverse of the needle
+    // (Scala's StringOps.reverse) corrupts it and `locate` then misses a
+    // present substring — positions here are CODE POINTS, matching both
+    // python str.rindex and Spark's reverse/length/locate semantics
+    val d = Seq((1L, "a😀b😀c")).toDF("id", "text") // a😀b😀c
+    val out = d.select(
+      Text.strRindex(col("text"), "😀").as("last_emoji"),
+      Text.strRindex(col("text"), "😀b").as("emoji_b"),
+      Text.strRindex(col("text"), "b😀c").as("b_emoji_c")).head()
+    assert(out.getLong(0) == 3L) // code points: a(0) 😀(1) b(2) 😀(3) c(4)
+    assert(out.getLong(1) == 1L)
+    assert(out.getLong(2) == 2L)
+    // and a genuinely missing non-BMP needle still raises
+    val err = intercept[Exception](
+      d.select(Text.strRindex(col("text"), "😀x")).collect())
+    assert(err.getMessage.contains("substring not found") ||
+      Option(err.getCause).exists(_.getMessage.contains("substring not found")))
+  }
+
   test("token counts: whitespace vs word-regex") {
     val r = one("hello, world  foo-bar").select(
       Text.tokenCountWs(col("text")),

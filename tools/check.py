@@ -36,6 +36,41 @@ import numpy as np
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# No-oracle queries whose full output is too large to commit as a fixture
+# at the LARGER scale factors (q105 at sf0.1 is ~4M pair rows): instead of
+# a rows-only pass, they get the q105c checksum discipline at ROW
+# granularity — a committed prefix fixture (first N rows of the
+# canonically-sorted dump, value-compared like any golden) plus a sidecar
+# with the total row count and an ORDER-INDEPENDENT 64-bit row-content
+# checksum over the ENTIRE result. Any added/dropped/changed pair anywhere
+# in the 4M rows moves the checksum; the prefix pins concrete values.
+# sf0.01 keeps full fixtures (small), so this applies only to other SFs.
+PREFIX_GOLDEN = {"q105_simhash_pairs": 1000}
+
+
+def rowhash_sum(df: pd.DataFrame) -> str:
+    """Order-independent content checksum: md5 each row's canonical cell
+    bytes (columns sorted by name, floats as raw IEEE bytes), sum the
+    first 8 bytes of each digest mod 2^64. Commutative sum => row order
+    never matters; md5 per row => any cell change moves the total."""
+    import hashlib
+    d = canon(df)
+    arrs = [d[c].to_numpy() for c in d.columns]
+    total = 0
+    for i in range(len(d)):
+        parts = []
+        for a in arrs:
+            v = a[i]
+            if isinstance(v, (float, np.floating)):
+                parts.append(b"f" + struct.pack("<d", float(v)))
+            elif v is None:
+                parts.append(b"N")
+            else:
+                parts.append(str(v).encode())
+        h = hashlib.md5(b"|".join(parts)).digest()
+        total = (total + int.from_bytes(h[:8], "little")) % (1 << 64)
+    return f"{total:016x}"
+
 
 def load_spark_result(outdir: Path, name: str) -> pd.DataFrame:
     d = outdir / name
@@ -149,7 +184,9 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')")
 
     oracle_sql = json.loads((outdir / "oracle_sql.json").read_text())
-    golden_names = {p.stem for p in golden_dir.glob("*.parquet")} if golden_dir.is_dir() else set()
+    golden_names = ({p.stem[:-7] if p.stem.endswith(".prefix") else p.stem
+                     for p in golden_dir.glob("*.parquet")}
+                    if golden_dir.is_dir() else set())
     # include result dirs too: a new rows-only query (no oracle, no
     # fixture yet) must show up in default runs so --bless can create
     # its first fixture instead of silently skipping it
@@ -158,7 +195,9 @@ def main():
     ok = fail = 0
     for name in names:
         if name not in oracle_sql:
-            fixture = golden_dir / f"{name}.parquet"
+            pn = PREFIX_GOLDEN.get(name) if sf_base != "sf0.01" else None
+            fixture = golden_dir / (f"{name}.prefix.parquet" if pn else f"{name}.parquet")
+            sidecar = golden_dir / f"{name}.prefix.json"
             try:
                 sdf = load_spark_result(outdir, name)
             except Exception as e:
@@ -174,19 +213,44 @@ def main():
                     print(f"-- {name}: skipped by --bless (name it explicitly to bless)")
                     continue
                 golden_dir.mkdir(parents=True, exist_ok=True)
-                sdf.to_parquet(fixture, index=False)
-                print(f"ok   {name} ({len(sdf)} rows)  [blessed golden fixture]")
+                if pn:
+                    sdf.head(pn).to_parquet(fixture, index=False)
+                    sidecar.write_text(json.dumps({
+                        "prefix_rows": int(min(pn, len(sdf))),
+                        "total_rows": int(len(sdf)),
+                        "rowhash_sum": rowhash_sum(sdf)}, indent=1))
+                    print(f"ok   {name} ({len(sdf)} rows)  [blessed PREFIX golden: "
+                          f"first {min(pn, len(sdf))} rows + order-free checksum]")
+                else:
+                    sdf.to_parquet(fixture, index=False)
+                    print(f"ok   {name} ({len(sdf)} rows)  [blessed golden fixture]")
                 ok += 1
                 continue
-            if not fixture.exists():
+            if not fixture.exists() or (pn and not sidecar.exists()):
                 if args.verify_golden:
                     print(f"FAIL {name}: no-oracle query has no committed golden fixture "
-                          f"(run check.py --bless {name} and commit tools/golden/{name}.parquet)")
+                          f"(run check.py --bless {name} and commit tools/golden/{name}"
+                          + (".prefix.parquet + .prefix.json)" if pn else ".parquet)"))
                     fail += 1
                 else:
                     print(f"-- {name}: no oracle SQL and no golden fixture (rows-only op)")
                 continue
-            problems = compare(name, sdf, pd.read_parquet(fixture))
+            if pn:
+                gold = pd.read_parquet(fixture)
+                meta = json.loads(sidecar.read_text())
+                # the dump is canonically sorted by the query itself, so its
+                # head IS the blessed prefix; the sidecar extends the pin to
+                # the full row set (count + order-independent content sum)
+                problems = compare(name, sdf.head(len(gold)), gold)
+                if len(sdf) != meta["total_rows"]:
+                    problems.append(f"total rows differ: spark={len(sdf)} "
+                                    f"blessed={meta['total_rows']}")
+                got = rowhash_sum(sdf)
+                if got != meta["rowhash_sum"]:
+                    problems.append(f"order-free row checksum differs: got {got} "
+                                    f"blessed {meta['rowhash_sum']}")
+            else:
+                problems = compare(name, sdf, pd.read_parquet(fixture))
             hard = [p for p in problems if not p.startswith("dtype note")]
             if hard:
                 print(f"FAIL {name} ({len(sdf)} rows) vs golden fixture:")
@@ -194,7 +258,8 @@ def main():
                     print(f"   {p}")
                 fail += 1
             else:
-                print(f"ok   {name} ({len(sdf)} rows)  [golden fixture]")
+                kind = "prefix golden" if pn else "golden fixture"
+                print(f"ok   {name} ({len(sdf)} rows)  [{kind}]")
                 ok += 1
             continue
         try:
