@@ -227,11 +227,20 @@ class FuzzSpec extends SparkSuite {
 
   private def opDropna(st: St, r: Random): St = {
     val n = 1 + r.nextInt(2)
-    val subset = r.shuffle(st.cols).take(n).map(_.name)
+    val picked = r.shuffle(st.cols).take(n)
+    val subset = picked.map(_.name)
+    // Spark's na.drop (= pandas dropna) treats NaN as MISSING on
+    // double columns — the twin must too. Fixture columns never hold
+    // NaN, but IEEE-derived columns upstream (pct_change 0/0, x/0)
+    // do: seed 70407 fed a NaN pct_change into dropna and the
+    // IS-NOT-NULL-only twin kept 3 rows the engine (correctly,
+    // pandas-semantically) dropped.
     st.copy(
       fr = st.fr.dropna(how = "any", subset = subset),
       sql = s"SELECT * FROM ${wrap(st.sql)}WHERE " +
-        subset.map(c => s"$c IS NOT NULL").mkString(" AND "))
+        picked.map(c =>
+          if (c.kind == 'n') s"(${c.name} IS NOT NULL AND NOT isnan(${c.name}))"
+          else s"${c.name} IS NOT NULL").mkString(" AND "))
       .addOp(s"dropna(${subset.mkString("+")})")
   }
 
@@ -1244,6 +1253,14 @@ class FuzzSpec extends SparkSuite {
     try assertParity(st.fr.df, spark.sql(st.sql))
     catch {
       case e: Throwable =>
+        // post-mortem aid: GRAFT_FUZZ_DUMP=/tmp/dir writes both sides of
+        // the failing seed as parquet before failing, so the diverging
+        // rows can be diffed offline instead of re-deriving the seeded
+        // pipeline by hand
+        sys.env.get("GRAFT_FUZZ_DUMP").foreach { dir =>
+          st.fr.df.write.mode("overwrite").parquet(s"$dir/seed${seed}_frame")
+          spark.sql(st.sql).write.mode("overwrite").parquet(s"$dir/seed${seed}_sql")
+        }
         fail(s"fuzz seed=$seed pipeline=${st.ops.reverse.mkString(" | ")}\n" +
           s"sql replay:\n${st.sql}\n--> ${e.getMessage}")
     }
@@ -1308,6 +1325,11 @@ class FuzzSpec extends SparkSuite {
     // spells 1000.0 (type parity at the source) and SparkSuite.canon
     // sorts on a numeric-canonical key (cross-type order stability).
     runPipeline(10459)
+    // r14 sweep @70000: a NaN pct_change (IEEE 0/0) flowed into dropna —
+    // the engine (Spark na.drop = pandas semantics) drops NaN, but the
+    // twin's IS-NOT-NULL-only predicate kept 3 rows. Twin now spells
+    // NOT isnan(c) on double columns. Engine was RIGHT; harness gap.
+    runPipeline(70407)
   }
 
   // One-off deep hunts: GRAFT_FUZZ_EXTRA=600 sbt "testOnly graft.FuzzSpec"
