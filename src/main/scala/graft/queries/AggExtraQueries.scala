@@ -98,7 +98,10 @@ object AggExtraQueries {
     Q("q17_cube_margins",
       (s, dir) => Frame(t(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .agg(count(lit(1)).as("n"),
+          // grand-total cube margin sums the WHOLE table — exact cent
+          // units (QueryKit.moneySum pattern) keep it order-invariant
+          moneySum(col("o_totalprice")).as("total"))
         .select(
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -107,7 +110,9 @@ object AggExtraQueries {
       Some("""
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
                coalesce(o_orderpriority, 'ALL') AS priority,
-               count(*) AS n, round(sum(o_totalprice), 2) AS total
+               count(*) AS n,
+               round(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0))) AS DOUBLE)
+                     / 100.0, 2) AS total
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY status, priority""")),
 

@@ -29,9 +29,13 @@ object AggQueries {
         li.filter(col("l_shipdate") <= lit("1998-09-02"))
           .groupby("l_returnflag", "l_linestatus")
           .agg(
+            // money sums fold exact cent units (QueryKit.moneySum) — the
+            // only permutation-invariant form at 100x scale; quantity
+            // sums are exact already (integers in double, < 2^53), and
+            // avgs divide the drift below any rounding quantum
             "sum_qty" -> round(sum(col("l_quantity")), 2),
-            "sum_base_price" -> round(sum(col("l_extendedprice")), 2),
-            "sum_disc_price" -> round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2),
+            "sum_base_price" -> moneySum(col("l_extendedprice")),
+            "sum_disc_price" -> moneyDiscSum(col("l_extendedprice"), col("l_discount")),
             "avg_qty" -> round(avg(col("l_quantity")), 4),
             "avg_price" -> round(avg(col("l_extendedprice")), 4),
             "avg_disc" -> round(avg(col("l_discount")), 6),
@@ -41,8 +45,11 @@ object AggQueries {
       Some("""
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))) AS DOUBLE)
+                     / 100.0, 2) AS sum_base_price,
+               round(CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))
+                               * (100 - CAST(round(l_discount * 100) AS DECIMAL(18,0))))
+                          AS DOUBLE) / 10000.0, 2) AS sum_disc_price,
                round(avg(l_quantity), 4) AS avg_qty,
                round(avg(l_extendedprice), 4) AS avg_price,
                round(avg(l_discount), 6) AS avg_disc,

@@ -63,7 +63,9 @@ object ExtrasQueries {
         Frame(aligned.agg(
           count(lit(1)).as("n_aligned"),
           count(when(col("n_orders").isNull || col("c_acctbal").isNull, 1)).as("n_unmatched"),
-          round(sum(col("n_orders") * col("c_acctbal")), 2).as("dot")))
+          round(sum(col("n_orders").cast("decimal(18,0)") *
+            round(col("c_acctbal") * 100).cast("decimal(18,0)"))
+            .cast("double") / 100.0, 2).as("dot")))
           .df
       },
       Some("""
@@ -72,7 +74,9 @@ object ExtrasQueries {
              b AS (SELECT c_custkey AS k, c_acctbal FROM customer)
         SELECT count(*) AS n_aligned,
                count(*) FILTER (WHERE n_orders IS NULL OR c_acctbal IS NULL) AS n_unmatched,
-               round(sum(n_orders * c_acctbal), 2) AS dot
+               round(CAST(sum(CAST(n_orders AS DECIMAL(18,0))
+                               * CAST(round(c_acctbal * 100) AS DECIMAL(18,0)))
+                          AS DOUBLE) / 100.0, 2) AS dot
         FROM a FULL OUTER JOIN b USING (k)""")),
 
     // Categorical dtype (SURVEY §1.3: StringType + dictionary via a

@@ -39,11 +39,12 @@ object IoQueries {
           .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderpriority STRING")
           .option("header", "true").csv(path)
         Frame(back.groupBy(col("o_orderstatus"))
-          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total")))
+          .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total")))
           .sortValues(Seq(SortKey.asc("o_orderstatus"))).df
       },
       Some("""
-        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        SELECT o_orderstatus, count(*) AS n,
+               round(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0))) AS DOUBLE) / 100.0, 2) AS total
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // to_json(lines) + read_json round-trip (reference json_dispatcher
@@ -160,16 +161,16 @@ object IoQueries {
           ("o_orderstatus", 20, 22, "string"),
           ("o_totalprice", 22, 46, "double")))
         val tAgg = tback.groupBy(col("o_orderstatus"))
-          .agg(count(lit(1)).as("n_tsv"), round(sum(col("o_totalprice")), 2).as("total_tsv"))
+          .agg(count(lit(1)).as("n_tsv"), moneySum(col("o_totalprice")).as("total_tsv"))
         val fAgg = fback.groupBy(col("o_orderstatus"))
-          .agg(count(lit(1)).as("n_fwf"), round(sum(col("o_totalprice")), 2).as("total_fwf"))
+          .agg(count(lit(1)).as("n_fwf"), moneySum(col("o_totalprice")).as("total_fwf"))
         Frame(tAgg.join(fAgg, "o_orderstatus"))
           .sortValues(Seq(SortKey.asc("o_orderstatus"))).df
       },
       Some("""
         SELECT o_orderstatus,
-               count(*) AS n_tsv, round(sum(o_totalprice), 2) AS total_tsv,
-               count(*) AS n_fwf, round(sum(o_totalprice), 2) AS total_fwf
+               count(*) AS n_tsv, round(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0))) AS DOUBLE) / 100.0, 2) AS total_tsv,
+               count(*) AS n_fwf, round(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0))) AS DOUBLE) / 100.0, 2) AS total_fwf
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // to_xml + read_xml round-trip (pandas read_xml/to_xml — the
@@ -212,12 +213,12 @@ object IoQueries {
         val back = s.read.parquet(path)
           .filter(col("l_orderkey") < 15000 && col("l_partkey") < 1000)
         Frame(back.groupBy((col("l_orderkey") % 10).as("okey_mod"))
-          .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("rev")))
+          .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("rev")))
           .sortValues(Seq(SortKey.asc("okey_mod"))).df
       },
       Some("""
         SELECT l_orderkey % 10 AS okey_mod, count(*) AS n,
-               round(sum(l_extendedprice), 2) AS rev
+               round(CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))) AS DOUBLE) / 100.0, 2) AS rev
         FROM lineitem WHERE l_orderkey < 15000 AND l_partkey < 1000
         GROUP BY 1 ORDER BY 1""")),
 

@@ -20,18 +20,25 @@ object JoinQueries {
   val all: Seq[Q] = Seq(
 
     // merge broadcast path (reference merge.py:104-252). BASELINE shape 4a.
+    // Revenue via QueryKit.moneyDiscSum — exact integer units, so the sum
+    // is permutation-invariant at any scale. The naive round(sum(double))
+    // form drifted a CENT at the sf1 (10x sf0.1) gate: partial-sum order
+    // vs DuckDB's sequential sum crossed a rounding boundary (found by
+    // tools/amplify_sf.py, round 14).
     Q("q30_join_broadcast",
       (s, dir) => f(s, dir, "lineitem")
         .mergeOn(f(s, dir, "part"), Seq("l_partkey"), Seq("p_partkey"),
           hint = Some("broadcast"))
         .groupby("p_brand")
         .agg(
-          "revenue" -> round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2),
+          "revenue" -> moneyDiscSum(col("l_extendedprice"), col("l_discount")),
           "n" -> count(lit(1)))
         .sortValues(Seq(SortKey.asc("p_brand"))).df,
       Some("""
         SELECT p_brand,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))
+                               * (100 - CAST(round(l_discount * 100) AS DECIMAL(18,0))))
+                          AS DOUBLE) / 10000.0, 2) AS revenue,
                count(*) AS n
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand ORDER BY p_brand"""),
@@ -276,7 +283,7 @@ object JoinQueries {
       (s, dir) => {
         val a = f(s, dir, "orders")
           .selectExprs(date_trunc("month", col("o_orderdate")).as("m"), col("o_totalprice"))
-          .groupby("m").agg("total" -> round(sum(col("o_totalprice")), 2)).df
+          .groupby("m").agg("total" -> moneySum(col("o_totalprice"))).df
         val b = f(s, dir, "orders")
           .selectExprs(date_trunc("month", col("o_orderdate")).as("m"), col("o_orderkey"))
           .groupby("m").agg("n" -> count(lit(1))).df
@@ -285,7 +292,8 @@ object JoinQueries {
       },
       Some("""
         SELECT coalesce(a.m, b.m) AS m, total, n
-        FROM (SELECT date_trunc('month', o_orderdate) m, round(sum(o_totalprice), 2) total
+        FROM (SELECT date_trunc('month', o_orderdate) m,
+                     round(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0))) AS DOUBLE) / 100.0, 2) total
               FROM orders GROUP BY 1) a
         FULL JOIN (SELECT date_trunc('month', o_orderdate) m, count(*) n
                    FROM orders GROUP BY 1) b USING (m)
@@ -318,11 +326,12 @@ object JoinQueries {
           .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
         Frame(graft.ops.Scale.saltedJoin(probe, build, Seq("o_custkey"), saltFactor = 8)
           .groupBy(col("c_mktsegment"))
-          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total")))
+          .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total")))
           .sortValues(Seq(SortKey.asc("c_mktsegment"))).df
       },
       Some("""
-        SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        SELECT c_mktsegment, count(*) AS n,
+               round(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0))) AS DOUBLE) / 100.0, 2) AS total
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 

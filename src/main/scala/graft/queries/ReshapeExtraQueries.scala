@@ -181,14 +181,14 @@ object ReshapeExtraQueries {
         .agg(
           "n" -> count(lit(1)),
           "qty" -> round(sum(col("l_quantity")), 2),
-          "rev" -> round(sum(col("l_extendedprice")), 2))
+          "rev" -> moneySum(col("l_extendedprice")))
         .swapLevel()
         .sortIndex()
         .resetIndex().df,
       Some("""
         SELECT l_linestatus, l_returnflag, count(*) AS n,
                round(sum(l_quantity), 2) AS qty,
-               round(sum(l_extendedprice), 2) AS rev
+               round(CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))) AS DOUBLE) / 100.0, 2) AS rev
         FROM lineitem GROUP BY l_returnflag, l_linestatus
         ORDER BY l_linestatus, l_returnflag""")))
 }

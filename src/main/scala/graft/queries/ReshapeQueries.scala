@@ -25,15 +25,25 @@ object ReshapeQueries {
         index = Seq("o_orderstatus"),
         pivotCol = "o_orderpriority",
         pivotValues = priorities,
-        agg = round(sum(col("o_totalprice")), 2)))
+        agg = moneySum(col("o_totalprice"))))
         .sortValues(Seq(SortKey.asc("o_orderstatus"))).df,
       Some("""
         SELECT o_orderstatus,
-               round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2) AS "1-URGENT",
-               round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '2-HIGH'), 2) AS "2-HIGH",
-               round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '3-MEDIUM'), 2) AS "3-MEDIUM",
-               round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED'), 2) AS "4-NOT SPECIFIED",
-               round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW'), 2) AS "5-LOW"
+               round(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0)))
+                          FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+                     / 100.0, 2) AS "1-URGENT",
+               round(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0)))
+                          FILTER (WHERE o_orderpriority = '2-HIGH') AS DOUBLE)
+                     / 100.0, 2) AS "2-HIGH",
+               round(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0)))
+                          FILTER (WHERE o_orderpriority = '3-MEDIUM') AS DOUBLE)
+                     / 100.0, 2) AS "3-MEDIUM",
+               round(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0)))
+                          FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE)
+                     / 100.0, 2) AS "4-NOT SPECIFIED",
+               round(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0)))
+                          FILTER (WHERE o_orderpriority = '5-LOW') AS DOUBLE)
+                     / 100.0, 2) AS "5-LOW"
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // pivot_table(aggfunc=['sum','mean','count']) — Spark's native pivot
@@ -46,20 +56,22 @@ object ReshapeQueries {
         Frame(t(s, dir, "orders")
           .groupBy(col("o_orderstatus"))
           .pivot("o_orderpriority", prios)
-          .agg(round(sum(col("o_totalprice")), 2).as("sum"),
+          .agg(moneySum(col("o_totalprice")).as("sum"),
             round(avg(col("o_totalprice")), 4).as("mean"),
             count(lit(1)).as("n")))
           .sortValues(Seq(SortKey.asc("o_orderstatus"))).df
       },
       Some("""
         SELECT o_orderstatus,
-               round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
-                 AS "1-URGENT_sum",
+               round(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0)))
+                          FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+                     / 100.0, 2) AS "1-URGENT_sum",
                round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 4)
                  AS "1-URGENT_mean",
                count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT_n",
-               round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW'), 2)
-                 AS "5-LOW_sum",
+               round(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0)))
+                          FILTER (WHERE o_orderpriority = '5-LOW') AS DOUBLE)
+                     / 100.0, 2) AS "5-LOW_sum",
                round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW'), 4)
                  AS "5-LOW_mean",
                count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW_n"
