@@ -64,7 +64,7 @@ object ExtrasQueries {
           count(lit(1)).as("n_aligned"),
           count(when(col("n_orders").isNull || col("c_acctbal").isNull, 1)).as("n_unmatched"),
           round(sum(col("n_orders").cast("decimal(18,0)") *
-            round(col("c_acctbal") * 100).cast("decimal(18,0)"))
+            floor(col("c_acctbal") * 100 + 0.5).cast("decimal(18,0)"))
             .cast("double") / 100.0, 2).as("dot")))
           .df
       },
@@ -75,7 +75,7 @@ object ExtrasQueries {
         SELECT count(*) AS n_aligned,
                count(*) FILTER (WHERE n_orders IS NULL OR c_acctbal IS NULL) AS n_unmatched,
                round(CAST(sum(CAST(n_orders AS DECIMAL(18,0))
-                               * CAST(round(c_acctbal * 100) AS DECIMAL(18,0)))
+                               * CAST(floor(c_acctbal * 100 + 0.5) AS DECIMAL(18,0)))
                           AS DOUBLE) / 100.0, 2) AS dot
         FROM a FULL OUTER JOIN b USING (k)""")),
 

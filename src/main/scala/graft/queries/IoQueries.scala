@@ -44,7 +44,7 @@ object IoQueries {
       },
       Some("""
         SELECT o_orderstatus, count(*) AS n,
-               round(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0))) AS DOUBLE) / 100.0, 2) AS total
+               round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 100.0, 2) AS total
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // to_json(lines) + read_json round-trip (reference json_dispatcher
@@ -169,8 +169,8 @@ object IoQueries {
       },
       Some("""
         SELECT o_orderstatus,
-               count(*) AS n_tsv, round(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0))) AS DOUBLE) / 100.0, 2) AS total_tsv,
-               count(*) AS n_fwf, round(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0))) AS DOUBLE) / 100.0, 2) AS total_fwf
+               count(*) AS n_tsv, round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 100.0, 2) AS total_tsv,
+               count(*) AS n_fwf, round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 100.0, 2) AS total_fwf
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // to_xml + read_xml round-trip (pandas read_xml/to_xml — the
@@ -218,7 +218,7 @@ object IoQueries {
       },
       Some("""
         SELECT l_orderkey % 10 AS okey_mod, count(*) AS n,
-               round(CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))) AS DOUBLE) / 100.0, 2) AS rev
+               round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 100.0, 2) AS rev
         FROM lineitem WHERE l_orderkey < 15000 AND l_partkey < 1000
         GROUP BY 1 ORDER BY 1""")),
 

@@ -36,8 +36,8 @@ object JoinQueries {
         .sortValues(Seq(SortKey.asc("p_brand"))).df,
       Some("""
         SELECT p_brand,
-               round(CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))
-                               * (100 - CAST(round(l_discount * 100) AS DECIMAL(18,0))))
+               round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS DECIMAL(18,0))
+                               * (100 - CAST(floor(l_discount * 100 + 0.5) AS DECIMAL(18,0))))
                           AS DOUBLE) / 10000.0, 2) AS revenue,
                count(*) AS n
         FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -293,7 +293,7 @@ object JoinQueries {
       Some("""
         SELECT coalesce(a.m, b.m) AS m, total, n
         FROM (SELECT date_trunc('month', o_orderdate) m,
-                     round(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0))) AS DOUBLE) / 100.0, 2) total
+                     round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 100.0, 2) total
               FROM orders GROUP BY 1) a
         FULL JOIN (SELECT date_trunc('month', o_orderdate) m, count(*) n
                    FROM orders GROUP BY 1) b USING (m)
@@ -331,7 +331,7 @@ object JoinQueries {
       },
       Some("""
         SELECT c_mktsegment, count(*) AS n,
-               round(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0))) AS DOUBLE) / 100.0, 2) AS total
+               round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 100.0, 2) AS total
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 

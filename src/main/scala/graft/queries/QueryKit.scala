@@ -19,29 +19,32 @@ object QueryKit {
   import org.apache.spark.sql.Column
 
   /** Exact-unit money sum: 2-dp money columns fold to integer CENTS
-    * (`round(x*100)` recovers the exact cent count from the double's
-    * ≤1-ulp representation error), sum as DECIMAL — exact and
+    * (`floor(x*100 + 0.5)` recovers the exact cent count from the
+    * double's ≤1-ulp representation error with PRIMITIVE ops — floor of
+    * n±ε+0.5 is n for any integer n, sign included; Spark's round() on
+    * doubles allocates a BigDecimal per row and cost q01/q30 2x in the
+    * bench), sum as DECIMAL — exact and
     * PERMUTATION-INVARIANT in any partition order — and divide once at
     * the end. The naive `round(sum(double), 2)` is order-sensitive: at
     * sf1 a ~1.5M-element price sum (magnitude ~1e11, ulp ~2e-5,
     * accumulated drift ~cents) crossed a cent boundary between Spark's
     * 32-way partial sums and DuckDB's sequential sum (q30, round 14).
     * Oracle twin (spell verbatim in the SQL):
-    * `round(CAST(sum(CAST(round(x * 100) AS DECIMAL(18,0))) AS DOUBLE)
+    * `round(CAST(sum(CAST(floor(x * 100 + 0.5) AS DECIMAL(18,0))) AS DOUBLE)
     *  / 100.0, 2)`. Error-free while the cent sum < 2^53 (≈ $90
     * trillion) — past that the final double cast rounds the TOTAL once,
     * identically on both sides, instead of drifting per-partition. */
   def moneySum(c: Column, out: Int = 2): Column =
-    round(sum(round(c * 100).cast("decimal(18,0)")).cast("double") / 100.0, out)
+    round(sum(floor(c * 100 + 0.5).cast("decimal(18,0)")).cast("double") / 100.0, out)
 
   /** [[moneySum]] for the TPC-H revenue shape `sum(price * (1 − disc))`:
     * price cents × (100 − discount basis points) is an exact integer
     * ≤ 1e11 per row; divide by 10000 once at the end. Oracle twin:
-    * `round(CAST(sum(CAST(round(p * 100) AS DECIMAL(18,0)) * (100 -
-    *  CAST(round(d * 100) AS DECIMAL(18,0)))) AS DOUBLE) / 10000.0, 2)`. */
+    * `round(CAST(sum(CAST(floor(p * 100 + 0.5) AS DECIMAL(18,0)) * (100 -
+    *  CAST(floor(d * 100 + 0.5) AS DECIMAL(18,0)))) AS DOUBLE) / 10000.0, 2)`. */
   def moneyDiscSum(price: Column, disc: Column, out: Int = 2): Column =
-    round(sum(round(price * 100).cast("decimal(18,0)") *
-      (lit(100).cast("decimal(18,0)") - round(disc * 100).cast("decimal(18,0)")))
+    round(sum(floor(price * 100 + 0.5).cast("decimal(18,0)") *
+      (lit(100).cast("decimal(18,0)") - floor(disc * 100 + 0.5).cast("decimal(18,0)")))
       .cast("double") / 10000.0, out)
 
   /** events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark's

@@ -188,7 +188,7 @@ object ReshapeExtraQueries {
       Some("""
         SELECT l_linestatus, l_returnflag, count(*) AS n,
                round(sum(l_quantity), 2) AS qty,
-               round(CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))) AS DOUBLE) / 100.0, 2) AS rev
+               round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 100.0, 2) AS rev
         FROM lineitem GROUP BY l_returnflag, l_linestatus
         ORDER BY l_linestatus, l_returnflag""")))
 }

@@ -29,19 +29,19 @@ object ReshapeQueries {
         .sortValues(Seq(SortKey.asc("o_orderstatus"))).df,
       Some("""
         SELECT o_orderstatus,
-               round(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0)))
+               round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS DECIMAL(18,0)))
                           FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
                      / 100.0, 2) AS "1-URGENT",
-               round(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0)))
+               round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS DECIMAL(18,0)))
                           FILTER (WHERE o_orderpriority = '2-HIGH') AS DOUBLE)
                      / 100.0, 2) AS "2-HIGH",
-               round(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0)))
+               round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS DECIMAL(18,0)))
                           FILTER (WHERE o_orderpriority = '3-MEDIUM') AS DOUBLE)
                      / 100.0, 2) AS "3-MEDIUM",
-               round(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0)))
+               round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS DECIMAL(18,0)))
                           FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE)
                      / 100.0, 2) AS "4-NOT SPECIFIED",
-               round(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0)))
+               round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS DECIMAL(18,0)))
                           FILTER (WHERE o_orderpriority = '5-LOW') AS DOUBLE)
                      / 100.0, 2) AS "5-LOW"
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
@@ -63,13 +63,13 @@ object ReshapeQueries {
       },
       Some("""
         SELECT o_orderstatus,
-               round(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0)))
+               round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS DECIMAL(18,0)))
                           FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
                      / 100.0, 2) AS "1-URGENT_sum",
                round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 4)
                  AS "1-URGENT_mean",
                count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT_n",
-               round(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0)))
+               round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS DECIMAL(18,0)))
                           FILTER (WHERE o_orderpriority = '5-LOW') AS DOUBLE)
                      / 100.0, 2) AS "5-LOW_sum",
                round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW'), 4)

@@ -109,7 +109,7 @@ object SelectQueries {
           .groupBy(col("o_orderstatus"))
           .agg(
             count(when(isTrain, 1)).as("n_train"),
-            round(sum(when(isTrain, round(col("o_totalprice") * 100))
+            round(sum(when(isTrain, floor(col("o_totalprice") * 100 + 0.5))
               .cast("decimal(18,0)")).cast("double") / 100.0, 2).as("total_train"),
             count(when(!isTrain, 1)).as("n_rest")))
           .sortValues(Seq(SortKey.asc("o_orderstatus"))).df
@@ -117,7 +117,7 @@ object SelectQueries {
       Some("""
         SELECT o_orderstatus,
                count(*) FILTER (WHERE h < '40000000') AS n_train,
-               round(CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0)))
+               round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS DECIMAL(18,0)))
                           FILTER (WHERE h < '40000000') AS DOUBLE) / 100.0, 2) AS total_train,
                count(*) FILTER (WHERE h >= '40000000') AS n_rest
         FROM (SELECT o_orderstatus, o_totalprice,
