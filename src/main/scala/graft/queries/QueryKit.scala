@@ -23,29 +23,51 @@ object QueryKit {
     * double's ≤1-ulp representation error with PRIMITIVE ops — floor of
     * n±ε+0.5 is n for any integer n, sign included; Spark's round() on
     * doubles allocates a BigDecimal per row and cost q01/q30 2x in the
-    * bench), sum as DECIMAL — exact and
-    * PERMUTATION-INVARIANT in any partition order — and divide once at
-    * the end. The naive `round(sum(double), 2)` is order-sensitive: at
-    * sf1 a ~1.5M-element price sum (magnitude ~1e11, ulp ~2e-5,
-    * accumulated drift ~cents) crossed a cent boundary between Spark's
-    * 32-way partial sums and DuckDB's sequential sum (q30, round 14).
-    * Oracle twin (spell verbatim in the SQL):
-    * `round(CAST(sum(CAST(floor(x * 100 + 0.5) AS DECIMAL(18,0))) AS DOUBLE)
-    *  / 100.0, 2)`. Error-free while the cent sum < 2^53 (≈ $90
-    * trillion) — past that the final double cast rounds the TOTAL once,
-    * identically on both sides, instead of drifting per-partition. */
+    * bench), sum as LONG — exact and PERMUTATION-INVARIANT in any
+    * partition order — and divide once at the end. The naive
+    * `round(sum(double), 2)` is order-sensitive: at sf1 a ~1.5M-element
+    * price sum (magnitude ~1e11, ulp ~2e-5, accumulated drift ~cents)
+    * crossed a cent boundary between Spark's 32-way partial sums and
+    * DuckDB's sequential sum (q30, round 14).
+    *
+    * LONG, not DECIMAL(18,0): Spark's floor(double) is already LongType,
+    * and sum(long) stays in whole-stage-codegen primitive adds, where
+    * sum(decimal(18,0)) widens the buffer to decimal(28,0) — past the
+    * long-backed fast path, a BigDecimal add + allocation per row that a
+    * paired fresh-JVM A/B (AB_BENCH_r14.md) measured at +53% on q30 and
+    * +25% on q01. Capacity: per-group Σcents must fit 2^63 — at TPC-H
+    * price magnitudes (< 2^24 cents/row) that is ~5·10^11 rows PER GROUP
+    * (a 100 TB q01 group is ~10^11), and ANSI mode makes a true overflow
+    * a loud SUM_OVERFLOW error, never silent corruption. For the one
+    * shape whose per-row units exceed that margin (price × discount
+    * basis points), see [[moneyDiscSum]]'s split-sum.
+    *
+    * Oracle twin: DuckDB sums BIGINT into HUGEINT, so
+    * `round(CAST(sum(CAST(floor(x * 100 + 0.5) AS DECIMAL(18,0))) AS
+    * DOUBLE) / 100.0, 2)` (or AS BIGINT) is value-identical — both sides
+    * compute the same exact integer before one final division. */
   def moneySum(c: Column, out: Int = 2): Column =
-    round(sum(floor(c * 100 + 0.5).cast("decimal(18,0)")).cast("double") / 100.0, out)
+    round(sum(floor(c * 100 + 0.5)).cast("double") / 100.0, out)
 
   /** [[moneySum]] for the TPC-H revenue shape `sum(price * (1 − disc))`:
     * price cents × (100 − discount basis points) is an exact integer
-    * ≤ 1e11 per row; divide by 10000 once at the end. Oracle twin:
-    * `round(CAST(sum(CAST(floor(p * 100 + 0.5) AS DECIMAL(18,0)) * (100 -
-    *  CAST(floor(d * 100 + 0.5) AS DECIMAL(18,0)))) AS DOUBLE) / 10000.0, 2)`. */
-  def moneyDiscSum(price: Column, disc: Column, out: Int = 2): Column =
-    round(sum(floor(price * 100 + 0.5).cast("decimal(18,0)") *
-      (lit(100).cast("decimal(18,0)") - floor(disc * 100 + 0.5).cast("decimal(18,0)")))
-      .cast("double") / 10000.0, out)
+    * (~2^37 max per row) — too wide for a single long sum at 100 TB group
+    * sizes (10^11 rows × 10^9 units ≈ 2^67), so it SPLIT-SUMS: two
+    * codegen'd long sums over the high bits (`v >> 20`, arithmetic shift
+    * = floor division, exact for negatives) and the low bits
+    * (`v & 0xFFFFF`, in [0, 2^20) for any sign), recombined ONCE PER
+    * GROUP in decimal — exact, permutation-invariant, and good to ~2^43
+    * rows per group (the low-word sum is the binding constraint). The
+    * per-row path stays in primitive codegen; the only decimal op is the
+    * per-group recombine. Oracle twin: any exact integer sum of
+    * `floor(p*100+0.5) * (100 - floor(d*100+0.5))` divided by 10000 —
+    * DuckDB's DECIMAL/HUGEINT sum is value-identical by exactness. */
+  def moneyDiscSum(price: Column, disc: Column, out: Int = 2): Column = {
+    val v = floor(price * 100 + 0.5) * (lit(100L) - floor(disc * 100 + 0.5))
+    val hi = sum(shiftright(v, 20)).cast("decimal(38,0)")
+    val lo = sum(v.bitwiseAND(lit((1L << 20) - 1))).cast("decimal(38,0)")
+    round((hi * lit(1L << 20) + lo).cast("double") / 10000.0, out)
+  }
 
   /** events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark's
     * vectorized reader rejects — readable only as raw long via the legacy

@@ -82,28 +82,39 @@ class PandasExprSpec extends AnyFunSuite {
     assert(t("a / b") == "a / b")
   }
 
-  test("same-precedence left context is rejected, never misassociated") {
+  test("same-precedence left context folds left-associatively, never misassociates") {
     // python is LEFT-associative across * / // %: `a * b / c` is (a*b)/c.
-    // A tokenizer-level rewrite of `b / c` would silently compute
+    // A tokenizer-level rewrite of only `b / c` would silently compute
     // a * (b/c) — different rounding (1e-300 * 1e-300 / 1e-300 is 0.0 in
-    // numpy, 1e-300 if misassociated) — so the rewrite refuses loudly
-    // when the captured left operand is preceded by a same-precedence
-    // operator, for every rewritten form (// always; / under ieee).
-    assertThrows[IllegalArgumentException](
-      PandasExpr.toSparkSql("a * b / c", ieeeDivision = true))
-    assertThrows[IllegalArgumentException](
-      PandasExpr.toSparkSql("a * b // c", ieeeDivision = true))
-    assertThrows[IllegalArgumentException](t("a * b // c"))
-    assertThrows[IllegalArgumentException](t("a % b // c"))
-    // a RAW `/` before `//` (ieee off: `/` passes through untranslated)
-    assertThrows[IllegalArgumentException](t("a / b // c"))
-    // unary minus after a same-precedence operator is the same trap
-    assertThrows[IllegalArgumentException](
-      PandasExpr.toSparkSql("a * -b / c", ieeeDivision = true))
+    // numpy, 1e-300 if misassociated) — so the rewrite folds the MAXIMAL
+    // preceding same-precedence chain into the left operand, for every
+    // rewritten form (// always; / under ieee).
+    assert(t("a * b // c") == "FLOOR((a * b) / c)")
+    // `%` is itself rewritten (python-sign modulo), so it reaches the
+    // chain as a synthesized operand rather than a raw `%` token
+    assert(t("a % b // c").startsWith("FLOOR((CASE WHEN (a % b) != 0"))
+    // a RAW `/` in the chain (ieee off: `/` passes through untranslated)
+    assert(t("a / b // c") == "FLOOR((a / b) / c)")
+    assert(t("a * b * c // d") == "FLOOR((a * b * c) / d)")
+    // the folded product is the IEEE CASE's dividend, verbatim
+    assert(PandasExpr.toSparkSql("a * b / c", ieeeDivision = true)
+      .contains("CAST((a * b) AS DOUBLE)"))
+    assert(PandasExpr.toSparkSql("a * b // c", ieeeDivision = true)
+      .contains("CAST((a * b) AS DOUBLE)"))
+    // unary minus INSIDE the chain binds tighter than *: a * (-b) first
+    assert(PandasExpr.toSparkSql("a * -b / c", ieeeDivision = true)
+      .contains("CAST((a * (-b)) AS DOUBLE)"))
+    assert(t("-a * b // c") == "FLOOR(((-a) * b) / c)")
+    // a synthesized FLOOR from an earlier `//` participates in the chain
+    assert(t("x // a * b // c") == "FLOOR((FLOOR(x / a) * b) / c)")
+    // genuinely unfoldable left sides still reject loudly: `)` before a
+    // same-precedence operator means the python operand is parenthesized
+    assertThrows[IllegalArgumentException](t("(a + b) * c // d"))
     // LOWER-precedence context stays legal: `/` binds tighter than +/-
     assert(PandasExpr.toSparkSql("a + b / c", ieeeDivision = true)
       .startsWith("a + (CASE"))
     assert(t("a - b // c") == "a - FLOOR(b / c)")
+    assert(t("a - b * c // d") == "a - FLOOR((b * c) / d)")
     // `**` binds TIGHTER than *: a * POWER(b, c) is already right
     assert(t("a * b ** 2") == "a * POWER(b, 2)")
   }
@@ -121,6 +132,23 @@ class PandasExprSpec extends AnyFunSuite {
     assert(t("a - b // c") == "a - FLOOR(b / c)")
     // ** keeps the python rule -a**b == -(a**b): sign stays OUTSIDE
     assert(t("-a ** 2") == "- POWER(a, 2)")
+  }
+
+  test("% translates to python-sign modulo, not a raw pass-through") {
+    // python % takes the DIVISOR's sign (-7 % 3 == 2), Spark/Java the
+    // dividend's (-7 % 3 == -1) — a raw pass-through silently flips every
+    // negative-operand modulo (found by PandasExprFuzzSpec's first run)
+    assert(t("a % b") ==
+      "(CASE WHEN (a % b) != 0 AND ((a % b) < 0) != ((b) < 0) " +
+        "THEN (a % b) + b ELSE a % b END)")
+    // same-precedence chain folds into the dividend like / and //
+    assert(t("a * b % c").contains("((a * b) % c)"))
+    assert(t("a % b // c").startsWith("FLOOR((CASE"))
+    // ieee opt-in: nulls propagate, zero divisor -> NaN BEFORE the native
+    // % can raise ANSI's REMAINDER_BY_ZERO
+    val e = PandasExpr.toSparkSql("a % b", ieeeDivision = true)
+    assert(e.contains("WHEN CAST(b AS DOUBLE) = 0.0D THEN CAST('NaN' AS DOUBLE)"))
+    assert(e.contains("CAST(a AS DOUBLE) IS NULL"))
   }
 
   test("chained ieee divisions are depth-guarded, not exponentially expanded") {

@@ -45,29 +45,67 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 # checksum over the ENTIRE result. Any added/dropped/changed pair anywhere
 # in the 4M rows moves the checksum; the prefix pins concrete values.
 # sf0.01 keeps full fixtures (small), so this applies only to other SFs.
-PREFIX_GOLDEN = {"q105_simhash_pairs": 1000}
+# `key` is the query's canonical sort key: the prefix compare is positional
+# against the dump's own ordering, which is only sound when that key is a
+# TOTAL order — so the check asserts the key is unique and the dump is
+# sorted by it before trusting head(n). A future entry with a tying key
+# fails loudly instead of flaking on ties.
+PREFIX_GOLDEN = {"q105_simhash_pairs": {"n": 1000, "key": ["id_a", "id_b"]}}
+
+
+def _encode_col(s: pd.Series) -> list:
+    """Canonical per-dtype cell encoding (v2): library-repr-independent
+    fixed byte forms, vectorized column-wise. ints -> 'i'+int64le raw,
+    floats -> 'f'+IEEE754le raw, bools -> 'b'+1 byte, datetimes ->
+    't'+epoch-micros int64le raw, missing -> 'N', strings/other ->
+    's'+utf8. str(v) never touches a typed scalar, so a pandas/numpy
+    repr change can't move blessed checksums."""
+    n = len(s)
+    if pd.api.types.is_datetime64_any_dtype(s):
+        raw = s.astype("datetime64[us]").to_numpy().view("<i8").tobytes()
+        nat = s.isna().to_numpy()
+        return [b"N" if nat[i] else b"t" + raw[8 * i:8 * i + 8] for i in range(n)]
+    if pd.api.types.is_bool_dtype(s) and not s.isna().any():
+        a = s.to_numpy().astype(np.uint8)
+        return [b"b\x01" if a[i] else b"b\x00" for i in range(n)]
+    if pd.api.types.is_integer_dtype(s) and not s.isna().any():
+        raw = s.to_numpy().astype("<i8", copy=False).tobytes()
+        return [b"i" + raw[8 * i:8 * i + 8] for i in range(n)]
+    if pd.api.types.is_float_dtype(s):
+        raw = s.to_numpy().astype("<f8", copy=False).tobytes()
+        return [b"f" + raw[8 * i:8 * i + 8] for i in range(n)]
+    out = []
+    for v in s.to_numpy():
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            out.append(b"N")
+        elif isinstance(v, (float, np.floating)):
+            out.append(b"f" + struct.pack("<d", float(v)))
+        elif isinstance(v, (bool, np.bool_)):
+            out.append(b"b\x01" if v else b"b\x00")
+        elif isinstance(v, (int, np.integer)):
+            out.append(b"i" + struct.pack("<q", int(v)))
+        elif isinstance(v, bytes):
+            out.append(b"y" + v)
+        else:
+            out.append(b"s" + str(v).encode())
+    return out
 
 
 def rowhash_sum(df: pd.DataFrame) -> str:
     """Order-independent content checksum: md5 each row's canonical cell
-    bytes (columns sorted by name, floats as raw IEEE bytes), sum the
+    bytes (columns sorted by name, encoding v2 per _encode_col), sum the
     first 8 bytes of each digest mod 2^64. Commutative sum => row order
-    never matters; md5 per row => any cell change moves the total."""
+    never matters; md5 per row => any cell change moves the total.
+    Cell encoding is vectorized column-wise; the row loop only joins
+    pre-encoded bytes and hashes."""
     import hashlib
     d = canon(df)
-    arrs = [d[c].to_numpy() for c in d.columns]
+    cols = [_encode_col(d[c]) for c in d.columns]
+    md5 = hashlib.md5
     total = 0
-    for i in range(len(d)):
-        parts = []
-        for a in arrs:
-            v = a[i]
-            if isinstance(v, (float, np.floating)):
-                parts.append(b"f" + struct.pack("<d", float(v)))
-            elif v is None:
-                parts.append(b"N")
-            else:
-                parts.append(str(v).encode())
-        h = hashlib.md5(b"|".join(parts)).digest()
+    join = b"|".join
+    for row in zip(*cols):
+        h = md5(join(row)).digest()
         total = (total + int.from_bytes(h[:8], "little")) % (1 << 64)
     return f"{total:016x}"
 
@@ -195,7 +233,8 @@ def main():
     ok = fail = 0
     for name in names:
         if name not in oracle_sql:
-            pn = PREFIX_GOLDEN.get(name) if sf_base != "sf0.01" else None
+            pg = PREFIX_GOLDEN.get(name) if sf_base != "sf0.01" else None
+            pn = pg["n"] if pg else None
             fixture = golden_dir / (f"{name}.prefix.parquet" if pn else f"{name}.parquet")
             sidecar = golden_dir / f"{name}.prefix.json"
             try:
@@ -214,10 +253,18 @@ def main():
                     continue
                 golden_dir.mkdir(parents=True, exist_ok=True)
                 if pn:
+                    mi = pd.MultiIndex.from_frame(sdf[pg["key"]])
+                    if not (mi.is_unique and mi.is_monotonic_increasing):
+                        print(f"FAIL {name}: refusing to bless prefix golden — "
+                              f"key {pg['key']} not a total order over the dump")
+                        fail += 1
+                        continue
                     sdf.head(pn).to_parquet(fixture, index=False)
                     sidecar.write_text(json.dumps({
                         "prefix_rows": int(min(pn, len(sdf))),
                         "total_rows": int(len(sdf)),
+                        "sort_key": pg["key"],
+                        "encoding": "v2",
                         "rowhash_sum": rowhash_sum(sdf)}, indent=1))
                     print(f"ok   {name} ({len(sdf)} rows)  [blessed PREFIX golden: "
                           f"first {min(pn, len(sdf))} rows + order-free checksum]")
@@ -240,8 +287,17 @@ def main():
                 meta = json.loads(sidecar.read_text())
                 # the dump is canonically sorted by the query itself, so its
                 # head IS the blessed prefix; the sidecar extends the pin to
-                # the full row set (count + order-independent content sum)
-                problems = compare(name, sdf.head(len(gold)), gold)
+                # the full row set (count + order-independent content sum).
+                # Positional head-compare is only sound under a total order:
+                # assert the declared sort key is unique and actually sorted.
+                mi = pd.MultiIndex.from_frame(sdf[pg["key"]])
+                problems = []
+                if not mi.is_unique:
+                    problems.append(f"prefix-golden sort key {pg['key']} has "
+                                    "duplicates: positional prefix compare unsound")
+                elif not mi.is_monotonic_increasing:
+                    problems.append(f"dump not sorted by declared key {pg['key']}")
+                problems += compare(name, sdf.head(len(gold)), gold)
                 if len(sdf) != meta["total_rows"]:
                     problems.append(f"total rows differ: spark={len(sdf)} "
                                     f"blessed={meta['total_rows']}")
