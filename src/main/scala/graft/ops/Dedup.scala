@@ -687,7 +687,20 @@ object Dedup {
       // a single scalar per round: the number of labels that dropped
       val changed = next.join(labels.withColumnRenamed("__comp__", "__old__"), Seq("__id__"))
         .filter(col("__comp__") < col("__old__")).count()
+      // Release the SUPERSEDED round's checkpoint blocks eagerly. Each
+      // localCheckpoint materializes a full label-table copy in the block
+      // manager; without this, copies from every round accumulate and
+      // only the async ContextCleaner (driver-GC-triggered) can reclaim
+      // them — a race it loses under heap pressure: the 128x e2e scale
+      // run OOM'd in a late CC stage on the default 8 GiB heap (r15), and
+      // r14's 256x run logged 8 page-allocation retries for the same
+      // reason. `next` is already eagerly checkpointed, and `changed`
+      // (the only consumer of the old labels) has executed, so the old
+      // blocks are provably dead here. Memory per round is now bounded
+      // by TWO label tables regardless of round count.
+      val superseded = labels
       labels = next
+      superseded.unpersist(blocking = false)
       converged = changed == 0
       round += 1
     }

@@ -63,8 +63,13 @@ object ExtrasQueries {
         Frame(aligned.agg(
           count(lit(1)).as("n_aligned"),
           count(when(col("n_orders").isNull || col("c_acctbal").isNull, 1)).as("n_unmatched"),
-          round(sum(col("n_orders").cast("decimal(18,0)") *
-            floor(col("c_acctbal") * 100 + 0.5).cast("decimal(18,0)"))
+          // LONG-cents kernel (QueryKit.moneySum discipline, r15): exact
+          // per-row integer ≤ 2^26 cents x small count, summed in
+          // codegen'd long adds; ANSI errors loudly past 2^63 (capacity
+          // ~6e17 at a 100 TB customer count). Values identical to the
+          // previous DECIMAL(18,0) fold by exactness — oracle unchanged.
+          round(sum(col("n_orders").cast("long") *
+            floor(col("c_acctbal") * 100 + 0.5))
             .cast("double") / 100.0, 2).as("dot")))
           .df
       },

@@ -129,15 +129,17 @@ object ReshapeExtraQueries {
           .drop("compound")
         Frame(long.select(col("l_orderkey"), col("l_linenumber"), col("suffix"),
           round(col("val"), 2).as("val")))
+          // val completes the total order over duplicate (l_orderkey,
+          // l_linenumber) fixture pairs (~sf1 gate catch, round 15)
           .sortValues(Seq(SortKey.asc("l_orderkey"), SortKey.asc("l_linenumber"),
-            SortKey.asc("suffix"))).df
+            SortKey.asc("suffix"), SortKey.asc("val"))).df
       },
       Some("""
         SELECT l_orderkey, l_linenumber, suffix, round(val, 2) AS val FROM (
           SELECT l_orderkey, l_linenumber, 'qty' AS suffix, l_quantity AS val FROM lineitem
           UNION ALL
           SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem)
-        ORDER BY l_orderkey, l_linenumber, suffix""")),
+        ORDER BY l_orderkey, l_linenumber, suffix, val""")),
 
     // pandas.lreshape (reference base QC:4612 — default_to_pandas):
     // parallel groups stack position-wise; a union of per-position
@@ -156,8 +158,11 @@ object ReshapeExtraQueries {
             "rate" -> Seq("l_discount", "l_tax")))
           .select(col("l_orderkey"), col("l_linenumber"), col("pos"),
             round(col("amount"), 2).as("amount"), round(col("rate"), 2).as("rate")))
+          // amount/rate complete the total order over duplicate
+          // (l_orderkey, l_linenumber) fixture pairs (same class as the
+          // q81/q121 ~sf1 gate catch, round 15)
           .sortValues(Seq(SortKey.asc("l_orderkey"), SortKey.asc("l_linenumber"),
-            SortKey.asc("pos"))).df
+            SortKey.asc("pos"), SortKey.asc("amount"), SortKey.asc("rate"))).df
       },
       Some("""
         SELECT l_orderkey, l_linenumber, pos,
@@ -166,7 +171,7 @@ object ReshapeExtraQueries {
                  l_quantity AS amount, l_discount AS rate FROM lineitem
           UNION ALL
           SELECT l_orderkey, l_linenumber, 1, l_extendedprice, l_tax FROM lineitem)
-        ORDER BY l_orderkey, l_linenumber, pos""")),
+        ORDER BY l_orderkey, l_linenumber, pos, amount, rate""")),
 
     // MultiIndex round trip (reference set_index dataframe.py:4310,
     // swaplevel base.py:3297, sort_index base.py:2654): set_index(2) →

@@ -149,8 +149,13 @@ object ReshapeQueries {
         values = Seq("l_quantity", "l_discount", "l_tax")))
         .selectExprs(col("l_orderkey"), col("l_linenumber"),
           col("variable"), round(col("value"), 4).as("value"))
+        // value completes the total order: (l_orderkey, l_linenumber) has
+        // ~143k duplicate pairs in the fixture, so sorting on every output
+        // column is the only way tied rows land identically in both
+        // engines (flushed by the ~sf1 gate at 18M rows, round 15 —
+        // smaller SFs passed on tie-order luck)
         .sortValues(Seq(SortKey.asc("l_orderkey"), SortKey.asc("l_linenumber"),
-          SortKey.asc("variable"))).df,
+          SortKey.asc("variable"), SortKey.asc("value"))).df,
       Some("""
         SELECT l_orderkey, l_linenumber, variable, round(value, 4) AS value
         FROM (
@@ -159,7 +164,7 @@ object ReshapeQueries {
           SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
           UNION ALL
           SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
-        ORDER BY l_orderkey, l_linenumber, variable""")),
+        ORDER BY l_orderkey, l_linenumber, variable, value""")),
 
     // get_dummies / one-hot (pure column expressions, no shuffle),
     // summed per status so every row is exercised.

@@ -109,8 +109,12 @@ object SelectQueries {
           .groupBy(col("o_orderstatus"))
           .agg(
             count(when(isTrain, 1)).as("n_train"),
-            round(sum(when(isTrain, floor(col("o_totalprice") * 100 + 0.5))
-              .cast("decimal(18,0)")).cast("double") / 100.0, 2).as("total_train"),
+            // LONG-cents kernel (QueryKit.moneySum discipline, r15):
+            // floor(double) is already LongType — sum in codegen'd long
+            // adds, one division at the end; exact, permutation-invariant,
+            // ANSI-loud past 2^63. Oracle unchanged by exactness.
+            round(sum(when(isTrain, floor(col("o_totalprice") * 100 + 0.5)))
+              .cast("double") / 100.0, 2).as("total_train"),
             count(when(!isTrain, 1)).as("n_rest")))
           .sortValues(Seq(SortKey.asc("o_orderstatus"))).df
       },
