@@ -655,6 +655,23 @@ object Dedup {
     var labels = und.select(col("__src__").as("__id__")).distinct()
       .withColumn("__comp__", col("__id__"))
       .localCheckpoint()
+    // Convergence sentinel: Σ__comp__ as exact DECIMAL(38,0). Labels are
+    // monotone non-increasing per id and the id set is fixed after round
+    // 0, so the label table changed this round ⟺ the exact sum dropped.
+    // This replaces the previous per-round convergence JOIN of the old
+    // and new label tables (+ count over both) with ONE narrow aggregate
+    // over the new table only — one fewer two-sided pass per round
+    // (guide §2.3/§2.4: fewer bytes through fewer stages). DECIMAL(38,0)
+    // keeps the compare exact at any scale (10^9 nodes × 10^18-magnitude
+    // ids is still 11 digits of headroom; a double's 2^53 mantissa would
+    // tie silently and could declare convergence EARLY — correctness, so
+    // exactness is non-negotiable).
+    def compSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("__comp__").cast("decimal(38,0)")).as("s"))
+        .head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty edge list
+    }
+    var prevSum = compSum(labels)
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -684,9 +701,12 @@ object Dedup {
         .groupBy(col("__id__"))
         .agg(min(col("__comp__")).as("__comp__"))
         .localCheckpoint()
-      // a single scalar per round: the number of labels that dropped
-      val changed = next.join(labels.withColumnRenamed("__comp__", "__old__"), Seq("__id__"))
-        .filter(col("__comp__") < col("__old__")).count()
+      // a single scalar per round: did any label drop? (exact-sum
+      // sentinel — see compSum above; `next` is already checkpointed so
+      // this is one narrow agg over block-manager data, not a recompute)
+      val nextSum = compSum(next)
+      val changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
       // Release the SUPERSEDED round's checkpoint blocks eagerly. Each
       // localCheckpoint materializes a full label-table copy in the block
       // manager; without this, copies from every round accumulate and
@@ -694,14 +714,14 @@ object Dedup {
       // them — a race it loses under heap pressure: the 128x e2e scale
       // run OOM'd in a late CC stage on the default 8 GiB heap (r15), and
       // r14's 256x run logged 8 page-allocation retries for the same
-      // reason. `next` is already eagerly checkpointed, and `changed`
-      // (the only consumer of the old labels) has executed, so the old
+      // reason. `next` is already eagerly checkpointed and the sum
+      // sentinel no longer reads the old labels at all, so the old
       // blocks are provably dead here. Memory per round is now bounded
       // by TWO label tables regardless of round count.
       val superseded = labels
       labels = next
       superseded.unpersist(blocking = false)
-      converged = changed == 0
+      converged = !changed
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds " +

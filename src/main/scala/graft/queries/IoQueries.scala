@@ -112,7 +112,15 @@ object IoQueries {
         // repartition on the partition column before partitionBy: without
         // it every task writes every brand (tasks×brands small files —
         // the classic small-file explosion at scale); with it each brand
-        // is one task → one right-sized file per partition value
+        // is one task → one right-sized file per partition value.
+        // Probed r15 (ProfileBench): AQE byte-coalesces this tiny shuffle
+        // to ONE task which writes all 25 brand files serially (658 ms);
+        // pinning one-task-per-brand with an explicit partition count was
+        // MEASURED WORSE (write stage 1002 ms wall, ~300 ms of parquet
+        // writer + committer setup per task dwarfs the 26 ms/file write).
+        // The bare repartition is the right form at every scale: AQE
+        // coalesces only while partitions sit under the 64 MB advisory
+        // size, so production-sized brands keep one task per brand.
         src.repartition(col("p_brand"))
           .write.mode(SaveMode.Overwrite).partitionBy("p_brand").parquet(path)
         // explicit schema on the read-back: skips the footer-sampling

@@ -152,12 +152,26 @@ object QueryKit {
   def scratch(base: String, fixtureDir: String, name: String): String =
     s"$base/${fixtureDir.replaceAll("[^A-Za-z0-9._-]", "_")}/$name"
 
+  /** Per-JVM memo of inferred parquet schemas, keyed on path + mtime (so
+    * an overwritten scratch path re-infers). `spark.read.parquet` without
+    * an explicit schema schedules a footer-inference JOB on every call —
+    * ProfileBench (r15) measured it at 26–41 ms per table read, once or
+    * twice per bench query run. A real deployment reads the schema from a
+    * catalog/manifest once, not from file footers per query; this memo is
+    * that catalog. It caches METADATA only — every query still scans and
+    * computes from the parquet data itself. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     // TIMESTAMP(NANOS) parquet is unreadable by Spark's vectorized reader
     // without this knob (it then surfaces as raw long); harmless for
     // micros/date layouts.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTemporal(s.read.parquet(s"$dir/$name.parquet"))
+    val path = s"$dir/$name.parquet"
+    val key = s"$path@${new java.io.File(path).lastModified}"
+    val schema = schemaCache.computeIfAbsent(key, _ => s.read.parquet(path).schema)
+    normalizeTemporal(s.read.schema(schema).parquet(path))
   }
 
   def f(s: SparkSession, dir: String, name: String): Frame = Frame(t(s, dir, name))
