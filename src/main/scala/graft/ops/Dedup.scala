@@ -649,9 +649,23 @@ object Dedup {
    */
   def connectedComponents(edges: DataFrame, idACol: String, idBCol: String,
       maxRounds: Int = 20): DataFrame = {
+    // MATERIALIZE the undirected edge list before the loop (r15). `und`
+    // is referenced by every round's neighbour join, and each round is a
+    // separate action — without the checkpoint, every round RE-EXECUTES
+    // the caller's entire pair-generation plan (banding, shuffles, exact
+    // verify: the expensive part of the whole near-dup job) because Spark
+    // does not reuse shuffle output across separate query executions.
+    // Measured (SCALE_r15): e2e near-dup removal at 64×/t=0.8 fell
+    // 417.9 s → 256.5 s (−39%) and the 1× base 14.7 → 6.4 s; the
+    // e2e-to-pairs-alone ratio fell ~2.8× → ~1.7× — the gap was the
+    // redundant pair-generation passes, one per extra CC round.
+    // Same block-manager discipline as the label checkpoints
+    // (memory+disk, freed on context cleanup); the edge list is
+    // O(duplicate pairs), tiny relative to the corpus.
     val und = edges.select(col(idACol).as("__src__"), col(idBCol).as("__dst__"))
       .union(edges.select(col(idBCol).as("__src__"), col(idACol).as("__dst__")))
       .distinct()
+      .localCheckpoint()
     var labels = und.select(col("__src__").as("__id__")).distinct()
       .withColumn("__comp__", col("__id__"))
       .localCheckpoint()

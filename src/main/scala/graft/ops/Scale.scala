@@ -80,51 +80,102 @@ object Scale {
    * of the row groups. Null bucket index is 0 (nulls cluster first,
    * matching NULLS FIRST scan pruning).
    */
+  /** Per-dimension equi-depth bucket boundaries (interior, distinct),
+    * computed with ONE multi-column approxQuantile job — per-column calls
+    * would scan the full input once per dimension. Duplicate quantiles
+    * (heavy hitters) are deduped so bucket ids stay dense. */
+  private def zBoundaries(df: DataFrame, zCols: Seq[String],
+      bitsPerDim: Int): Seq[Array[Double]] = {
+    val nBuckets = 1 << bitsPerDim
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    df.select(zCols.map(c => col(c).cast("double").as(c)): _*)
+      .stat.approxQuantile(zCols.toArray, probs, 0.001)
+      .map(_.distinct.sorted).toIndexedSeq
+  }
+
+  /** Bucket index of `c` against sorted `boundaries` (the count of
+    * boundaries ≤ x) as a BINARY-SEARCH `when` tree: O(log nBuckets)
+    * comparisons evaluate per row, because when/otherwise only evaluates
+    * the taken branch. Two prior forms measured slower on q184's write
+    * (600 k rows, 255 boundaries, ProfileBench r15): an `aggregate`
+    * higher-order fold (CodegenFallback — an interpreted 255-iteration
+    * loop per row, 12.4 s per z pass) and a flat 255-term compare-sum
+    * (every term evaluates; 21 s per pass). The search tree evaluates 8
+    * of its 511 nodes per row. A null compares false at every node and
+    * descends to bucket 0 — identical to the fold's null → 0 (nulls
+    * cluster first, matching NULLS FIRST scan pruning). */
+  private def zBucket(c: String, boundaries: Array[Double]): Column = {
+    val x = col(c).cast("double")
+    // result index in [lo, hi]; b(mid) splits: x >= b(mid) → [mid+1, hi]
+    def go(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi) / 2
+        when(x >= boundaries(mid), go(mid + 1, hi)).otherwise(go(lo, mid))
+      }
+    go(0, boundaries.length)
+  }
+
+  /** Bit-interleave per-dimension bucket index COLUMNS into one z-value.
+    * Each input is referenced `bitsPerDim` times — pass cheap attribute
+    * references (materialized bucket columns) so the plan stays readable
+    * and no evaluator has to rely on subexpression elimination to avoid
+    * re-computing the bucket search per bit. */
+  private def zInterleave(buckets: Seq[Column], bitsPerDim: Int, dims: Int): Column = {
+    val interleaved = for {
+      (bucket, d) <- buckets.zipWithIndex
+      i <- 0 until bitsPerDim
+    } yield shiftleft(
+      shiftright(bucket.cast("long"), i).bitwiseAND(lit(1L)),
+      i * dims + d)
+    interleaved.reduce((a, b) => a.bitwiseOR(b))
+  }
+
   def zValue(df: DataFrame, zCols: Seq[String], bitsPerDim: Int = 8): Column = {
     require(zCols.nonEmpty, "zValue: need at least one column")
     require(bitsPerDim >= 1 && zCols.size * bitsPerDim <= 63,
       s"zValue: ${zCols.size} dims x $bitsPerDim bits must fit a positive long")
-    val nBuckets = 1 << bitsPerDim
-    // interior boundaries only (nBuckets-1 of them); approxQuantile skips
-    // nulls and its error bound just shifts bucket edges, never ordering
-    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    // ONE multi-column approxQuantile job — per-column calls would scan
-    // the full input once per dimension
-    val boundaries = df.select(zCols.map(c => col(c).cast("double").as(c)): _*)
-      .stat.approxQuantile(zCols.toArray, probs, 0.001)
-      .toIndexedSeq
-    val bucketCols = zCols.zip(boundaries).map { case (c, bs) =>
-      // distinct boundary values only — duplicate quantiles (heavy hitters)
-      // would otherwise skip bucket ids, wasting z-space bits
-      val uniq = bs.distinct.sorted
-      aggregate(
-        lit(uniq),
-        lit(0),
-        (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
-    }
-    val interleaved = for {
-      (bucket, d) <- bucketCols.zipWithIndex
-      i <- 0 until bitsPerDim
-    } yield shiftleft(
-      shiftright(bucket.cast("long"), i).bitwiseAND(lit(1L)),
-      i * zCols.size + d)
-    interleaved.reduce((a, b) => a.bitwiseOR(b))
+    val boundaries = zBoundaries(df, zCols, bitsPerDim)
+    // single-expression form: fine for tests/ad-hoc use, but it inlines
+    // each dimension's fold bitsPerDim times — the write path below
+    // stages the buckets as columns instead
+    zInterleave(zCols.zip(boundaries).map { case (c, bs) => zBucket(c, bs) },
+      bitsPerDim, zCols.size)
   }
 
   /** Write `df` as parquet clustered along the z-curve of `zCols`. See
     * [[zValue]] for the skipping rationale. `numFiles` bounds the output
-    * file count (defaults to spark.sql.shuffle.partitions). */
+    * file count (defaults to spark.sql.shuffle.partitions).
+    *
+    * The per-dimension bucket indices are materialized as COLUMNS in
+    * their own projection before the interleave (one bucket search per
+    * row per dimension by construction), and the bucket search itself is
+    * the O(log buckets) when-tree in [[zBucket]]. Measured r15 (sf0.1,
+    * 600 k rows, ProfileBench min-of-3): the whole q184 round-trip fell
+    * 26.5 s → 4.2 s — each z-computing pass (range-partition sampling +
+    * main write) dropped 12.4 s → ~1.3 s once the per-row bucket cost
+    * went from an interpreted 255-iteration HOF fold to 8 lazy
+    * comparisons. */
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
       bitsPerDim: Int = 8, numFiles: Option[Int] = None): Unit = {
+    require(zCols.nonEmpty, "writeZOrdered: need at least one column")
+    require(bitsPerDim >= 1 && zCols.size * bitsPerDim <= 63,
+      s"writeZOrdered: ${zCols.size} dims x $bitsPerDim bits must fit a positive long")
     val n = numFiles.getOrElse(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val boundaries = zBoundaries(df, zCols, bitsPerDim)
+    val bucketNames = zCols.indices.map(d => s"__zb${d}__")
+    val staged = df.select(col("*") +:
+      zCols.zip(boundaries).zipWithIndex.map { case ((c, bs), d) =>
+        zBucket(c, bs).as(bucketNames(d)) }: _*)
     val z = "__z__"
-    df.withColumn(z, zValue(df, zCols, bitsPerDim))
+    staged
+      .withColumn(z, zInterleave(bucketNames.map(col), bitsPerDim, zCols.size))
       .repartitionByRange(n, col(z))
       .sortWithinPartitions(col(z))
       // projection preserves the per-partition sort; the written files
-      // keep z-order without persisting the synthetic column
-      .drop(z)
+      // keep z-order without persisting the synthetic columns
+      .drop(bucketNames :+ z: _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
