@@ -78,8 +78,21 @@ object Similarity {
 
   /** Sign-of-projection bits for `nPlanes` random hyperplanes (seeded by
     * `table` so each hash table draws independent planes), packed into a
-    * long bucket id — the random-hyperplane LSH for cosine similarity. */
+    * long bucket id — the random-hyperplane LSH for cosine similarity.
+    * Computed by the native [[graft.plans.LshBucketKernel]] (one fused
+    * multiply-add loop per plane over a memoized component table) —
+    * bit-identical to [[lshBucketRef]], the lambda-tree formulation it
+    * replaced, which interpreted a `sequence`+`zip_with`+`aggregate`
+    * fold per plane per row (CodegenFallback). */
   def lshBucket(vec: Column, nPlanes: Int, table: Int = 0): Column = {
+    GraftExtensions.register(org.apache.spark.sql.SparkSession.active)
+    call_function("graft_lsh_xx", vec, lit(nPlanes), lit(table * nPlanes))
+  }
+
+  /** The original Column formulation of [[lshBucket]] — kept as the
+    * executable spec the native kernel is differentially tested against
+    * (LshBucketParitySpec). Not used on any query path. */
+  private[graft] def lshBucketRef(vec: Column, nPlanes: Int, table: Int = 0): Column = {
     val bits = (0 until nPlanes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0L), size(vec).cast("long") - 1L),
@@ -100,6 +113,14 @@ object Similarity {
     * default and this variant anchors it to a DuckDB oracle (q108b) plus
     * a parity spec. */
   def lshBucketMd5(vec: Column, nPlanes: Int, table: Int = 0): Column = {
+    GraftExtensions.register(org.apache.spark.sql.SparkSession.active)
+    call_function("graft_lsh_md5", vec, lit(nPlanes), lit(table * nPlanes))
+  }
+
+  /** The original Column formulation of [[lshBucketMd5]] — kept as the
+    * executable spec the native kernel is differentially tested against
+    * (LshBucketParitySpec). Not used on any query path. */
+  private[graft] def lshBucketMd5Ref(vec: Column, nPlanes: Int, table: Int = 0): Column = {
     def sign(p: Int, d: Column): Column =
       when(conv(md5(concat(lit(s"$p:"), d.cast("string"))).substr(lit(1), lit(1)),
         16, 10).cast("int") < 8, lit(1.0)).otherwise(lit(-1.0))

@@ -75,30 +75,106 @@ object Bpe {
       .groupBy(col("p.l").as("left"), col("p.r").as("right"))
       .agg(sum(col("freq")).as("pair_count"))
 
+  /** Longest prefix of the sorted candidate rows that is PROVABLY the
+    * next run of greedy merges without recounting between them.
+    *
+    * Greedy equivalence argument (each accepted pair pᵢ = (lᵢ, rᵢ) with
+    * count cᵢ, rows sorted count desc / pair asc — the greedy order):
+    *
+    *   1. *Non-interaction.* Accepted pairs are pairwise symbol-disjoint
+    *      and no accepted symbol equals an earlier accepted concatenation
+    *      lⱼ+rⱼ. A merge pass replaces adjacent "lⱼ rⱼ" with one symbol:
+    *      it never makes two OTHER symbols adjacent (neighbours become
+    *      adjacent to the new symbol, not to each other) and never
+    *      destroys an adjacency not involving lⱼ or rⱼ. So applying pⱼ
+    *      leaves every later accepted pᵢ's count exactly cᵢ.
+    *   2. *Dominance.* Every pair whose count a prior accepted merge CAN
+    *      change — a pair containing lⱼ or rⱼ (count only decreases) or a
+    *      brand-new pair containing lⱼ+rⱼ (its count is bounded by a
+    *      pre-merge interacting pair's count: every "x lⱼrⱼ" adjacency
+    *      comes from an "x lⱼ" one, every "lⱼrⱼ y" from "rⱼ y", and
+    *      "lⱼrⱼ lⱼrⱼ" from "rⱼ lⱼ") — is a NON-accepted pair, hence
+    *      ranked below the accepted prefix. The prefix is truncated to
+    *      counts STRICTLY above the first non-accepted row's count, so at
+    *      every intermediate step each remaining accepted pair outranks
+    *      every changed/new pair outright — no tie-break ambiguity — and
+    *      greedy picks exactly the accepted rows in order.
+    *
+    * A batch of one is greedy itself, so when the strict-dominance
+    * truncation empties the prefix the head row is accepted alone. */
+  private[graft] def greedyPrefix(rows: Array[(String, String, Long)],
+      exhausted: Boolean, minCount: Long): Seq[(String, String, Long)] = {
+    val eligible = rows.takeWhile(_._3 >= minCount)
+    if (eligible.isEmpty) return Seq.empty
+    // longest symbol-disjoint / concat-free prefix
+    val syms = scala.collection.mutable.Set[String]()
+    val concats = scala.collection.mutable.Set[String]()
+    var m = 0
+    var stop = false
+    while (m < eligible.length && !stop) {
+      val (l, r, _) = eligible(m)
+      if (syms(l) || syms(r) || concats(l) || concats(r) ||
+          syms(l + r) || concats(l + r)) stop = true
+      else { syms += l; syms += r; concats += (l + r); m += 1 }
+    }
+    // strict count dominance over the first non-accepted row (if the
+    // candidate list was exhausted and nothing was rejected, the table
+    // holds no other pair at all, so no truncation is needed). When every
+    // collected row was accepted but the table extends past the collect
+    // limit, UNSEEN pairs can tie the last collected tier — so that tier
+    // is the boundary and is itself excluded.
+    val boundary: Option[Long] =
+      if (m < rows.length) Some(rows(m)._3)
+      else if (exhausted) None
+      else Some(rows.last._3)
+    val accepted = boundary match {
+      case Some(b) => eligible.take(m).takeWhile(_._3 > b)
+      case None => eligible.take(m)
+    }
+    if (accepted.isEmpty) eligible.take(1) else accepted
+  }
+
   /** Train `numMerges` BPE merges over a corpus. Stops early when no
-    * pair reaches `minCount`. Returns the ordered merge table. */
+    * pair reaches `minCount`. Returns the ordered merge table.
+    *
+    * Driver-action batching (r16): the greedy loop previously ran ONE
+    * argmax job + ONE checkpointed merge pass PER MERGE. Each round now
+    * collects the top `batchTopK` candidate pairs in one TakeOrdered job
+    * and applies the longest prefix that is provably the exact greedy
+    * sequence ([[greedyPrefix]] — symbol-disjoint + strict count
+    * dominance, so recounting between them is a no-op). The accepted
+    * merges fuse into one projection and ONE localCheckpoint per round —
+    * on independent top pairs (the common case for natural text early
+    * rounds) this cuts jobs and checkpoint copies up to batchTopK×, and
+    * it can never accept a pair greedy would not have picked next. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-      minCount: Long = 2L): Seq[Merge] = {
+      minCount: Long = 2L, batchTopK: Int = 8): Seq[Merge] = {
     require(numMerges >= 0, s"numMerges must be >= 0: $numMerges")
+    require(batchTopK >= 1, s"batchTopK must be >= 1: $batchTopK")
     var words = wordFreqTable(docs, textCol).localCheckpoint()
     val merges = Seq.newBuilder[Merge]
     var rank = 0
     var done = false
     while (rank < numMerges && !done) {
+      val limit = math.min(batchTopK, numMerges - rank) + 1
       val top = pairCounts(words)
         .orderBy(col("pair_count").desc, col("left").asc, col("right").asc)
-        .limit(1).collect()
-      top.headOption.filter(_.getLong(2) >= minCount) match {
-        case Some(row) =>
-          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+        .limit(limit).collect()
+        .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+      val batch = greedyPrefix(top, exhausted = top.length < limit, minCount)
+        .take(numMerges - rank)
+      if (batch.isEmpty) done = true
+      else {
+        val merged = batch.foldLeft(col("syms")) { case (acc, (l, r, _)) =>
+          mergeAdjacent(acc, l, r)
+        }
+        val next = words.withColumn("syms", merged).localCheckpoint()
+        words.unpersist(blocking = false)
+        words = next
+        batch.foreach { case (l, r, c) =>
           merges += Merge(rank, l, r, c)
-          val next = words
-            .withColumn("syms", mergeAdjacent(col("syms"), l, r))
-            .localCheckpoint()
-          words.unpersist(blocking = false)
-          words = next
           rank += 1
-        case None => done = true
+        }
       }
     }
     words.unpersist(blocking = false)

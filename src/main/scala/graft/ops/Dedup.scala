@@ -662,6 +662,15 @@ object Dedup {
     // Same block-manager discipline as the label checkpoints
     // (memory+disk, freed on context cleanup); the edge list is
     // O(duplicate pairs), tiny relative to the corpus.
+    //
+    // SCALE TRADE (documented, deliberate): localCheckpoint blocks are
+    // executor-local and NOT replayable — lose an executor mid-loop and
+    // the job fails instead of recomputing, and the whole CC pass retries
+    // from the pair generator. At 100 TB that retry is tolerable (the
+    // loop is minutes, not hours) and the alternative was measured 2.9×
+    // worse (SCALE_r15: every round re-ran pair generation). If executor
+    // churn is real in a deployment, swap in reliable `checkpoint()`
+    // against a checkpoint dir — same plan shape, replayable blocks.
     val und = edges.select(col(idACol).as("__src__"), col(idBCol).as("__dst__"))
       .union(edges.select(col(idBCol).as("__src__"), col(idACol).as("__dst__")))
       .distinct()
@@ -685,7 +694,23 @@ object Dedup {
         .head.getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s // empty edge list
     }
-    var prevSum = compSum(labels)
+    // The sum sentinel is only sound when the decimal(38,0) cast is exact:
+    // a string/UUID id casts to NULL (sum 0 every round -> instant false
+    // convergence) and a fractional double truncates (a label drop inside
+    // the truncated digits would be invisible). Integral ids cast exactly;
+    // anything else falls back to the join-based change check below —
+    // correct for any ordered id type, one extra two-sided pass per round.
+    val integralId = und.schema("__src__").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    def changedVsJoin(prev: DataFrame, next: DataFrame): Boolean = {
+      val old = prev.select(col("__id__"), col("__comp__").as("__oldcomp__"))
+      !next.join(old, Seq("__id__"))
+        .where(!(col("__comp__") <=> col("__oldcomp__"))).isEmpty
+    }
+    var prevSum = if (integralId) compSum(labels) else null
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -718,9 +743,13 @@ object Dedup {
       // a single scalar per round: did any label drop? (exact-sum
       // sentinel — see compSum above; `next` is already checkpointed so
       // this is one narrow agg over block-manager data, not a recompute)
-      val nextSum = compSum(next)
-      val changed = nextSum.compareTo(prevSum) != 0
-      prevSum = nextSum
+      val changed =
+        if (integralId) {
+          val nextSum = compSum(next)
+          val c = nextSum.compareTo(prevSum) != 0
+          prevSum = nextSum
+          c
+        } else changedVsJoin(labels, next)
       // Release the SUPERSEDED round's checkpoint blocks eagerly. Each
       // localCheckpoint materializes a full label-table copy in the block
       // manager; without this, copies from every round accumulate and

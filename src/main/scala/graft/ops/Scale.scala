@@ -131,14 +131,19 @@ object Scale {
     interleaved.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Single-Column z-value for tests/ad-hoc use. CAUTION (documented API
+    * limit): this inlines each dimension's 2^bitsPerDim-node when-tree
+    * bitsPerDim times into one expression (~8k nodes at the 8-bit/2-dim
+    * default) — fine for the small frames tests feed it, but a wide
+    * whole-stage-codegen projection around it can overflow janino's 64 KB
+    * method limit and drop THAT projection to interpreted execution. Any
+    * hot/write path must stage the buckets as real columns first, exactly
+    * as [[writeZOrdered]] does — don't reuse this Column there. */
   def zValue(df: DataFrame, zCols: Seq[String], bitsPerDim: Int = 8): Column = {
     require(zCols.nonEmpty, "zValue: need at least one column")
     require(bitsPerDim >= 1 && zCols.size * bitsPerDim <= 63,
       s"zValue: ${zCols.size} dims x $bitsPerDim bits must fit a positive long")
     val boundaries = zBoundaries(df, zCols, bitsPerDim)
-    // single-expression form: fine for tests/ad-hoc use, but it inlines
-    // each dimension's fold bitsPerDim times — the write path below
-    // stages the buckets as columns instead
     zInterleave(zCols.zip(boundaries).map { case (c, bs) => zBucket(c, bs) },
       bitsPerDim, zCols.size)
   }
@@ -165,6 +170,12 @@ object Scale {
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val boundaries = zBoundaries(df, zCols, bitsPerDim)
     val bucketNames = zCols.indices.map(d => s"__zb${d}__")
+    // the synthetic bucket/z names must not shadow a real input column:
+    // select(col("*") +: alias) would create an ambiguous duplicate and
+    // the final drop would take the USER's column out of the written data
+    val clash = df.columns.toSet.intersect(bucketNames.toSet + "__z__")
+    require(clash.isEmpty,
+      s"writeZOrdered: input already has reserved column(s) ${clash.mkString(", ")}")
     val staged = df.select(col("*") +:
       zCols.zip(boundaries).zipWithIndex.map { case ((c, bs), d) =>
         zBucket(c, bs).as(bucketNames(d)) }: _*)

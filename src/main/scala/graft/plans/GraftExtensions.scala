@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhashDescriptor)
     ext.injectFunction(GraftExtensions.cosineDescriptor)
     ext.injectFunction(GraftExtensions.bandKeysDescriptor)
+    ext.injectFunction(GraftExtensions.lshXxDescriptor)
+    ext.injectFunction(GraftExtensions.lshMd5Descriptor)
     ext.injectOptimizerRule(_ => SelfCosineRule)
   }
 }
@@ -53,6 +55,32 @@ object GraftExtensions {
     new ExpressionInfo(classOf[LaneMinBandKeys].getName, "graft_band_keys"),
     (children: Seq[Expression]) => buildBandKeys(children))
 
+  /** graft_lsh_xx / graft_lsh_md5 (vec, nPlanes, planeOffset) — the two
+    * counts must be integer literals (they shape and memoize the kernel's
+    * plane table). */
+  private def buildLshBucket(md5: Boolean)(children: Seq[Expression]): Expression = {
+    val name = if (md5) "graft_lsh_md5" else "graft_lsh_xx"
+    require(children.length == 3,
+      s"$name(vec, nPlanes, planeOffset) takes three arguments")
+    def litInt(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$name: $what must be an integer literal, got $other")
+    }
+    LshBucketKernel(children.head,
+      litInt(children(1), "nPlanes"), litInt(children(2), "planeOffset"), md5)
+  }
+
+  private val lshXxDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_lsh_xx"),
+    new ExpressionInfo(classOf[LshBucketKernel].getName, "graft_lsh_xx"),
+    (children: Seq[Expression]) => buildLshBucket(md5 = false)(children))
+
+  private val lshMd5Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_lsh_md5"),
+    new ExpressionInfo(classOf[LshBucketKernel].getName, "graft_lsh_md5"),
+    (children: Seq[Expression]) => buildLshBucket(md5 = true)(children))
+
   private val cosineDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_cosine"),
     new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
@@ -69,5 +97,9 @@ object GraftExtensions {
       "graft_cosine", children => CosineSim(children(0), children(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_band_keys", buildBandKeys, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_xx", buildLshBucket(md5 = false), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_md5", buildLshBucket(md5 = true), "scala_udf")
   }
 }

@@ -159,7 +159,15 @@ object QueryKit {
     * twice per bench query run. A real deployment reads the schema from a
     * catalog/manifest once, not from file footers per query; this memo is
     * that catalog. It caches METADATA only — every query still scans and
-    * computes from the parquet data itself. */
+    * computes from the parquet data itself.
+    *
+    * LOCAL-FS ONLY (documented trade): the mtime key comes from
+    * `java.io.File.lastModified`, which is millisecond-granular and
+    * returns 0 for non-local URIs (hdfs://, s3://) — on an object store
+    * every generation of a path would share key "path@0" and an overwrite
+    * could serve a stale schema. The driver contract only ever hands this
+    * local paths; a deployment pointing it at remote storage must swap
+    * the key for the store's own version/etag (or an explicit catalog). */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 

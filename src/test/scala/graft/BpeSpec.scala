@@ -69,6 +69,36 @@ class BpeSpec extends SparkSuite {
     assert(enc(2).getSeq[String](1).toList == List("low"))
   }
 
+  test("batched train (batchTopK=8) equals the one-merge-per-round greedy sequence") {
+    // real text with heavy pair interactions (fixture docs): the batch
+    // must accept only provably-greedy prefixes, so the merge sequences
+    // are IDENTICAL, not merely same-set
+    val docs = table("documents").select(col("doc_id").as("id"), col("text")).limit(120)
+    val greedy = Bpe.train(docs, "text", numMerges = 24, batchTopK = 1)
+    val batched = Bpe.train(docs, "text", numMerges = 24, batchTopK = 8)
+    assert(batched == greedy)
+  }
+
+  test("greedyPrefix: strict dominance and interaction rules") {
+    // interacting second row: only the head is provable -> batch of 1
+    assert(Bpe.greedyPrefix(Array(("e", "s", 9L), ("s", "t", 9L)),
+      exhausted = true, minCount = 2L) == Seq(("e", "s", 9L)))
+    // disjoint rows but the last ties the first unseen tier -> truncated;
+    // NOT exhausted means unseen pairs may tie row 2's count
+    assert(Bpe.greedyPrefix(Array(("a", "b", 9L), ("c", "d", 7L)),
+      exhausted = false, minCount = 2L) == Seq(("a", "b", 9L)))
+    // exhausted list, all disjoint -> everything accepted
+    assert(Bpe.greedyPrefix(Array(("a", "b", 9L), ("c", "d", 7L)),
+      exhausted = true, minCount = 2L) == Seq(("a", "b", 9L), ("c", "d", 7L)))
+    // a later pair whose symbol equals an earlier CONCAT interacts (new
+    // "ab" symbols change its count)
+    assert(Bpe.greedyPrefix(Array(("a", "b", 9L), ("ab", "c", 7L)),
+      exhausted = true, minCount = 2L) == Seq(("a", "b", 9L)))
+    // minCount gates acceptance
+    assert(Bpe.greedyPrefix(Array(("a", "b", 1L)),
+      exhausted = true, minCount = 2L).isEmpty)
+  }
+
   test("encode flattens across the words of a document and counts tokens") {
     val merges = Bpe.train(sennrich, "text", numMerges = 4)
     val enc = Bpe.encode(corpus(1L -> "low newest low"), "id", "text", merges)
