@@ -123,8 +123,24 @@ object Pq {
 
   /** Encode the corpus to (idCol, codes array<byte>): one broadcast-fold
     * projection, zero shuffles. `codes[j]` = argmin over the subspace-j
-    * codebook of squared L2 (tie → smaller cid, the house rule). */
+    * codebook of squared L2 (tie → smaller cid, the house rule).
+    * Computed by the native [[graft.plans.PqEncodeKernel]] — one fused
+    * loop instead of m×ksub interpreted `l2sq` folds per row (the 64×
+    * code scan fell 51 s → see OPTIMIZATION_r16.md §3); bit-identical to
+    * [[encodeRef]], the Column formulation kept below as the executable
+    * spec (PqKernelParitySpec + the q231 oracle pin it). */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    corpus.crossJoin(broadcast(packed(codebooks)))
+      .select(col(idCol),
+        call_function("graft_pq_encode", col(vecCol), col("__cbs__")).as("codes"))
+  }
+
+  /** The original Column formulation of [[encode]] — the executable spec
+    * the native kernel is differentially tested against. Not on any
+    * query path. */
+  private[graft] def encodeRef(corpus: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(packed(codebooks)))
       .select(col(idCol),
@@ -135,6 +151,14 @@ object Pq {
             struct(l2sq(sub, cvec).as("d"), c.as("cid"))))
             .getField("cid").cast("byte")
         }).as("codes"))
+
+  /** The original Column ADC fold — the executable spec for
+    * [[graft.plans.PqAdcKernel]]. Not on any query path. */
+  private[graft] def adcDistRef(codes: Column, lut: Column): Column =
+    aggregate(
+      zip_with(codes, lut,
+        (c, lutj) => element_at(lutj, c.cast("int") + 1)),
+      lit(0.0), (acc, x) => acc + x)
 
   /** ADC top-k: smallest summed table-lookup distance per query, over the
     * codes alone. Same plan skeleton as `topKBruteForce` — broadcast the
@@ -157,11 +181,10 @@ object Pq {
           val sub = slice(col(queryVec), j * ds + 1, ds)
           transform(cbj, cvec => l2sq(sub, cvec))
         }).as("__lut__"))
+    graft.plans.GraftExtensions.register(codes.sparkSession)
     val scored = codes.crossJoin(broadcast(luts))
-      .withColumn("dist", aggregate(
-        zip_with(col(codesCol), col("__lut__"),
-          (c, lutj) => element_at(lutj, c.cast("int") + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("dist",
+        call_function("graft_pq_adc", col(codesCol), col("__lut__")))
       .filter(col("dist").isNotNull && !isnan(col("dist")))
     val w = Window.partitionBy(col(queryId)).orderBy(col("dist").asc, col(corpusId).asc)
     scored.withColumn("__rk__", row_number().over(w))
@@ -232,11 +255,10 @@ object Pq {
           val sub = slice(col(queryVec), j * ds + 1, ds)
           transform(cbj, cvec => l2sq(sub, cvec))
         }).as("__lut__"))
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
     val scored = encoded.join(luts, "centroid_id")
-      .withColumn("dist", aggregate(
-        zip_with(col("codes"), col("__lut__"),
-          (c, lutj) => element_at(lutj, c.cast("int") + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("dist",
+        call_function("graft_pq_adc", col("codes"), col("__lut__")))
       .filter(col("dist").isNotNull && !isnan(col("dist")))
     val w = Window.partitionBy(col(queryId)).orderBy(col("dist").asc, col(corpusId).asc)
     scored.withColumn("__rk__", row_number().over(w))

@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bandKeysDescriptor)
     ext.injectFunction(GraftExtensions.lshXxDescriptor)
     ext.injectFunction(GraftExtensions.lshMd5Descriptor)
+    ext.injectFunction(GraftExtensions.pqEncodeDescriptor)
+    ext.injectFunction(GraftExtensions.pqAdcDescriptor)
     ext.injectOptimizerRule(_ => SelfCosineRule)
   }
 }
@@ -81,6 +83,22 @@ object GraftExtensions {
     new ExpressionInfo(classOf[LshBucketKernel].getName, "graft_lsh_md5"),
     (children: Seq[Expression]) => buildLshBucket(md5 = true)(children))
 
+  private val pqEncodeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_pq_encode"),
+    new ExpressionInfo(classOf[PqEncodeKernel].getName, "graft_pq_encode"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_pq_encode(vec, cbs) takes two arguments")
+      PqEncodeKernel(children(0), children(1))
+    })
+
+  private val pqAdcDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_pq_adc"),
+    new ExpressionInfo(classOf[PqAdcKernel].getName, "graft_pq_adc"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_pq_adc(codes, lut) takes two arguments")
+      PqAdcKernel(children(0), children(1))
+    })
+
   private val cosineDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_cosine"),
     new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
@@ -101,5 +119,9 @@ object GraftExtensions {
       "graft_lsh_xx", buildLshBucket(md5 = false), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lsh_md5", buildLshBucket(md5 = true), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_encode", children => PqEncodeKernel(children(0), children(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_adc", children => PqAdcKernel(children(0), children(1)), "scala_udf")
   }
 }
