@@ -50,9 +50,15 @@ object RollingBlocks {
     val ordered = RowOrder.withRowOrder(df, order)
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toLong
     // size blocks off the materialized count (a cheap metadata read on the
-    // checkpointed frame) so parallelism survives even tiny shuffle confs
+    // checkpointed frame) so parallelism survives even tiny shuffle confs.
+    // ~4 blocks per partition (not 1): with exactly `parts` block ids
+    // hashed into `parts` partitions, ~1/e of the partitions come up
+    // empty and the fullest carries 3 blocks (balls-in-bins) — 4× more
+    // blocks keeps every partition near the mean. Ghost volume is
+    // (window-1)/B of the corpus, still ≪ 1 at these block sizes.
     val n = ordered.count()
-    val b = blockSize.getOrElse(math.max(window.toLong, (n + parts - 1) / parts))
+    val b = blockSize.getOrElse(
+      math.max(window.toLong, (n + 4 * parts - 1) / (4 * parts)))
     // an explicit block smaller than the window would leave rows near
     // each block's leading edge missing predecessors — silently-short
     // windows, the same invariant rollingTimeAgg already requires
@@ -68,10 +74,23 @@ object RollingBlocks {
       .withColumn(Blk, (ro / b).cast("long") + 1)
       .withColumn(Ghost, lit(true))
     val unioned = if (window == 1) own else own.unionByName(ghosts)
+    // EXPLICIT block exchange (r16). Leaving the shuffle to the window's
+    // ENSURE_REQUIREMENTS exchange lets AQE byte-coalesce it: the block
+    // rows are KBs (AQE's 64 MB advisory sees "tiny") but the per-row
+    // window work is CPU-dense, so the whole rolling computation landed
+    // on 2 of 32 cores (ProfileBench q233: the two window stages ran 2
+    // tasks, 2.1 s executor time each, 2.7 s of the query's 4.4 s wall).
+    // repartition-by-number is exempt from AQE coalescing and satisfies
+    // the window's clustered-distribution requirement, so this is the
+    // SAME single shuffle, just at the declared width. The count is the
+    // session's shuffle parallelism — scale-adaptive, not a local[32]
+    // constant; at real scale the blocks carry real bytes and the
+    // explicit width matches what AQE would pick anyway.
+    val parted = unioned.repartition(parts.toInt, col(Blk))
 
     val w = Window.partitionBy(col(Blk)).orderBy(ro.asc)
       .rowsBetween(-(window - 1), Window.currentRow)
-    val out = aggs.foldLeft(unioned) { case (d, (src, how, as)) =>
+    val out = aggs.foldLeft(parted) { case (d, (src, how, as)) =>
       // pandas min_periods counts valid (non-null) observations of the
       // aggregated series, not window width
       val vcnt = count(col(src)).over(w)
@@ -135,10 +154,12 @@ object RollingBlocks {
     val winUs = windowSec * 1000000L
 
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toLong
+    // ~4 time blocks per partition, same balls-in-bins smoothing as
+    // rollingAgg's row blocks
     val blockUs = blockDurationSec.map(_ * 1000000L).getOrElse {
       val Seq(lo, hi) = df.agg(min(us), max(us)).collect()(0)
         .toSeq.map(_.asInstanceOf[Long]): @unchecked
-      math.max(winUs, (hi - lo) / math.max(parts, 1L) + 1L)
+      math.max(winUs, (hi - lo) / math.max(4 * parts, 1L) + 1L)
     }
     require(blockUs >= winUs, s"block duration $blockUs µs < window $winUs µs")
 
@@ -155,11 +176,13 @@ object RollingBlocks {
       .filter(pmod(col(T), lit(blockUs)) > blockUs - winUs)
       .withColumn(Blk, floor(col(T) / blockUs).cast("long") + 1)
       .withColumn(Ghost, lit(true))
-    val unioned = own.unionByName(ghosts)
+    // explicit block exchange — see rollingAgg: AQE byte-coalescing would
+    // serialize the CPU-dense window stage on byte-tiny block rows
+    val parted = own.unionByName(ghosts).repartition(parts.toInt, col(Blk))
 
     val w = Window.partitionBy(col(Blk)).orderBy(col(T).asc)
       .rangeBetween(-(winUs - 1), Window.currentRow)
-    val out = aggs.foldLeft(unioned) { case (d, (src, how, as)) =>
+    val out = aggs.foldLeft(parted) { case (d, (src, how, as)) =>
       val a: Column = how match {
         case "sum"   => sum(col(src)).over(w)
         case "mean"  => avg(col(src)).over(w)
