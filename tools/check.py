@@ -50,7 +50,17 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 # TOTAL order — so the check asserts the key is unique and the dump is
 # sorted by it before trusting head(n). A future entry with a tying key
 # fails loudly instead of flaking on ties.
-PREFIX_GOLDEN = {"q105_simhash_pairs": {"n": 1000, "key": ["id_a", "id_b"]}}
+PREFIX_GOLDEN = {
+    "q105_simhash_pairs": {"n": 1000, "key": ["id_a", "id_b"]},
+    # r16 (VERDICT r15 item 8 / r14 item 5): the remaining no-oracle
+    # queries join the same discipline at sf0.1. Their outputs are small
+    # (pairs/top-k), so the "prefix" is the whole result — the value the
+    # sidecar adds over the old full-parquet fixtures is the total-order
+    # sort-key assertion plus the v2 order-independent whole-output
+    # checksum, the same three-way pin q105 carries.
+    "q104_minhash_pairs": {"n": 1000, "key": ["id_a", "id_b"]},
+    "q108_ann_lsh": {"n": 1000, "key": ["query_id", "rank"]},
+}
 
 
 def _encode_col(s: pd.Series) -> list:
