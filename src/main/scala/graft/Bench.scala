@@ -474,9 +474,20 @@ object SkewBench {
   import org.apache.spark.sql.functions._
   import graft.functions.Text
 
+  /** SPARK_GRAFT_SKEW_PLACEBO=1 keeps the skew side's per-row expression
+    * cost (when + xxhash64 + pmod / the dedup concat) but remaps to a
+    * NON-funneling key, isolating expression overhead from true skew:
+    * at high factors the skew-vs-uniform ratio otherwise confounds the
+    * remap expression's CPU (paid on every amplified row) with straggler
+    * effects. pmod(k, Long.MaxValue) is the identity for the fixtures'
+    * non-negative keys at the same expression cost as pmod(k, 10). */
+  private[graft] val placebo =
+    sys.env.get("SPARK_GRAFT_SKEW_PLACEBO").contains("1")
+  private val hotMod = if (placebo) Long.MaxValue else 10L
+
   /** 50% of rows (chosen by content hash) remap to keys 0..9. */
   private def skewKey(k: Column): Column =
-    when(pmod(xxhash64(k), lit(100)) < 50, pmod(k, lit(10))).otherwise(k)
+    when(pmod(xxhash64(k), lit(100)) < 50, pmod(k, lit(hotMod))).otherwise(k)
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -519,7 +530,7 @@ object SkewBench {
         val d = docs(dir)
         val text = if (skew)
           when(pmod(xxhash64(col("doc_id")), lit(100)) < 50,
-            concat(lit("dup"), pmod(col("doc_id"), lit(10)).cast("string")))
+            concat(lit("dup"), pmod(col("doc_id"), lit(hotMod)).cast("string")))
             .otherwise(col("text"))
         else col("text")
         d.groupBy(Text.fingerprint(text).as("fingerprint"))
@@ -540,7 +551,7 @@ object SkewBench {
       f""""$n":{"slope_uniform":$su%.3f,"slope_skew":$ss%.3f,"ratio":$r%.3f}"""
     }.mkString("{", ",", "}")
     val fl = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"skew_slope","factor":$factor,"queries":$qs,"flagged":$fl,"base":"$baseDir"}""")
+    println(s"""{"metric":"skew_slope","factor":$factor,"placebo":$placebo,"queries":$qs,"flagged":$fl,"base":"$baseDir"}""")
     spark.stop()
   }
 }
